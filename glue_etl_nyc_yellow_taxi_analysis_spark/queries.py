@@ -1,0 +1,936 @@
+"""Declared query inventory (SURVEY.md §2.9) — the driver correctness gate.
+
+Each entry: name → (spark_fn, oracle_sql | None).  ``spark_fn(spark, sf_dir)``
+returns a DataFrame; the oracle is ANSI SQL DuckDB runs on the same parquet
+(views pre-registered).  Column names are aliased identically on both sides
+(the driver sorts columns by name before value-hashing).
+
+Cross-engine determinism rules used throughout:
+- sums of double columns go through DECIMAL(18,4) so partial-aggregation
+  order cannot perturb the result (double addition is non-associative;
+  decimal is exact).  Output is CAST(ROUND(..., 2) AS DOUBLE) on both sides.
+- ratios of integers / single divisions are computed once and rounded —
+  deterministic in both engines.
+- non-deterministic or engine-specific ops (uuid, xxhash64 banding,
+  streaming, writes) are declared WITHOUT an oracle → rows-only check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions import peak_band_id
+from .operators import dedup, multimodal, sessionize, similarity, text
+from .operators.joins import anti_join, broadcast_dim_join, semi_join
+from .operators.transforms import dedup_exact
+from .plans import dims, star, warehouse
+from .sources.writers import ParquetWarehouse, write_partitioned_parquet
+
+
+TABLES_SQL_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (legacy conf) and convert with exact integer
+    division (micros precision — matches DuckDB's own nanos→micros cast).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def dsum(col: str | F.Column, scale_out: int = 2) -> F.Column:
+    """Order-independent sum of a double column via decimal(18,4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,4)")), scale_out).cast("double")
+
+
+DSUM_SQL = "CAST(ROUND(SUM(CAST({col} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+# DuckDB-side canonical text normalization / tokenization (mirrors
+# operators.text.normalized / tokens).
+NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+TOKS_SQL = f"string_split({NORM_SQL.format(c='{c}')}, ' ')"
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        "COALESCE(list_sum(list_transform(toks, t -> CASE WHEN "
+        f"list_contains({_sw_list(lang)}, t) THEN 1 ELSE 0 END)), 0)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Scan / project / filter / cast family (S1, P1-P7, F1-F5, X1-X12)
+# --------------------------------------------------------------------------
+
+def q_scan_project_filter(spark, sf_dir):
+    """S1+P4+F1/F2: parquet scan with pruned columns, chained range filter
+    + SQL-string predicate (both pushed into the scan by Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        .filter("l_extendedprice > 20000")
+    )
+
+
+SQL_SCAN_PROJECT_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_extendedprice > 20000
+"""
+
+
+def q_rename_cast(spark, sf_dir):
+    """P1+P2+X6: bulk rename + cast contract (int / decimal / date-string),
+    mirroring the taxi fact's rename/cast maps (DM:234-269)."""
+    o = _t(spark, sf_dir, "orders")
+    o = o.withColumnsRenamed(
+        {
+            "o_orderkey": "order_id",
+            "o_custkey": "customer_id",
+            "o_totalprice": "total_price",
+            "o_orderdate": "order_date",
+            "o_orderstatus": "order_status",
+        }
+    )
+    o = o.withColumns(
+        {
+            "order_id": F.col("order_id").cast(T.IntegerType()),
+            "customer_id": F.col("customer_id").cast(T.IntegerType()),
+            "total_price": F.col("total_price").cast(T.DecimalType(12, 2)),
+            "order_date": F.date_format("order_date", "yyyy-MM-dd"),
+        }
+    )
+    return o.select("order_id", "customer_id", "order_status", "total_price", "order_date")
+
+
+SQL_RENAME_CAST = """
+SELECT CAST(o_orderkey AS INTEGER) AS order_id,
+       CAST(o_custkey AS INTEGER) AS customer_id,
+       o_orderstatus AS order_status,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+"""
+
+
+def q_derived_columns(spark, sf_dir):
+    """P3+X1+X8-X10: surrogate date/time keys + floor-division time math on
+    event timestamps (the taxi surrogate-key and duration derivations)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd").alias("date_id"),
+        F.date_format("ts", "HHmmss").alias("time_id"),
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.date_trunc("day", F.col("ts")))) / 60
+        ).alias("minutes_since_midnight"),
+    )
+
+
+SQL_DERIVED_COLUMNS = """
+SELECT event_id,
+       strftime(ts, '%Y%m%d') AS date_id,
+       strftime(ts, '%H%M%S') AS time_id,
+       CAST(floor(date_diff('second', date_trunc('day', ts), ts) / 60.0) AS BIGINT)
+           AS minutes_since_midnight
+FROM events
+"""
+
+
+def q_case_recode(spark, sf_dir):
+    """X2-X5: when/otherwise CASE, isin, between, coalesce recodes."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_desc"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+        .otherwise("normal")
+        .alias("priority_band"),
+        F.when(F.col("o_totalprice").between(0, 50000), "small")
+        .when(F.col("o_totalprice").between(50000, 150000), "medium")
+        .otherwise("large")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("X")), F.lit("unknown")).alias(
+            "status_raw"
+        ),
+    )
+
+
+SQL_CASE_RECODE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'pending' END AS status_desc,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+            ELSE 'normal' END AS priority_band,
+       CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 'small'
+            WHEN o_totalprice BETWEEN 50000 AND 150000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'X'), 'unknown') AS status_raw
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup / distinct family (D1, D2, P6)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """D1: dropDuplicates → hash aggregate (shuffle on the dedup key)."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_exact(ev, ["user_id", "event_type"]).select("user_id", "event_type")
+
+
+SQL_DEDUP_EXACT = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_distinct_project(spark, sf_dir):
+    """D2+P6+J1-as-function: the reference's distinct-hours → peak-band
+    derivation (DM:305-315), hour from event time."""
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.select(F.date_format("ts", "HH").alias("hour")).distinct()
+    return hours.select("hour", peak_band_id(F.col("hour")).alias("trip_peak_band_id"))
+
+
+SQL_DISTINCT_PROJECT = """
+WITH h AS (SELECT DISTINCT strftime(ts, '%H') AS hour FROM events)
+SELECT hour,
+       CASE WHEN CAST(hour AS INTEGER) BETWEEN 0 AND 5
+                 OR CAST(hour AS INTEGER) BETWEEN 20 AND 23 THEN '101'
+            WHEN CAST(hour AS INTEGER) BETWEEN 6 AND 9
+                 OR CAST(hour AS INTEGER) BETWEEN 16 AND 19 THEN '102'
+            ELSE '103' END AS trip_peak_band_id
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# Generator dimensions (S4, X11)
+# --------------------------------------------------------------------------
+
+def q_generator_dim_date(spark, sf_dir):
+    """S4+X1: the 10 959-row calendar dimension (DM:163-182)."""
+    return dims.dim_date(spark)
+
+
+SQL_GENERATOR_DIM_DATE = """
+WITH d AS (SELECT CAST(unnest(generate_series(DATE '2000-01-01', DATE '2030-01-01',
+                                              INTERVAL 1 DAY)) AS DATE) AS d)
+SELECT strftime(d, '%Y%m%d') AS date_id,
+       CAST(day(d) AS VARCHAR) AS date,
+       CAST(month(d) AS VARCHAR) AS month,
+       CAST(year(d) AS VARCHAR) AS year,
+       strftime(d, '%a') AS day_short,
+       strftime(d, '%A') AS day_long,
+       strftime(d, '%b') AS month_short,
+       strftime(d, '%B') AS month_long,
+       CASE WHEN strftime(d, '%a') IN ('Sat', 'Sun') THEN 'Yes' ELSE 'No' END AS is_weekend
+FROM d
+"""
+
+
+def q_generator_dim_time(spark, sf_dir):
+    """S4+X11: the 86 400-row seconds-of-day dimension (DM:201-215)."""
+    return dims.dim_time(spark)
+
+
+SQL_GENERATOR_DIM_TIME = """
+SELECT strftime(t, '%H%M%S') AS time_id,
+       CAST(hour(t) AS VARCHAR) AS hour,
+       CAST(minute(t) AS VARCHAR) AS minute,
+       CAST(second(t) AS VARCHAR) AS second
+FROM (SELECT unnest(generate_series(TIMESTAMP '2000-01-01 00:00:00',
+                                    TIMESTAMP '2000-01-01 23:59:59',
+                                    INTERVAL 1 SECOND)) AS t)
+"""
+
+
+# --------------------------------------------------------------------------
+# Join family (J1 + star completion)
+# --------------------------------------------------------------------------
+
+def q_join_broadcast_dim(spark, sf_dir):
+    """J1: fact ↔ broadcast dimension chain (orders → customer → nation →
+    region), row-level output — exercises the join itself, not the agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    r = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = broadcast_dim_join(o, c, "o_custkey")
+    joined = broadcast_dim_join(joined, n, "c_nationkey")
+    joined = broadcast_dim_join(joined, r, "n_regionkey")
+    return joined.filter(F.col("r_name") == "ASIA").select(
+        "o_orderkey", "c_name", "n_name"
+    )
+
+
+SQL_JOIN_BROADCAST_DIM = """
+SELECT o.o_orderkey, c.c_name, n.n_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi: orders having a high-quantity lineitem (EXISTS shape)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    return semi_join(o, li, "o_orderkey").select("o_orderkey", "o_totalprice")
+
+
+SQL_JOIN_SEMI = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti: customers with no URGENT orders (NOT EXISTS shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
+# Analytical layer (star agg / window / top-k)
+# --------------------------------------------------------------------------
+
+def q_star_agg(spark, sf_dir):
+    """The Athena/Looker-layer star aggregation: revenue per region per
+    order-month over the full fact↔dims join chain.  Dimensions broadcast;
+    the fact shuffles once on the grouping key."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    r = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = (
+        li.join(o, "o_orderkey")
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_STAR_AGG = """
+SELECT r.r_name AS region,
+       strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Window top-N per group: 3 highest-value orders per priority."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders)
+WHERE rank <= 3
+"""
+
+
+def q_sort_limit_topk(spark, sf_dir):
+    """Global orderBy + limit (Spark compiles to TakeOrderedAndProject —
+    per-partition top-k then merge, no full sort at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+SQL_SORT_LIMIT_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-time windows / sessionization
+# --------------------------------------------------------------------------
+
+def q_event_sessionize(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch twin of the streaming
+    plan): events per hour per type."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize.tumbling_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        group_cols=["event_type"],
+        aggs={"n_events": F.count("*"), "sum_value": dsum("value")},
+    )
+
+
+SQL_EVENT_SESSIONIZE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {DSUM_SQL.format(col='value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) via lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize.sessionize(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END
+               AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {DSUM_SQL.format(col='value')} AS sum_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (LLM-data-pipeline extensions)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Per-document quality metrics — all JVM expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.quality_stats(docs)
+    return out.select(
+        "doc_id",
+        "char_count",
+        "token_count",
+        "bpe_token_count",
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (
+    SELECT doc_id, text, {TOKS_SQL.format(c='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       length(text) AS char_count,
+       len(toks) AS token_count,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_token_count,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 4) AS mean_token_len,
+       ROUND(CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text,
+                       '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{{|}}~]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END, 4) AS punct_ratio,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN CAST({_hits_sql('en')} AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 4) AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-voting language ID vs the labeled ``lang`` column."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+    SELECT doc_id, lang, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang,
+           {_hits_sql('en')} AS hits_en,
+           {_hits_sql('es')} AS hits_es,
+           {_hits_sql('fr')} AS hits_fr,
+           {_hits_sql('de')} AS hits_de
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN hits_en = best THEN 'en'
+            WHEN hits_es = best THEN 'es'
+            WHEN hits_fr = best THEN 'fr'
+            WHEN hits_de = best THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM s)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Corpus token accounting per source (whitespace + BPE-ish regex)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(text.token_count("text")).alias("ws_tokens"),
+            F.sum(text.bpe_token_count("text")).alias("bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT source,
+       CAST(SUM(len({TOKS_SQL.format(c='text')})) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+           AS bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic md5 content fingerprint of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.content_fingerprint("text").alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS fingerprint FROM documents
+"""
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact dedup groups by content fingerprint (keep lowest id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact_docs(docs)
+
+
+SQL_DEDUP_EXACT_DOCS = f"""
+SELECT md5({NORM_SQL.format(c='text')}) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs within (source, lang) blocks."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "source", "lang")
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", block_col="block", n=3, threshold=0.5
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH t AS (
+    SELECT doc_id, source || '|' || lang AS block,
+           list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+    FROM (SELECT doc_id, source, lang, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+)
+SELECT id_a, id_b, jaccard_sim FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.sh, b.sh)))
+                      ELSE 0.0 END, 6) AS jaccard_sim
+    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+WHERE jaccard_sim >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity (LLM-data-pipeline extensions)
+# --------------------------------------------------------------------------
+
+_COSINE_SQL = """
+ROUND(list_sum(list_transform(list_zip({a}, {b}),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for 3 query vectors (the ANN
+    correctness baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           {_COSINE_SQL.format(a='e.embedding', b='q.qvec')} AS cosine_sim
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs: cosine ≥ 0.3 within label blocks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT id_a, id_b, cosine_sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine_sim >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible / non-deterministic / stateful)
+# --------------------------------------------------------------------------
+
+def q_dedup_fuzzy_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (xxhash64 banding → jaccard verify).
+    Hash-family dependent → rows-only; correctness cross-checked against
+    q_ngram_jaccard in unit tests (same planted near-dups must surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash banded near-dup pairs (Hamming ≤ 8)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_pairs(docs, max_hamming=8)
+
+
+def q_similarity_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: probe 3 nearest label-centroids per query (recall<1
+    by design — the scale path; brute-force twin is q_similarity_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, nprobe=3)
+
+
+def q_uuid_pk(spark, sf_dir):
+    """X7: uuid surrogate PK — non-deterministic; checks distinctness."""
+    li = _t(spark, sf_dir, "lineitem")
+    with_id = li.withColumn("trip_id", F.expr("uuid()"))
+    return with_id.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("trip_id").alias("n_ids")
+    )
+
+
+def q_partitioned_write_prune(spark, sf_dir):
+    """S7+F4: partitioned write, read back with a partition-pruning filter
+    (scans one directory, not the dataset)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    out = tempfile.mkdtemp(prefix="sg_prune_")
+    write_partitioned_parquet(li, out, partition_by=["ship_year"])
+    back = spark.read.parquet(out).filter(F.col("ship_year") == 1996)
+    return back.groupBy("ship_year").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def q_warehouse_roundtrip(spark, sf_dir):
+    """S6/S8/S9 semantics through the Warehouse interface (parquet-backed
+    here; JdbcWarehouse is a constructor swap): create dim, append fact
+    month, read back."""
+    wh = ParquetWarehouse(tempfile.mkdtemp(prefix="sg_wh_"))
+    nation = _t(spark, sf_dir, "nation")
+    if not wh.table_exists("dim_nation"):
+        wh.create(nation, "dim_nation")
+    jan = _t(spark, sf_dir, "orders").filter(
+        F.date_format("o_orderdate", "yyyy-MM") == "1995-01"
+    )
+    wh.append(jan, "fact_orders")
+    back = wh.read(spark, "fact_orders")
+    return back.agg(
+        F.count("*").alias("n_rows"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+def q_stream_ingest(spark, sf_dir):
+    """Structured Streaming file-source ingest (availableNow trigger) →
+    windowed event aggregate into a memory sink — the Lambda/EventBridge
+    replacement.  Batch-verifiable: same F.window plan as
+    q_event_sessionize."""
+    import os
+
+    from .streaming.ingest import stream_files, windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="sg_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = stream_files(spark, src_dir, raw_schema)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(stream.drop("__source_file"))
+    sink = "sg_stream_counts"
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def q_taxi_star_build(spark, sf_dir):
+    """The flagship Job-1 pipeline on a synthetic raw month (FIXTURES.md
+    A1 shape): rename → cast → dedup → filters → keys → band → final
+    26-column fact.  uuid PK → rows-only."""
+    raw = _taxi_fixture(spark)
+    fact = star.build_fact(raw, "2021", "1")
+    return fact
+
+
+def q_warehouse_load_plan(spark, sf_dir):
+    """Job-2 semantics end-to-end: star build into a catalog DB, then dim
+    create-if-missing + partition-pruned fact append via the Warehouse."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from . import catalog
+
+    db = "sg_wh_demo"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # a previously crashed run can leave the managed location behind; the
+    # catalog refuses to recreate tables over it
+    wh_root = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh_root}/{db}.db", ignore_errors=True)
+    catalog.ensure_database(spark, db)
+    raw = _taxi_fixture(spark)
+    star.ensure_dimensions(spark, db)
+    fact = star.build_fact(raw, "2021", "1")
+    catalog.save_table(
+        fact, db, "fact_uber_trips", partition_by=["processed_year", "processed_month"]
+    )
+    wh = ParquetWarehouse(tempfile.mkdtemp(prefix="sg_whload_"))
+    actions = warehouse.load_star_to_warehouse(spark, wh, db, "2021", "1")
+    rows = [(t, a) for t, a in sorted(actions.items())]
+    return spark.createDataFrame(rows, "table_name string, action string")
+
+
+def _taxi_fixture(spark) -> DataFrame:
+    """Deterministic raw yellow-trip rows in the FIXTURES.md A1 shape."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("VendorID", T.LongType()),
+            T.StructField("tpep_pickup_datetime", T.TimestampType()),
+            T.StructField("tpep_dropoff_datetime", T.TimestampType()),
+            T.StructField("passenger_count", T.DoubleType()),
+            T.StructField("trip_distance", T.DoubleType()),
+            T.StructField("RatecodeID", T.DoubleType()),
+            T.StructField("store_and_fwd_flag", T.StringType()),
+            T.StructField("PULocationID", T.LongType()),
+            T.StructField("DOLocationID", T.LongType()),
+            T.StructField("payment_type", T.LongType()),
+            T.StructField("fare_amount", T.DoubleType()),
+            T.StructField("extra", T.DoubleType()),
+            T.StructField("mta_tax", T.DoubleType()),
+            T.StructField("tip_amount", T.DoubleType()),
+            T.StructField("tolls_amount", T.DoubleType()),
+            T.StructField("improvement_surcharge", T.DoubleType()),
+            T.StructField("total_amount", T.DoubleType()),
+            T.StructField("congestion_surcharge", T.DoubleType()),
+            T.StructField("airport_fee", T.DoubleType()),
+        ]
+    )
+
+    def trip(i, minute_of_day, minutes, pax=1.0, dist=10.0, fare=20.0, flag="N", af=None):
+        p = dt.datetime(2021, 1, 1 + (i % 28), minute_of_day // 60, minute_of_day % 60)
+        d = p + dt.timedelta(minutes=minutes)
+        return (
+            1 + i % 2, p, d, pax, dist, 1.0, flag, 100 + i % 5, 200 + i % 7,
+            1 + i % 4, fare, 0.5, 0.5, 2.0, 0.0, 0.3, fare + 3.3, 2.5, af,
+        )
+
+    rows = [trip(i, minute_of_day=(360 + i * 7) % 1440, minutes=15 + i % 90) for i in range(200)]
+    rows += [rows[0], rows[1]]  # exact duplicates → dedup
+    rows += [
+        trip(900, 600, 30, pax=0.0),       # dropped: passenger_count < 1
+        trip(901, 600, 30, pax=7.0),       # dropped: passenger_count > 6
+        trip(902, 600, 30, dist=4.99),     # dropped: distance < 5
+        trip(903, 600, 30, dist=501.0),    # dropped: distance > 500
+        trip(904, 600, 30, fare=0.0),      # dropped: fare not > 0
+        trip(905, 600, 1500),              # dropped: duration ≥ 1440 min
+        trip(906, 600, 30, flag="Y", af=1.25),  # kept: Y-flag + airport fee
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_scan_project_filter": q_scan_project_filter,
+    "q_rename_cast": q_rename_cast,
+    "q_derived_columns": q_derived_columns,
+    "q_case_recode": q_case_recode,
+    "q_dedup_exact": q_dedup_exact,
+    "q_distinct_project": q_distinct_project,
+    "q_generator_dim_date": q_generator_dim_date,
+    "q_generator_dim_time": q_generator_dim_time,
+    "q_join_broadcast_dim": q_join_broadcast_dim,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_star_agg": q_star_agg,
+    "q_window_rank": q_window_rank,
+    "q_sort_limit_topk": q_sort_limit_topk,
+    "q_event_sessionize": q_event_sessionize,
+    "q_session_windows": q_session_windows,
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_token_count": q_token_count,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_dedup_exact_docs": q_dedup_exact_docs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_similarity_topk": q_similarity_topk,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_dedup_fuzzy_minhash": q_dedup_fuzzy_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_similarity_ann_ivf": q_similarity_ann_ivf,
+    "q_uuid_pk": q_uuid_pk,
+    "q_partitioned_write_prune": q_partitioned_write_prune,
+    "q_warehouse_roundtrip": q_warehouse_roundtrip,
+    "q_stream_ingest": q_stream_ingest,
+    "q_taxi_star_build": q_taxi_star_build,
+    "q_warehouse_load_plan": q_warehouse_load_plan,
+}
+
+ORACLE: dict[str, str] = {
+    "q_scan_project_filter": SQL_SCAN_PROJECT_FILTER,
+    "q_rename_cast": SQL_RENAME_CAST,
+    "q_derived_columns": SQL_DERIVED_COLUMNS,
+    "q_case_recode": SQL_CASE_RECODE,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_distinct_project": SQL_DISTINCT_PROJECT,
+    "q_generator_dim_date": SQL_GENERATOR_DIM_DATE,
+    "q_generator_dim_time": SQL_GENERATOR_DIM_TIME,
+    "q_join_broadcast_dim": SQL_JOIN_BROADCAST_DIM,
+    "q_join_semi": SQL_JOIN_SEMI,
+    "q_join_anti": SQL_JOIN_ANTI,
+    "q_star_agg": SQL_STAR_AGG,
+    "q_window_rank": SQL_WINDOW_RANK,
+    "q_sort_limit_topk": SQL_SORT_LIMIT_TOPK,
+    "q_event_sessionize": SQL_EVENT_SESSIONIZE,
+    "q_session_windows": SQL_SESSION_WINDOWS,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_similarity_topk": SQL_SIMILARITY_TOPK,
+    "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
+}

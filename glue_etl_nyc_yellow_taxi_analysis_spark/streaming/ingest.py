@@ -1,0 +1,74 @@
+"""Structured Streaming ingest — the Lambda/EventBridge replacement.
+
+The reference's arrive-and-process loop (S3 ObjectCreated → Lambda regex →
+start Glue job, ``lambda-process-s3-raw-nyc-files/lambda_function.py``;
+EventBridge job-chaining, ``Rules-CloudFormation-Template.json:60-86``)
+collapses into Spark's own file source: new files under a directory become
+micro-batches; ``foreachBatch`` runs the star build per batch;
+``trigger(availableNow=True)`` gives catch-up-then-stop batch semantics.
+Exactly-once bookkeeping comes from the checkpoint dir (replaces Glue job
+bookmarks).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_files(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-source stream: one micro-batch per arriving file set.
+
+    ``input_file_name`` travels with the rows so per-file parameters (the
+    year/month the Lambda used to regex out of the S3 key) stay derivable
+    via ``paths.year_month_from_path``.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(source_dir).withColumn("__source_file", F.input_file_name())
+
+
+def run_ingest(
+    stream: DataFrame,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch ingest loop (micro-batch == the reference's 'one Lambda
+    invocation'); availableNow processes the backlog then stops."""
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming tumbling-window aggregate with late-data watermark.
+
+    The batch twin is ``operators.sessionize.tumbling_agg`` — identical
+    F.window call, so batch results validate the streaming plan.
+    """
+    group_cols = group_cols or ["event_type"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
