@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1), local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver) so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+from glue_etl_nyc_yellow_taxi_analysis_spark.session import get_spark
+
+HEADLINE = [
+    "q_scan_project_filter",
+    "q_rename_cast",
+    "q_dedup_exact",
+    "q_join_broadcast_dim",
+    "q_join_semi",
+    "q_star_agg",
+    "q_window_rank",
+    "q_sort_limit_topk",
+    "q_event_sessionize",
+    "q_session_windows",
+    "q_text_stats",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_dedup_fuzzy_minhash",
+    "q_similarity_topk",
+    "q_generator_dim_date",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall-clock, noop sink, local mode",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

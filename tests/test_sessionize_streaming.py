@@ -1,0 +1,74 @@
+"""Event-time windowing: batch semantics + streaming/batch equivalence."""
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import sessionize
+from glue_etl_nyc_yellow_taxi_analysis_spark.streaming.ingest import (
+    stream_files,
+    windowed_event_counts,
+)
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),   # same session
+        (1, base + dt.timedelta(minutes=50), 3.0),   # gap 40min → new session
+        (2, base, 4.0),                               # other user
+        (1, base + dt.timedelta(minutes=79, seconds=59), 5.0),  # 29:59 gap → same
+        (1, base + dt.timedelta(minutes=110, seconds=1), 6.0),  # 30:01 gap → new
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_boundaries(spark):
+    out = sessionize.sessionize(_events(spark), gap_minutes=30).collect()
+    u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.session_id)
+    assert len(u1) == 3
+    assert [r.n_events for r in u1] == [2, 2, 1]
+    assert sum(r.n_events for r in out if r.user_id == 2) == 1
+
+
+def test_tumbling_agg(spark):
+    out = sessionize.tumbling_agg(
+        _events(spark), duration="1 hour", group_cols=["user_id"]
+    ).collect()
+    by = {(r.user_id, r.window_start.hour): r.n_events for r in out}
+    assert by[(1, 10)] == 3 and by[(1, 11)] == 2 and by[(2, 10)] == 1
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """The streaming windowed aggregate must reproduce the batch F.window
+    plan (same counts per (window, type))."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in sessionize.tumbling_agg(batch, group_cols=["event_type"]).collect()
+    }
+
+    src = tempfile.mkdtemp(prefix="sg_stream_test_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = stream_files(spark, src, raw.schema)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(stream.drop("__source_file"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sg_test_stream")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_test_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("sg_test_stream").collect()
+    }
+    assert got == expected

@@ -1,0 +1,54 @@
+"""Similarity-search operator tests: exact math vs numpy, IVF recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import similarity
+
+
+def test_cosine_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = emb.filter(F.col("vec_id") == rows[0].vec_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk(emb, q, k=5).collect()
+    qv = vecs[rows[0].vec_id]
+    expected = {}
+    for vid, v in vecs.items():
+        if vid == rows[0].vec_id:
+            continue
+        expected[vid] = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [g.vec_id for g in sorted(got, key=lambda g: g.rank)] == [t[0] for t in top]
+    for g in got:
+        assert abs(g.cosine_sim - expected[g.vec_id]) < 1e-5
+
+
+def test_self_cosine_is_one(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    out = df.select(
+        F.round(similarity.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert out[0].c == 1.0
+
+
+def test_ivf_subset_of_brute_force_universe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx_rows = similarity.ivf_topk(emb, q, k=10, nprobe=10).collect()
+    approx = {r.vec_id for r in approx_rows}
+    # probing ALL 10 clusters == exhaustive → must equal brute force
+    assert approx == exact
+    # fewer probes → a valid (possibly partial-recall) subset, still k results
+    some = similarity.ivf_topk(emb, q, k=10, nprobe=2).collect()
+    assert len(some) == 10
+
+
+def test_centroids_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.centroids_by(emb).collect()
+    assert len(cents) == 10
+    assert all(len(c.centroid) == 64 for c in cents)

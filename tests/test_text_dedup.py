@@ -1,0 +1,98 @@
+"""Text-analysis + fuzzy-dedup operator tests.
+
+Cross-validation strategy: MinHash-LSH and SimHash are hash-family-dependent
+(no SQL oracle), so they are checked against the exact methods — planted
+near-duplicates found by exact n-gram Jaccard must also be found by MinHash.
+"""
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import dedup, text
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend", "en", "s1"),
+        (3, "completely different content about spark query engines and shuffles", "en", "s1"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso en la ribera", "es", "s1"),
+        (5, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_fingerprint_exact_dup(spark):
+    docs = _docs(spark)
+    groups = dedup.dedup_exact_docs(docs).collect()
+    # docs 1 and 5 are identical text → one group with n_dups=2
+    dups = [g for g in groups if g.n_dups == 2]
+    assert len(dups) == 1 and dups[0].keep_id == 1
+    assert len(groups) == 4
+
+
+def test_ngram_jaccard_finds_neardup(spark):
+    docs = _docs(spark)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, block_col="source", n=3, threshold=0.5
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert 0.5 <= pairs[0].jaccard_sim < 1.0
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    docs = _docs(spark)
+    pairs = dedup.minhash_dedup_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    # exact dup (1,5) and near dup (1,2) must surface; (2,5) transitively
+    assert (1, 5) in got and (1, 2) in got
+    # verification step guarantees no false positives below threshold
+    for p in pairs.collect():
+        assert p.jaccard_sim >= 0.5
+
+
+def test_simhash_near_zero_hamming_for_dups(spark):
+    docs = _docs(spark)
+    # banded candidate generation guarantees exact/low-hamming pairs
+    pairs = {(p.id_a, p.id_b): p.hamming for p in dedup.simhash_dedup_pairs(docs, max_hamming=16).collect()}
+    assert pairs.get((1, 5)) == 0  # identical text → identical signature
+    # signature property (unbanded): near-dup is closer than unrelated text
+    sigs = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", text.tokens("text").alias("__toks")
+        ).select("doc_id", dedup.simhash64("__toks").alias("s")).collect()
+    }
+    mask = (1 << 64) - 1  # signatures are signed longs; mask for popcount
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & mask).count("1")  # noqa: E731
+    assert ham(1, 5) == 0
+    assert ham(1, 2) < ham(1, 3)
+
+
+def test_lang_id_on_clear_text(spark):
+    rows = [
+        (1, "the cat and the dog went to the house of a friend", "x"),
+        (2, "el gato y el perro es un animal que vive en la casa", "x"),
+        (3, "der hund und die katze ist ein tier von der stadt", "x"),
+        (4, "xyzzy qwerty asdf", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_stats_values(spark):
+    df = spark.createDataFrame([(1, "The cat, the hat!")], "doc_id long, text string")
+    r = text.quality_stats(df).collect()[0]
+    assert r.char_count == 17
+    assert r.token_count == 4
+    # letters runs: The cat the hat ; symbols: , !  → 6 BPE-ish tokens
+    assert r.bpe_token_count == 6
+    assert abs(r.punct_ratio - 2 / 17) < 1e-9
+    # normalized tokens: the cat, the hat! → stopword 'the' twice
+    assert abs(r.stopword_ratio - 0.5) < 1e-9
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sh = df.select(text.shingles("text", 3).alias("s")).collect()[0].s
+    assert sh == ["one two"]

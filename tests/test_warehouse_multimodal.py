@@ -1,0 +1,35 @@
+"""Warehouse-load semantics + multimodal binary plumbing."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import multimodal
+from glue_etl_nyc_yellow_taxi_analysis_spark.sources.writers import ParquetWarehouse
+
+
+def test_warehouse_create_append_read(spark, sf_dir):
+    wh = ParquetWarehouse(tempfile.mkdtemp(prefix="sg_test_wh_"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert not wh.table_exists("dim_nation")
+    wh.create(nation, "dim_nation")
+    assert wh.table_exists("dim_nation")
+    assert wh.read(spark, "dim_nation").count() == 25
+    wh.append(nation, "dim_nation")
+    assert wh.read(spark, "dim_nation").count() == 50  # append, not overwrite
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = multimodal.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "payload", "media_type", "width", "height",
+    ]
+    feats1 = {r.media_id: tuple(r.features) for r in multimodal.extract_features(media).collect()}
+    feats2 = {r.media_id: tuple(r.features) for r in multimodal.extract_features(media).collect()}
+    assert feats1 == feats2  # deterministic fake decode
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats1.values())
+    # n_bytes matches the utf-8 payload length
+    n = {r.media_id: r.n_bytes for r in multimodal.extract_features(media).collect()}
+    chars = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
+    assert all(n[k] >= chars[k] for k in n)  # utf-8 ≥ char count
