@@ -1,1 +1,10 @@
-from . import transforms, joins, dedup, similarity, text, sessionize, multimodal  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    joins,
+    multimodal,
+    partitioning,
+    sessionize,
+    similarity,
+    text,
+    transforms,
+)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import spread
 from .text import content_fingerprint, shingles, tokens
 
 
@@ -47,6 +48,12 @@ def minhash_signatures(
 
     Hash family: xxhash64(shingle, seed_i) — seeding via an extra hashed
     literal gives k independent-enough functions with zero Python cost.
+    Each of the k minhashes is a separate ``array_min(transform(...))``
+    expression over the bound ``shingles`` column: a nested
+    transform-over-seed-indices formulation is prettier but its inner lambda
+    leaves whole-stage codegen (measured 15x slower) — keep the literal
+    seeds.  Input is spread across the cluster first (``spread``): a small
+    upstream file must not serialize this compute-bound stage onto one core.
     """
     sh = shingles(text_col, shingle_n).alias("shingles")
     sig = F.array(
@@ -55,7 +62,7 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     ).alias("minhash_sig")
-    return df.select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
+    return spread(df).select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
 
 
 def minhash_lsh_candidates(
@@ -172,7 +179,8 @@ def simhash_dedup_pairs(
     Returns (id_a, id_b, hamming).
     """
     sigs = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
         .select("id", simhash64("__toks").alias("simhash"))
         .cache()
     )
@@ -221,7 +229,7 @@ def ngram_jaccard_pairs(
     Blocking bounds the pair count (per-block O(m²)); for unblocked corpora
     use MinHash-LSH above.  Returns (id_a, id_b, jaccard_sim).
     """
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")]),
         shingles(text_col, n).alias("sh"),

@@ -41,7 +41,14 @@ TABLES_SQL_NAMES = (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # these arrive as one small file = one scan partition; the operators
+        # over them (shingling, minhash, cosine) are compute-bound — widen
+        from .operators.partitioning import spread
+
+        df = spread(df)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

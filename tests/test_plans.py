@@ -1,0 +1,57 @@
+"""Physical-plan contracts — the 100 TB posture, enforced by test.
+
+These assert the *shape* of the plan Catalyst produces, not results:
+pushdown reaching the parquet scan, column pruning, dimensions broadcast
+(never a shuffle of the fact for a dim join), top-k compiling to
+TakeOrderedAndProject, and single-shuffle aggregates.  A regression here is
+invisible at test scale and catastrophic at 100×.
+"""
+
+import io
+import contextlib
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(QUERIES["q_scan_project_filter"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "GreaterThan(l_extendedprice,20000.0)" in plan
+    # only the 5 projected columns reach the scan
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_star_agg_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(QUERIES["q_star_agg"](spark, sf_dir))
+    # customer/nation/region joins must be broadcast-hash, never sort-merge
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the partial→final aggregate exchange
+    assert plan.count("+- Exchange") == 1
+
+
+def test_join_broadcast_dim_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_join_broadcast_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "+- Exchange" not in plan  # row-level output: zero shuffles
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["q_sort_limit_topk"](spark, sf_dir))
+    # per-partition top-k + merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_session_windows_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_session_windows"](spark, sf_dir))
+    # lag window + running sum + groupBy all reuse ONE exchange on user_id
+    assert plan.count("+- Exchange") == 1
