@@ -40,10 +40,19 @@ def save_table(
     session catalog; partition columns become real directory partitions so
     reads with partition predicates prune files (the S7→F4 contract).
     """
+    fqn = f"{database}.{table}"
+    spark = df.sparkSession
+    if partition_by and mode == "overwrite" and spark.catalog.tableExists(fqn):
+        # saveAsTable(overwrite) would replace the WHOLE table; insertInto
+        # honors dynamic partition overwrite — only the partitions present
+        # in ``df`` are replaced (the incremental monthly-ingest contract).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").insertInto(fqn)
+        return
     writer = df.write.mode(mode).format("parquet").option("compression", "snappy")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.saveAsTable(f"{database}.{table}")
+    writer.saveAsTable(fqn)
 
 
 def create_table_if_not_exists(

@@ -688,9 +688,76 @@ WHERE cosine_sim >= 0.3
 """
 
 
+def q_union_backfill(spark, sf_dir):
+    """Multi-month backfill plumbing: two partition-filtered reads of the
+    same fact unioned by name (schema-aligned), then re-aggregated —
+    the incremental-ingest catch-up shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    y95 = li.filter(F.year("l_shipdate") == 1995)
+    y96 = li.filter(F.year("l_shipdate") == 1996)
+    both = y95.unionByName(y96)
+    return both.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.count("*").alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+SQL_UNION_BACKFILL = f"""
+WITH both_years AS (
+    SELECT * FROM lineitem WHERE year(l_shipdate) = 1995
+    UNION ALL
+    SELECT * FROM lineitem WHERE year(l_shipdate) = 1996
+)
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL.format(col='l_extendedprice')} AS sum_price
+FROM both_years GROUP BY 1
+"""
+
+# Deterministic zone-lookup CSV content (FIXTURES.md A2 shape) — lets the S2
+# CSV reader be oracle-checked via a VALUES literal on the DuckDB side.
+ZONE_CSV_ROWS = [
+    ("1", "EWR", "Newark Airport", "EWR"),
+    ("2", "Queens", "Jamaica Bay", "Boro Zone"),
+    ("3", "Bronx", "Allerton/Pelham Gardens", "Boro Zone"),
+    ("4", "Manhattan", "Alphabet City", "Yellow Zone"),
+    ("5", "Staten Island", "Arden Heights", "Boro Zone"),
+]
+
+
+def q_csv_lookup(spark, sf_dir):
+    """S2 — CSV scan with header (the taxi-zone lookup, DM:220-228):
+    all-string columns, read back row-identically."""
+    import os
+
+    from .plans.dims import dim_taxi_zone_lookup
+
+    d = tempfile.mkdtemp(prefix="sg_csv_")
+    path = os.path.join(d, "taxi_zone_lookup.csv")
+    with open(path, "w") as f:
+        f.write("LocationID,Borough,Zone,service_zone\n")
+        for row in ZONE_CSV_ROWS:
+            f.write(",".join(row) + "\n")
+    return dim_taxi_zone_lookup(spark, path)
+
+
+SQL_CSV_LOOKUP = "SELECT * FROM (VALUES {}) AS t(LocationID, Borough, Zone, service_zone)".format(
+    ", ".join("({})".format(", ".join(f"'{c}'" for c in row)) for row in ZONE_CSV_ROWS)
+)
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (non-SQL-expressible / non-deterministic / stateful)
 # --------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing: pack documents as (media_id,
+    payload binary, metadata), decode/featurize via Arrow-batched
+    mapInPandas (deterministic fake decoder — see operators/multimodal.py).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media)
 
 def q_dedup_fuzzy_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs (xxhash64 banding → jaccard verify).
@@ -904,6 +971,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_union_backfill": q_union_backfill,
+    "q_csv_lookup": q_csv_lookup,
+    "q_multimodal_features": q_multimodal_features,
     "q_dedup_fuzzy_minhash": q_dedup_fuzzy_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
@@ -940,4 +1010,6 @@ ORACLE: dict[str, str] = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "q_union_backfill": SQL_UNION_BACKFILL,
+    "q_csv_lookup": SQL_CSV_LOOKUP,
 }

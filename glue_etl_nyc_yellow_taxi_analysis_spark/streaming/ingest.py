@@ -53,6 +53,50 @@ def run_ingest(
     return writer.start()
 
 
+def monthly_star_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    database: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """End-to-end Job-1 loop: arriving ``yellow_tripdata_YYYY-MM.parquet``
+    files → star fact build → partitioned catalog append, one micro-batch at
+    a time.  This is the whole Lambda + EventBridge + Glue-job chain
+    (lambda-process-s3-raw-nyc-files/lambda_function.py:8-22) as ~20 lines
+    of Structured Streaming.
+
+    Each batch may contain several monthly files; the per-file (year, month)
+    the Lambda regexed out of the S3 key is derived the same way from
+    ``input_file_name``.  Distinct file list per batch is metadata-sized —
+    the only driver-side loop, bounded by files-per-batch.
+    """
+    from ..catalog import ensure_database, save_table
+    from ..paths import year_month_from_path
+    from ..plans.star import build_fact
+
+    ensure_database(spark, database)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        files = [r[0] for r in batch.select("__source_file").distinct().collect()]
+        for path in sorted(files):
+            year, month = year_month_from_path(path)
+            raw = batch.filter(F.col("__source_file") == path).drop("__source_file")
+            fact = build_fact(raw, year, month)
+            save_table(
+                fact,
+                database,
+                "fact_uber_trips",
+                partition_by=["processed_year", "processed_month"],
+                mode="overwrite",  # dynamic: replaces only this month
+            )
+
+    stream = stream_files(spark, source_dir, schema)
+    return run_ingest(stream, process_batch, checkpoint_dir, available_now)
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
