@@ -13,7 +13,7 @@ physical strategy defaults:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,6 +40,82 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """left rows WITHOUT a match — NOT EXISTS shape."""
     return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` for the same key (left join: no match → nulls).
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union-and-carry-forward pattern: tag both streams, union by name, then
+    ``last(value, ignorenulls)`` over (key ORDER BY ts, right-first) carries
+    each right row forward to every later left row.  ONE shuffle on the key,
+    no range-explosion, no per-key driver loops — O(n log n) per key vs the
+    naive windowed-range join's O(n·m).  Matches DuckDB ``ASOF LEFT JOIN``
+    semantics (inclusive on ties) for the oracle.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        F.col(right_ts).alias("__matched_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__matched_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts → inclusive asof
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.desc("__is_right"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__matched_ts", ignorenulls=True).over(w).alias("__asof_ts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_right") == 0).select(
+        *[c for c in left.columns],
+        F.col("__asof_ts").alias("matched_ts"),
+        *[F.col(f"__asof_{c}").alias(f"right_{c}") for c in value_cols],
+    )
+    return out
+
+
+def range_join_bands(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: F.Column | str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Non-equi range join: attach the band whose [lo, hi] contains
+    ``value``.  The bands table is tiny by contract → broadcast
+    nested-loop, which at any scale is one streaming pass of the fact with
+    an O(bands) probe per row — never a shuffle.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    return fact.join(
+        F.broadcast(bands), (v >= F.col(lo_col)) & (v <= F.col(hi_col)), how
+    )
 
 
 def star_join(fact: DataFrame, dims: dict[str, tuple[DataFrame, str]]) -> DataFrame:

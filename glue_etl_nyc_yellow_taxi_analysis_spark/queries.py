@@ -688,6 +688,154 @@ WHERE cosine_sim >= 0.3
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the events props column (pipeline metadata
+    parsing) — JVM-side get_json_object, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy aggregate (status → priority → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+SQL_ROLLUP_AGG = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts, status rows × priority columns (explicit pivot
+    values → no extra distinct-collect pass at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.col("1-URGENT").alias("urgent"),
+        F.col("2-HIGH").alias("high"),
+        F.col("3-MEDIUM").alias("medium"),
+        F.col("4-NOT SPECIFIED").alias("not_specified"),
+        F.col("5-LOW").alias("low"),
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Running per-user total over event time (cumulative window frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT user_id, event_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING), 2)
+            AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase event gets the user's most recent
+    prior-or-equal signup time (union-and-carry-forward — one shuffle,
+    no range explosion; see operators/joins.py:asof_join)."""
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on="user_id", value_cols=[])
+    return out.select("event_id", "user_id", "matched_ts")
+
+
+SQL_ASOF_JOIN = """
+WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     signups AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, s.ts AS matched_ts
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def q_range_join_bands(spark, sf_dir):
+    """Non-equi range join: events → peak band by hour-of-day interval
+    (broadcast nested-loop of a 3-row band table — one streaming pass)."""
+    from .operators.joins import range_join_bands
+
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    bands = spark.createDataFrame(
+        [
+            ("night_a", 0, 5),
+            ("peak_am", 6, 9),
+            ("off_peak", 10, 15),
+            ("peak_pm", 16, 19),
+            ("night_b", 20, 23),
+        ],
+        "band string, lo int, hi int",
+    )
+    joined = range_join_bands(ev, bands, "hour")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+SQL_RANGE_JOIN_BANDS = f"""
+WITH bands AS (
+    SELECT * FROM (VALUES ('night_a', 0, 5), ('peak_am', 6, 9), ('off_peak', 10, 15),
+                          ('peak_pm', 16, 19), ('night_b', 20, 23)) t(band, lo, hi)
+)
+SELECT band, COUNT(*) AS n_events, {DSUM_SQL.format(col='value')} AS sum_value
+FROM events e JOIN bands b ON hour(e.ts) BETWEEN b.lo AND b.hi
+GROUP BY band
+"""
+
+
 def q_union_backfill(spark, sf_dir):
     """Multi-month backfill plumbing: two partition-filtered reads of the
     same fact unioned by name (schema-aligned), then re-aggregated —
@@ -971,6 +1119,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_json_extract": q_json_extract,
+    "q_rollup_agg": q_rollup_agg,
+    "q_pivot_status": q_pivot_status,
+    "q_running_total": q_running_total,
+    "q_asof_join": q_asof_join,
+    "q_range_join_bands": q_range_join_bands,
     "q_union_backfill": q_union_backfill,
     "q_csv_lookup": q_csv_lookup,
     "q_multimodal_features": q_multimodal_features,
@@ -1010,6 +1164,12 @@ ORACLE: dict[str, str] = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "q_json_extract": SQL_JSON_EXTRACT,
+    "q_rollup_agg": SQL_ROLLUP_AGG,
+    "q_pivot_status": SQL_PIVOT_STATUS,
+    "q_running_total": SQL_RUNNING_TOTAL,
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_range_join_bands": SQL_RANGE_JOIN_BANDS,
     "q_union_backfill": SQL_UNION_BACKFILL,
     "q_csv_lookup": SQL_CSV_LOOKUP,
 }
