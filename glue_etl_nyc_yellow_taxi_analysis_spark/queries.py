@@ -836,6 +836,41 @@ GROUP BY band
 """
 
 
+def q_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``).  The exact variant is the correctness anchor
+    for ``approx_percentile`` (q_approx_stats), the scale path."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_approx_stats(spark, sf_dir):
+    """Sketch aggregates — the 100 TB statistics path: HyperLogLog++
+    distinct counts and t-digest-style approx percentiles (constant memory
+    per group vs exact variants' full materialization).  Engine-specific
+    sketch values → rows-only; exact twins q_percentile / count distinct
+    anchor correctness."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5)"), 4).alias("approx_med_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_union_backfill(spark, sf_dir):
     """Multi-month backfill plumbing: two partition-filtered reads of the
     same fact unioned by name (schema-aligned), then re-aggregated —
@@ -1120,6 +1155,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_json_extract": q_json_extract,
+    "q_percentile": q_percentile,
+    "q_approx_stats": q_approx_stats,
     "q_rollup_agg": q_rollup_agg,
     "q_pivot_status": q_pivot_status,
     "q_running_total": q_running_total,
@@ -1165,6 +1202,7 @@ ORACLE: dict[str, str] = {
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "q_json_extract": SQL_JSON_EXTRACT,
+    "q_percentile": SQL_PERCENTILE,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_pivot_status": SQL_PIVOT_STATUS,
     "q_running_total": SQL_RUNNING_TOTAL,
