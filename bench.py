@@ -35,6 +35,11 @@ HEADLINE = [
     "q_dedup_fuzzy_minhash",
     "q_similarity_topk",
     "q_generator_dim_date",
+    "q_json_extract",
+    "q_running_total",
+    "q_rollup_agg",
+    "q_asof_join",
+    "q_range_join_bands",
 ]
 
 

@@ -55,6 +55,34 @@ def save_table(
     writer.saveAsTable(fqn)
 
 
+def save_bucketed_table(
+    df: DataFrame,
+    database: str,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog sink — the co-located-join layout.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle (asserted in tests/test_plans.py): at 100 TB this
+    converts every fact↔fact join on the bucket key from a full-network
+    exchange into a local merge.  ``sortBy`` additionally pre-sorts buckets
+    so the join skips its sort step.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("compression", "snappy")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(f"{database}.{table}")
+
+
 def create_table_if_not_exists(
     spark: SparkSession,
     df: DataFrame,

@@ -97,6 +97,62 @@ def monthly_star_ingest(
     return run_ingest(stream, process_batch, checkpoint_dir, available_now)
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total) maintained across
+    micro-batches.
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    windowed aggregations can't express (per-key custom state machines);
+    state lives in the state store (checkpointed, exactly-once), and the
+    user function sees Arrow batches, never single rows.  Output mode
+    "update": one row per key per batch with the post-batch totals.
+    """
+    import pandas as pd  # noqa: F401 — required by the worker closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
