@@ -836,6 +836,162 @@ GROUP BY band
 """
 
 
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics: customers active in both 1995 and
+    1996 vs only-1995 (tagged union keeps it one result set)."""
+    o = _t(spark, sf_dir, "orders")
+    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = c95.intersect(c96).withColumn("tag", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would keep
+    # per-row multiplicity and leak customers that appear in both years
+    only95 = c95.subtract(c96).withColumn("tag", F.lit("only_1995"))
+    return both.unionByName(only95)
+
+
+SQL_SET_OPS = """
+WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+UNION ALL
+SELECT DISTINCT o_custkey, 'only_1995' AS tag FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """String function battery: substring, concat, case shifts, trim-pad,
+    regexp_replace, split-part, LIKE filter — same semantics in both
+    engines."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       length(c_name) AS name_len,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded
+FROM customer WHERE c_name LIKE '%1%'
+"""
+
+
+def q_array_ops(spark, sf_dir):
+    """Array function battery over embeddings: size, element min/max,
+    double-precision mean via aggregate fold, slice, sort-head."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = F.size("embedding")
+    total = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        n.alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(total / n, 6).alias("mean_val"),
+        F.round(F.element_at(F.array_sort("embedding"), 3).cast("double"), 6).alias(
+            "third_smallest"
+        ),
+    )
+
+
+SQL_ARRAY_OPS = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6)
+           AS mean_val,
+       ROUND(CAST(list_sort(embedding)[3] AS DOUBLE), 6) AS third_smallest
+FROM embeddings
+"""
+
+
+def q_null_handling(spark, sf_dir):
+    """Null-handling battery: nullif injection → fillna / coalesce /
+    null-aware counts (nulls synthesized deterministically since testdata
+    is null-free)."""
+    o = _t(spark, sf_dir, "orders")
+    with_nulls = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+        F.when(F.col("o_totalprice") < 50000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_n"),
+    )
+    return with_nulls.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.count("status_n").alias("n_status_nonnull"),
+        F.sum(F.col("price_n").isNull().cast("long")).alias("n_price_null"),
+        F.round(F.sum(F.coalesce(F.col("price_n"), F.lit(0.0)).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_price_filled"),
+    )
+
+
+SQL_NULL_HANDLING = """
+WITH w AS (
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'P') AS status_n,
+           CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price_n
+    FROM orders)
+SELECT COUNT(*) AS n_rows,
+       COUNT(status_n) AS n_status_nonnull,
+       CAST(SUM(CASE WHEN price_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_price_null,
+       CAST(ROUND(SUM(CAST(COALESCE(price_n, 0.0) AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price_filled
+FROM w
+"""
+
+
+def q_data_quality(spark, sf_dir):
+    """Expectation-style validation: all rules evaluated in ONE scan,
+    one row per rule with its violation count (operators/validate.py)."""
+    from .operators.validate import violation_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "quantity_positive": F.col("l_quantity") > 0,
+        "discount_in_range": F.col("l_discount").between(0.0, 0.3),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "ship_before_2000": F.year("l_shipdate") < 2000,
+    }
+    return violation_counts(li, rules)
+
+
+SQL_DATA_QUALITY = """
+WITH t AS (
+    SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_positive,
+        CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.3) THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_range,
+        CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
+        CAST(SUM(CASE WHEN NOT (year(l_shipdate) < 2000) THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_2000
+    FROM lineitem)
+SELECT r.rule,
+       CASE r.rule WHEN 'quantity_positive' THEN quantity_positive
+                   WHEN 'discount_in_range' THEN discount_in_range
+                   WHEN 'price_positive' THEN price_positive
+                   WHEN 'orderkey_not_null' THEN orderkey_not_null
+                   WHEN 'ship_before_2000' THEN ship_before_2000 END AS n_violations,
+       n_rows
+FROM t, (VALUES ('quantity_positive'), ('discount_in_range'), ('price_positive'),
+                ('orderkey_not_null'), ('ship_before_2000')) r(rule)
+"""
+
+
 def q_percentile(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark ``percentile`` ≡
     DuckDB ``quantile_cont``).  The exact variant is the correctness anchor
@@ -1155,6 +1311,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_json_extract": q_json_extract,
+    "q_set_ops": q_set_ops,
+    "q_string_funcs": q_string_funcs,
+    "q_array_ops": q_array_ops,
+    "q_null_handling": q_null_handling,
+    "q_data_quality": q_data_quality,
     "q_percentile": q_percentile,
     "q_approx_stats": q_approx_stats,
     "q_rollup_agg": q_rollup_agg,
@@ -1202,6 +1363,11 @@ ORACLE: dict[str, str] = {
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "q_json_extract": SQL_JSON_EXTRACT,
+    "q_set_ops": SQL_SET_OPS,
+    "q_string_funcs": SQL_STRING_FUNCS,
+    "q_array_ops": SQL_ARRAY_OPS,
+    "q_null_handling": SQL_NULL_HANDLING,
+    "q_data_quality": SQL_DATA_QUALITY,
     "q_percentile": SQL_PERCENTILE,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_pivot_status": SQL_PIVOT_STATUS,
