@@ -84,3 +84,71 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "n_bytes": sizes, "features": feats})
 
     return df.select("media_id", "payload").mapInPandas(featurize, out_schema)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Resize plumbing: (media_id, payload, width, height) → resized payload
+    + updated metadata, Arrow-batched.
+
+    The fake path re-emits a deterministic payload slice sized proportional
+    to the target area and stamps the new dimensions — the schema, batch
+    shape, and metadata contract a real PIL/libvips resize would have.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("wire PIL/libvips here")
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                keep = max(1, min(len(data), width * height // 64))
+                out.append((mid, data[:keep], width, height))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
+
+    return df.select("media_id", "payload").mapInPandas(resize, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_nth: int = 8, max_frames: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing: one input video row → N output frame rows
+    (media_id, frame_idx, frame_payload).
+
+    Output is a one-to-many mapInPandas (the real ffmpeg pattern: iterate
+    the container once, emit selected frames).  The fake path slices the
+    payload into deterministic chunks — row-explosion shape and schema are
+    real.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("wire ffmpeg/PyAV here")
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                chunk = max(1, every_nth)
+                frames = [data[i : i + chunk] for i in range(0, len(data), chunk)]
+                for idx, fr in enumerate(frames[::every_nth][:max_frames]):
+                    rows.append((mid, idx, fr))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+
+    return df.select("media_id", "payload").mapInPandas(sample, out_schema)

@@ -35,7 +35,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; ``try_divide`` so a degenerate zero-norm vector
+    yields NULL instead of failing the whole job under ANSI mode (Spark 4
+    default) — at 100 TB one bad row must never kill the stage."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a vector (the standard embedding preprocessing step:
+    after this, cosine == dot, halving per-pair similarity cost).
+    Zero-norm vectors map to NULL components, not a job failure."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: F.try_divide(x.cast("double"), n))
 
 
 def cosine_topk(

@@ -124,6 +124,35 @@ def content_fingerprint(c: Column | str) -> Column:
     return F.md5(normalized(c))
 
 
+def ordered_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-grams of normalized text IN DOCUMENT ORDER (with repeats) —
+    the winnowing input; ``shingles`` below is the distinct-set variant for
+    Jaccard/minhash."""
+    toks = tokens(c)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def winnow_fingerprints(c: Column | str, n: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash the
+    ordered shingle stream, slide a ``window`` over it, keep each window's
+    minimum, distinct the result.
+
+    Guarantees any shared run of ≥ window+n-1 words between two documents
+    contributes a shared fingerprint — the classic plagiarism/near-dup
+    selection scheme, at a fraction of full-shingle-set size.  All JVM
+    higher-order functions.
+    """
+    hashes = F.transform(ordered_shingles(c, n), lambda s: F.xxhash64(s))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    return F.array_distinct(mins)
+
+
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingle set of normalized text → array<string>.
 

@@ -836,6 +836,57 @@ GROUP BY band
 """
 
 
+def q_normalize_embeddings(spark, sf_dir):
+    """L2 normalization (embedding preprocessing): after this cosine == dot.
+    Scalar projections of the normalized vector keep the oracle comparison
+    engine-portable."""
+    from .operators.similarity import l2_norm, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = F.col("__normed")
+    return (
+        emb.withColumn("__normed", l2_normalize(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+            F.round(F.element_at(normed, 1), 6).alias("first_component"),
+            F.round(
+                F.aggregate(normed, F.lit(0.0), lambda acc, x: acc + x * x), 6
+            ).alias("unit_check"),
+        )
+    )
+
+
+SQL_NORMALIZE_EMBEDDINGS = """
+WITH n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               AS norm
+    FROM embeddings)
+SELECT vec_id,
+       ROUND(norm, 6) AS norm,
+       ROUND(CAST(embedding[1] AS DOUBLE) / norm, 6) AS first_component,
+       ROUND(list_sum(list_transform(embedding,
+                                     x -> (CAST(x AS DOUBLE) / norm) * (CAST(x AS DOUBLE) / norm))), 6)
+           AS unit_check
+FROM n
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling min-hash window selection)
+    — xxhash64-family dependent → rows-only; selection-guarantee property
+    tested in tests/test_text_dedup.py."""
+    from .operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(winnow_fingerprints("text")).alias("n_fingerprints"),
+        F.size(text.shingles("text")).alias("n_shingles"),
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """INTERSECT / EXCEPT set semantics: customers active in both 1995 and
     1996 vs only-1995 (tagged union keeps it one result set)."""
@@ -1311,6 +1362,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_json_extract": q_json_extract,
+    "q_normalize_embeddings": q_normalize_embeddings,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_set_ops": q_set_ops,
     "q_string_funcs": q_string_funcs,
     "q_array_ops": q_array_ops,
@@ -1363,6 +1416,7 @@ ORACLE: dict[str, str] = {
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "q_json_extract": SQL_JSON_EXTRACT,
+    "q_normalize_embeddings": SQL_NORMALIZE_EMBEDDINGS,
     "q_set_ops": SQL_SET_OPS,
     "q_string_funcs": SQL_STRING_FUNCS,
     "q_array_ops": SQL_ARRAY_OPS,

@@ -92,6 +92,31 @@ def test_quality_stats_values(spark):
     assert abs(r.stopword_ratio - 0.5) < 1e-9
 
 
+def test_winnow_selection_guarantee(spark):
+    """Two docs sharing a run of ≥ window+n-1 words must share a
+    fingerprint; disjoint texts share none."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "XX YY alpha beta gamma delta epsilon zeta eta theta ZZ"),  # shared 9-word run
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints("text", n=3, window=4).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]), "disjoint texts share nothing"
+    # winnowing selects a (typically strict) subset of the shingle stream
+    n_sh = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(text.shingles("text")).alias("n")).collect()
+    }
+    assert all(len(fps[d]) <= n_sh[d] for d in fps)
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     sh = df.select(text.shingles("text", 3).alias("s")).collect()[0].s

@@ -19,6 +19,18 @@ def test_warehouse_create_append_read(spark, sf_dir):
     assert wh.read(spark, "dim_nation").count() == 50  # append, not overwrite
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_images(media, 32, 32).collect()
+    assert all(r.width == 32 and r.height == 32 for r in resized)
+    assert all(len(bytes(r.payload)) <= 32 * 32 // 64 for r in resized)
+    frames = multimodal.sample_frames(media, every_nth=8, max_frames=4)
+    per_doc = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
+    assert set(per_doc) == {r.media_id for r in media.select("media_id").collect()}
+    assert all(1 <= n <= 4 for n in per_doc.values())  # one-to-many explosion, capped
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     media = multimodal.documents_as_media(docs)
