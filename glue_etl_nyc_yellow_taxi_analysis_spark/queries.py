@@ -836,6 +836,48 @@ GROUP BY band
 """
 
 
+def q_sql_pricing_summary(spark, sf_dir):
+    """§3.3 ad-hoc SQL layer: raw SQL through Spark's parser (TPC-H Q1
+    shape).  The oracle is the SAME query string — dialect-neutral SQL."""
+    from .sql import PRICING_SUMMARY_SQL, register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return run_sql(spark, PRICING_SUMMARY_SQL)
+
+
+def q_sql_shipping_priority(spark, sf_dir):
+    """§3.3 ad-hoc SQL layer: join + agg + top-10 (TPC-H Q3 shape), same
+    string on both engines."""
+    from .sql import SHIPPING_PRIORITY_SQL, register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("lineitem", "orders", "customer"))
+    return run_sql(spark, SHIPPING_PRIORITY_SQL)
+
+
+def q_centroids(spark, sf_dir):
+    """Per-cluster embedding centroids as (cluster, dim, mean) cells — the
+    IVF coarse-quantizer build, oracle-checked (the array re-assembly step
+    is covered by unit tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.col("label").alias("cluster"), F.posexplode("embedding").alias("dim", "val")
+    )
+    return exploded.groupBy("cluster", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val")
+    )
+
+
+SQL_CENTROIDS = """
+WITH cells AS (
+    SELECT label AS cluster,
+           unnest(range(len(embedding))) AS dim,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+    FROM embeddings)
+SELECT cluster, CAST(dim AS INTEGER) AS dim, ROUND(AVG(val), 6) AS mean_val
+FROM cells GROUP BY cluster, dim
+"""
+
+
 def q_normalize_embeddings(spark, sf_dir):
     """L2 normalization (embedding preprocessing): after this cosine == dot.
     Scalar projections of the normalized vector keep the oracle comparison
@@ -1362,6 +1404,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_json_extract": q_json_extract,
+    "q_sql_pricing_summary": q_sql_pricing_summary,
+    "q_sql_shipping_priority": q_sql_shipping_priority,
+    "q_centroids": q_centroids,
     "q_normalize_embeddings": q_normalize_embeddings,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_set_ops": q_set_ops,
@@ -1416,6 +1461,9 @@ ORACLE: dict[str, str] = {
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "q_json_extract": SQL_JSON_EXTRACT,
+    "q_sql_pricing_summary": None,  # filled below: oracle == the query itself
+    "q_sql_shipping_priority": None,
+    "q_centroids": SQL_CENTROIDS,
     "q_normalize_embeddings": SQL_NORMALIZE_EMBEDDINGS,
     "q_set_ops": SQL_SET_OPS,
     "q_string_funcs": SQL_STRING_FUNCS,
@@ -1431,3 +1479,9 @@ ORACLE: dict[str, str] = {
     "q_union_backfill": SQL_UNION_BACKFILL,
     "q_csv_lookup": SQL_CSV_LOOKUP,
 }
+
+# the ad-hoc SQL layer's oracle is the very same dialect-neutral string
+from .sql import PRICING_SUMMARY_SQL, SHIPPING_PRIORITY_SQL  # noqa: E402
+
+ORACLE["q_sql_pricing_summary"] = PRICING_SUMMARY_SQL
+ORACLE["q_sql_shipping_priority"] = SHIPPING_PRIORITY_SQL
