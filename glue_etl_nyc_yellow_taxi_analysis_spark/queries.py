@@ -55,11 +55,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     rejects; read nanos as long (legacy conf) and convert with exact integer
     division (micros precision — matches DuckDB's own nanos→micros cast).
+
+    The result is TIMESTAMP_NTZ (naive wall-clock, like the other tables'
+    timestamps): date_format / window / collect are then independent of the
+    session timezone, so results match the (tz-naive) oracle under ANY
+    driver session configuration.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, CAST((ts div 1000) % 1000000 AS INT), "
+                "timestampadd(SECOND, CAST(ts div 1000000000 AS INT), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+            ),
+        )
     return raw
 
 
@@ -152,8 +164,10 @@ def q_derived_columns(spark, sf_dir):
         "event_id",
         F.date_format("ts", "yyyyMMdd").alias("date_id"),
         F.date_format("ts", "HHmmss").alias("time_id"),
+        # timestampdiff is well-defined on TIMESTAMP_NTZ (unix_timestamp is
+        # not: it would re-interpret the wall-clock through the session tz)
         F.floor(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.date_trunc("day", F.col("ts")))) / 60
+            F.expr("timestampdiff(SECOND, date_trunc('day', ts), ts)") / 60
         ).alias("minutes_since_midnight"),
     )
 
