@@ -364,8 +364,14 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 def q_star_agg(spark, sf_dir):
     """The Athena/Looker-layer star aggregation: revenue per region per
     order-month over the full fact↔dims join chain.  Dimensions broadcast;
-    the fact shuffles once on the grouping key."""
-    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    the fact shuffles once on the grouping key.  The fact is spread first:
+    testdata arrives as one unsplittable row group, which would serialize
+    the join+partial-agg stage onto one core (no-op on wide inputs)."""
+    from .operators.partitioning import spread
+
+    li = spread(_t(spark, sf_dir, "lineitem")).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
     n = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")

