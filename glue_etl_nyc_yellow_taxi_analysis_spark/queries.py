@@ -856,6 +856,59 @@ GROUP BY band
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigated join: salt the (big) lineitem side into 8 subkeys,
+    explode the orders side across all salt values, join on (key, salt) —
+    result must be IDENTICAL to the plain join, which is exactly what the
+    oracle checks.  This is the manual fallback when AQE's runtime skew
+    splitting isn't enough (one hot key beyond a single task's memory)."""
+    from .operators.partitioning import explode_salt, salt
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_linenumber")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted_fact = salt(li, "l_orderkey", buckets=8)
+    replicated_dim = explode_salt(o, buckets=8)
+    return (
+        salted_fact.join(replicated_dim, ["l_orderkey", "__salt"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+SQL_SALTED_JOIN = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL.format(col='l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_word_count(spark, sf_dir):
+    """The canonical explode pipeline: tokens → explode → count per token,
+    top-20 by frequency (deterministic tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+SQL_WORD_COUNT = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({TOKS_SQL.format(c='text')}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
 def q_sql_pricing_summary(spark, sf_dir):
     """§3.3 ad-hoc SQL layer: raw SQL through Spark's parser (TPC-H Q1
     shape).  The oracle is the SAME query string — dialect-neutral SQL."""
@@ -1424,6 +1477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_json_extract": q_json_extract,
+    "q_salted_join": q_salted_join,
+    "q_word_count": q_word_count,
     "q_sql_pricing_summary": q_sql_pricing_summary,
     "q_sql_shipping_priority": q_sql_shipping_priority,
     "q_centroids": q_centroids,
@@ -1481,6 +1536,8 @@ ORACLE: dict[str, str] = {
     "q_similarity_topk": SQL_SIMILARITY_TOPK,
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "q_json_extract": SQL_JSON_EXTRACT,
+    "q_salted_join": SQL_SALTED_JOIN,
+    "q_word_count": SQL_WORD_COUNT,
     "q_sql_pricing_summary": None,  # filled below: oracle == the query itself
     "q_sql_shipping_priority": None,
     "q_centroids": SQL_CENTROIDS,
