@@ -147,6 +147,75 @@ def ivf_topk(
     )
 
 
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: one sign bit per plane, packed into
+    a long.  sign(v·p) survives rotation — vectors with high cosine agree
+    on most bits.  Planes are fixed literals (seeded numpy), so signatures
+    are deterministic and reusable across runs.
+    """
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def make_planes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed → reproducible LSH)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH-bucketed ANN: score only vectors sharing the query's hyperplane
+    signature bucket.
+
+    The scale path alternative to ``ivf_topk`` when no cluster structure
+    exists: bucket assignment is a single narrow pass (no training), the
+    candidate join is an equi-join on the signature — candidates per query
+    ≈ n/2^planes.  Approximate: recall depends on planes count (fewer
+    planes → bigger buckets → higher recall, higher cost).
+    Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    planes = make_planes(dim, num_planes)
+    data = embeddings.select(
+        id_col, vec_col, hyperplane_signature(F.col(vec_col), planes).alias("__sig")
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    scored = (
+        data.join(F.broadcast(q), "__sig")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1278,6 +1278,17 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup_pairs(docs, max_hamming=8)
 
 
+def q_similarity_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH-bucketed ANN (the no-training scale path;
+    brute-force twin q_similarity_topk anchors recall).  With few planes
+    (8) buckets stay populated at test scale.  Approximate → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(emb, queries, k=10, num_planes=8)
+
+
 def q_similarity_ann_ivf(spark, sf_dir):
     """IVF-style ANN: probe 3 nearest label-centroids per query (recall<1
     by design — the scale path; brute-force twin is q_similarity_topk)."""
@@ -1502,6 +1513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_fuzzy_minhash": q_dedup_fuzzy_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_similarity_ann_ivf": q_similarity_ann_ivf,
+    "q_similarity_ann_lsh": q_similarity_ann_lsh,
     "q_uuid_pk": q_uuid_pk,
     "q_partitioned_write_prune": q_partitioned_write_prune,
     "q_warehouse_roundtrip": q_warehouse_roundtrip,

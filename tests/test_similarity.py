@@ -47,6 +47,26 @@ def test_ivf_subset_of_brute_force_universe(spark, sf_dir):
     assert len(some) == 10
 
 
+def test_lsh_ann_candidates_share_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    # 0 planes of separation is meaningless; use few planes → nonempty buckets
+    got = similarity.lsh_ann_topk(emb, q, k=10, num_planes=4).collect()
+    assert 0 < len(got) <= 10
+    # every result must truly share the query's signature bucket
+    planes = similarity.make_planes(64, 4)
+    sigs = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id", similarity.hyperplane_signature(F.col("embedding"), planes).alias("s")
+        ).collect()
+    }
+    assert all(sigs[r.vec_id] == sigs[0] for r in got)
+    # determinism: same seed → same result set
+    again = similarity.lsh_ann_topk(emb, q, k=10, num_planes=4).collect()
+    assert {(r.vec_id, r.rank) for r in got} == {(r.vec_id, r.rank) for r in again}
+
+
 def test_centroids_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.centroids_by(emb).collect()
