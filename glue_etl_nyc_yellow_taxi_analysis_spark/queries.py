@@ -740,6 +740,92 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregate: all grouping-set combinations of (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+SQL_CUBE_AGG = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_lag_lead_delta(spark, sf_dir):
+    """lag/lead navigation: per-user inter-event gap seconds and next event
+    type (NULL at partition edges in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # diff in exact microseconds, then floor-divide: Spark's
+    # timestampdiff(SECOND) truncates the interval while DuckDB's
+    # date_diff('second') counts boundary crossings — micros are exact in
+    # both, so floor(micros/1e6) agrees everywhere
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor(gap_us / 1_000_000).alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+SQL_LAG_LEAD_DELTA = """
+SELECT user_id, event_id,
+       CAST(floor(date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0) AS BIGINT)
+           AS gap_seconds,
+       lead(event_type) OVER w AS next_type
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of order values (floor-bucketing — the
+    shuffle-once distribution profile)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_corr_stats(spark, sf_dir):
+    """Statistical aggregates: Pearson correlation, sample stddev/variance,
+    min/max — rounded to absorb FP accumulation-order differences."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+SQL_CORR_STATS = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(stddev_samp(l_quantity), 4) AS std_qty,
+       ROUND(var_samp(l_discount), 6) AS var_disc,
+       ROUND(MIN(l_quantity), 2) AS min_qty,
+       ROUND(MAX(l_quantity), 2) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot: order counts, status rows × priority columns (explicit pivot
     values → no extra distinct-collect pass at scale)."""
@@ -1503,6 +1589,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentile": q_percentile,
     "q_approx_stats": q_approx_stats,
     "q_rollup_agg": q_rollup_agg,
+    "q_cube_agg": q_cube_agg,
+    "q_lag_lead_delta": q_lag_lead_delta,
+    "q_histogram": q_histogram,
+    "q_corr_stats": q_corr_stats,
     "q_pivot_status": q_pivot_status,
     "q_running_total": q_running_total,
     "q_asof_join": q_asof_join,
@@ -1561,6 +1651,10 @@ ORACLE: dict[str, str] = {
     "q_data_quality": SQL_DATA_QUALITY,
     "q_percentile": SQL_PERCENTILE,
     "q_rollup_agg": SQL_ROLLUP_AGG,
+    "q_cube_agg": SQL_CUBE_AGG,
+    "q_lag_lead_delta": SQL_LAG_LEAD_DELTA,
+    "q_histogram": SQL_HISTOGRAM,
+    "q_corr_stats": SQL_CORR_STATS,
     "q_pivot_status": SQL_PIVOT_STATUS,
     "q_running_total": SQL_RUNNING_TOTAL,
     "q_asof_join": SQL_ASOF_JOIN,
