@@ -40,6 +40,10 @@ HEADLINE = [
     "q_rollup_agg",
     "q_asof_join",
     "q_range_join_bands",
+    "q_cube_agg",
+    "q_word_count",
+    "q_lag_lead_delta",
+    "q_corr_stats",
 ]
 
 
