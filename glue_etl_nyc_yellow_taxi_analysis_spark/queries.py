@@ -740,6 +740,36 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_date_arith(spark, sf_dir):
+    """Date/interval arithmetic battery: to_date, date_add, last_day,
+    datediff-from-anchor, quarter, ISO weekday.  (Spark dayofweek is
+    Sunday=1 vs DuckDB Sunday=0 — ISO weekday via weekday()+1 == isodow
+    agrees everywhere.)"""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.to_date(F.lit("1995-01-01"))).alias("days_since_1995"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).alias("dow_iso"),
+    )
+
+
+SQL_DATE_ARITH = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_1995,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso
+FROM orders
+"""
+
+
 def q_cube_agg(spark, sf_dir):
     """CUBE aggregate: all grouping-set combinations of (status, priority)."""
     o = _t(spark, sf_dir, "orders")
@@ -1589,6 +1619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentile": q_percentile,
     "q_approx_stats": q_approx_stats,
     "q_rollup_agg": q_rollup_agg,
+    "q_date_arith": q_date_arith,
     "q_cube_agg": q_cube_agg,
     "q_lag_lead_delta": q_lag_lead_delta,
     "q_histogram": q_histogram,
@@ -1651,6 +1682,7 @@ ORACLE: dict[str, str] = {
     "q_data_quality": SQL_DATA_QUALITY,
     "q_percentile": SQL_PERCENTILE,
     "q_rollup_agg": SQL_ROLLUP_AGG,
+    "q_date_arith": SQL_DATE_ARITH,
     "q_cube_agg": SQL_CUBE_AGG,
     "q_lag_lead_delta": SQL_LAG_LEAD_DELTA,
     "q_histogram": SQL_HISTOGRAM,
