@@ -1,0 +1,52 @@
+"""Job 2 CLI — star schema → warehouse load.
+
+Drop-in replacement for the reference's second Glue job
+(``glue_job_scripts/etl-glue-load-to-postgres.py``): dimensions are created
+if missing, the requested fact month is appended with partition pruning.
+With ``--jdbc-url`` it loads over JDBC (requires a driver jar on the Spark
+classpath, exactly like the reference's --extra-jars postgres driver);
+without, it loads into a parquet-directory warehouse.
+
+    python -m glue_etl_nyc_yellow_taxi_analysis_spark.jobs.load_warehouse \
+        --database db_nyc_uber --year 2021 --month 1 \
+        [--jdbc-url jdbc:postgresql://... --jdbc-user u --jdbc-password p] \
+        [--warehouse-path /data/warehouse]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..plans.warehouse import load_star_to_warehouse
+from ..session import get_spark
+from ..sources.writers import JdbcWarehouse, ParquetWarehouse
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="star schema -> warehouse load")
+    p.add_argument("--database", default="db_nyc_uber")
+    p.add_argument("--year", required=True)
+    p.add_argument("--month", required=True)
+    p.add_argument("--jdbc-url", default=None)
+    p.add_argument("--jdbc-user", default=None)
+    p.add_argument("--jdbc-password", default=None)
+    p.add_argument("--jdbc-driver", default="org.postgresql.Driver")
+    p.add_argument("--warehouse-path", default="./warehouse")
+    p.add_argument("--warehouse-dir", default=None, help="spark warehouse dir")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="load-warehouse", warehouse_dir=args.warehouse_dir, hive=True)
+    if args.jdbc_url:
+        props = {"driver": args.jdbc_driver}
+        if args.jdbc_user:
+            props.update(user=args.jdbc_user, password=args.jdbc_password or "")
+        wh = JdbcWarehouse(spark, args.jdbc_url, props)
+    else:
+        wh = ParquetWarehouse(args.warehouse_path)
+    actions = load_star_to_warehouse(spark, wh, args.database, args.year, args.month)
+    for table, action in sorted(actions.items()):
+        print(f"{table}: {action}")
+
+
+if __name__ == "__main__":
+    main()

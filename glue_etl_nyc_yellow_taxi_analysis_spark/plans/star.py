@@ -66,11 +66,22 @@ FACT_COLUMNS = [
 
 
 def build_fact(
-    raw: DataFrame, processed_year: str, processed_month: str
+    raw: DataFrame,
+    processed_year: str,
+    processed_month: str,
+    reference_compat: bool = False,
 ) -> DataFrame:
-    """Raw monthly trip DataFrame → fact_uber_trips rows (lazy plan)."""
+    """Raw monthly trip DataFrame → fact_uber_trips rows (lazy plan).
+
+    ``reference_compat=True`` reproduces the reference's quirks byte-for-
+    byte where they reach the output (SURVEY §4): tolls_amount rides
+    through as source double instead of the normalized float cast (quirk
+    6).  The other quirks (string-typed intermediate timestamps, the
+    distinct()-derived band join) do not change output values — the engine
+    form is used unconditionally.
+    """
     df = rename_raw_columns(raw)
-    df = cast_contract(df)
+    df = cast_contract(df, normalize_tolls=not reference_compat)
     df = dedup_exact(df)
     df = quality_filters(df)
     df = with_duration(df)

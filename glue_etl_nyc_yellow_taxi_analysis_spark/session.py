@@ -25,6 +25,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict | None = None,
+    hive: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
@@ -49,6 +50,12 @@ def get_spark(
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if hive:
+        # persistent metastore (Derby under ./metastore_db): tables created
+        # by one job process are visible to the next — the Glue-Catalog-like
+        # durability the CLI jobs need.  On a cluster, point
+        # hive.metastore.uris at the real metastore instead.
+        builder = builder.config("spark.sql.catalogImplementation", "hive")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
