@@ -740,6 +740,43 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_collect_agg(spark, sf_dir):
+    """Array-building aggregation: sorted distinct set per group
+    (collect_set → array_sort for deterministic cross-engine output)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_COLLECT_AGG = """
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_regexp_extract(spark, sf_dir):
+    """Regex group extraction: pull the numeric id out of c_name
+    ('Customer#000000042' shapes) and the trailing digits of source keys."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("name_digits"),
+        F.regexp_extract("c_name", r"^([A-Za-z]+)", 1).alias("name_word"),
+    )
+
+
+SQL_REGEXP_EXTRACT = """
+SELECT c_custkey,
+       COALESCE(regexp_extract(c_name, '#(\\d+)', 1), '') AS name_digits,
+       COALESCE(regexp_extract(c_name, '^([A-Za-z]+)', 1), '') AS name_word
+FROM customer
+"""
+
+
 def q_date_arith(spark, sf_dir):
     """Date/interval arithmetic battery: to_date, date_add, last_day,
     datediff-from-anchor, quarter, ISO weekday.  (Spark dayofweek is
@@ -1620,6 +1657,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_stats": q_approx_stats,
     "q_rollup_agg": q_rollup_agg,
     "q_date_arith": q_date_arith,
+    "q_collect_agg": q_collect_agg,
+    "q_regexp_extract": q_regexp_extract,
     "q_cube_agg": q_cube_agg,
     "q_lag_lead_delta": q_lag_lead_delta,
     "q_histogram": q_histogram,
@@ -1683,6 +1722,8 @@ ORACLE: dict[str, str] = {
     "q_percentile": SQL_PERCENTILE,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_date_arith": SQL_DATE_ARITH,
+    "q_collect_agg": SQL_COLLECT_AGG,
+    "q_regexp_extract": SQL_REGEXP_EXTRACT,
     "q_cube_agg": SQL_CUBE_AGG,
     "q_lag_lead_delta": SQL_LAG_LEAD_DELTA,
     "q_histogram": SQL_HISTOGRAM,
