@@ -1741,3 +1741,9 @@ from .sql import PRICING_SUMMARY_SQL, SHIPPING_PRIORITY_SQL  # noqa: E402
 
 ORACLE["q_sql_pricing_summary"] = PRICING_SUMMARY_SQL
 ORACLE["q_sql_shipping_priority"] = SHIPPING_PRIORITY_SQL
+
+# extended inventory (analytics/window/function batteries) — queries_ext.py
+from .queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLE.update(ORACLE_EXT)

@@ -1,0 +1,546 @@
+"""Extended query inventory — analytics, function batteries, pipeline shapes.
+
+Widens SURVEY.md §2.9 beyond the round-1 core: grouping sets, window
+navigation (ntile / percent_rank / cume_dist / nth_value / IGNORE NULLS),
+range-frame moving aggregates, tie-safe arg-max, conditional aggregation
+(FILTER semantics), second string/array batteries, bitwise ops, date_trunc,
+linear-regression aggregates, unpivot (wide→long), positional explode,
+sliding event-time windows, and two more dialect-neutral ad-hoc SQL queries
+(TPC-H Q5/Q10 shapes).
+
+Same cross-engine determinism rules as `queries.py` (see its docstring):
+double sums go through DECIMAL(18,4); ratios are computed once and rounded;
+every output column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import text
+from .queries import DSUM_SQL, TOKS_SQL, _t, dsum
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / multi-level aggregation
+# --------------------------------------------------------------------------
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() markers — the general form of
+    the ROLLUP/CUBE family (q_rollup_agg / q_cube_agg): three independent
+    aggregation levels in ONE pass over the fact (one shuffle, Spark expands
+    grouping sets map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+SQL_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Window navigation battery
+# --------------------------------------------------------------------------
+
+def q_window_navigation(spark, sf_dir):
+    """ntile / percent_rank / cume_dist / nth_value / last-IGNORE-NULLS over
+    one partition+order (Spark evaluates all five in a single Window exec —
+    one shuffle on c_nationkey).  Order carries a unique tiebreak
+    (c_custkey) so every function is row-deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nonneg = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.nth_value("c_acctbal", 2).over(w_full).alias("second_lowest"),
+        F.last(nonneg, ignorenulls=True).over(w_run).alias("last_nonneg"),
+    )
+
+
+SQL_WINDOW_NAVIGATION = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 4) AS pct_rank,
+       ROUND(cume_dist() OVER w, 4) AS cume,
+       nth_value(c_acctbal, 2) OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_lowest,
+       last_value(CASE WHEN c_acctbal >= 0 THEN c_acctbal END IGNORE NULLS)
+           OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                 ROWS UNBOUNDED PRECEDING) AS last_nonneg
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_moving_avg(spark, sf_dir):
+    """7-day RANGE-frame moving aggregate over the daily revenue rollup.
+    Two-level plan: the groupBy shrinks the fact to ~1 row/day BEFORE the
+    (unpartitioned) window — at 100 TB the window input is still only
+    O(days), so the single-partition window exec is safe by construction.
+    Decimal-summed inside the frame for cross-engine determinism."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("day_total")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    sum_7d = (
+        F.round(F.sum(F.col("day_total").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+    )
+    n_7d = F.count("*").over(w)
+    return daily.select(
+        "d",
+        "day_total",
+        sum_7d.alias("sum_7d"),
+        n_7d.alias("n_days_7d"),
+        # no ROUND here: engines disagree on decimal-halfway doubles; the raw
+        # IEEE quotient is bit-identical on both sides (gate compares at 6dp)
+        (sum_7d / n_7d).alias("avg_7d"),
+    )
+
+
+SQL_MOVING_AVG = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {DSUM_SQL.format(col='o_totalprice')} AS day_total
+    FROM orders GROUP BY 1
+)
+SELECT d, day_total,
+       CAST(ROUND(SUM(CAST(day_total AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+           AS sum_7d,
+       COUNT(*) OVER w AS n_days_7d,
+       CAST(ROUND(SUM(CAST(day_total AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+           / (COUNT(*) OVER w) AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', d)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_argmax(spark, sf_dir):
+    """Tie-safe arg-max/arg-min per group via max/min over a (value, key)
+    struct — lexicographic struct ordering makes the answer deterministic
+    even under value ties (plain max_by is not).  One hash-aggregate, no
+    window, no second join — the scalable idiom for 'row with the max'."""
+    o = _t(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    best, worst = F.max(pk), F.min(pk)
+    return o.groupBy("o_orderpriority").agg(
+        best.getField("k").alias("top_orderkey"),
+        best.getField("p").alias("top_price"),
+        worst.getField("k").alias("bottom_orderkey"),
+        worst.getField("p").alias("bottom_price"),
+    )
+
+
+SQL_ARGMAX = """
+SELECT o_orderpriority,
+       max({'p': o_totalprice, 'k': o_orderkey}).k AS top_orderkey,
+       max({'p': o_totalprice, 'k': o_orderkey}).p AS top_price,
+       min({'p': o_totalprice, 'k': o_orderkey}).k AS bottom_orderkey,
+       min({'p': o_totalprice, 'k': o_orderkey}).p AS bottom_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation: count_if / bool_and / bool_or / filtered
+    decimal sum (SQL FILTER clause semantics, null when no row matches).
+    All partial-aggregable — map-side combine keeps the shuffle tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_deep_discount"),
+        dsum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))).alias(
+            "returned_revenue"
+        ),
+    )
+
+
+SQL_CONDITIONAL_AGG = """
+SELECT l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE l_quantity >= 40) AS n_bulk,
+       bool_and(l_extendedprice > 0) AS all_positive,
+       bool_or(l_discount > 0.05) AS any_deep_discount,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  FILTER (WHERE l_returnflag = 'R'), 2) AS DOUBLE)
+           AS returned_revenue
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Function batteries (all JVM expressions — whole-stage codegen)
+# --------------------------------------------------------------------------
+
+def q_string_funcs2(spark, sf_dir):
+    """Second string battery: split_part / reverse / translate / repeat /
+    right-slice / instr / ascii / levenshtein."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_vowels"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand2x"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_tail"),
+        F.instr(F.col("p_name"), "an").alias("pos_an"),
+        F.ascii(F.col("p_name")).alias("first_code"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#13")).alias("brand_dist"),
+    )
+
+
+SQL_STRING_FUNCS2 = """
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       reverse(p_brand) AS brand_rev,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_vowels,
+       repeat(left(p_brand, 2), 2) AS brand2x,
+       right(p_name, 4) AS name_tail,
+       strpos(p_name, 'an') AS pos_an,
+       ascii(p_name) AS first_code,
+       levenshtein(p_brand, 'Brand#13') AS brand_dist
+FROM part
+"""
+
+
+def q_array_funcs2(spark, sf_dir):
+    """Second array battery: intersect / union / except / flatten / slice /
+    position / contains over per-row generated int sequences (results sorted
+    so set-op element order is engine-independent)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    a = F.sequence(F.lit(1), (F.col("l_partkey") % 4 + 2).cast("int"))
+    b = F.sequence((F.col("l_suppkey") % 3 + 1).cast("int"), F.lit(6), F.lit(2))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(F.array_intersect(a, b)).alias("inter"),
+        F.array_sort(F.array_union(a, b)).alias("uni"),
+        F.array_sort(F.array_except(a, b)).alias("minus"),
+        F.flatten(F.array(a, b)).alias("flat"),
+        F.slice(a, 2, 2).alias("mid"),
+        F.array_position(a, 3).alias("pos3"),
+        F.array_contains(b, 4).alias("has4"),
+    )
+
+
+SQL_ARRAY_FUNCS2 = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber,
+           range(1, CAST(l_partkey % 4 + 2 AS INTEGER) + 1) AS a,
+           range(CAST(l_suppkey % 3 + 1 AS INTEGER), 7, 2) AS b
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       list_sort(list_intersect(a, b)) AS inter,
+       list_sort(list_distinct(list_concat(a, b))) AS uni,
+       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS minus,
+       flatten([a, b]) AS flat,
+       list_slice(a, 2, 3) AS mid,
+       COALESCE(list_position(a, 3), 0) AS pos3,
+       list_contains(b, 4) AS has4
+FROM base
+"""
+
+
+def q_bitwise_ops(spark, sf_dir):
+    """Bitwise battery: AND / OR / XOR / popcount / shifts on event ids."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(16)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(85)).alias("xored"),
+        F.bit_count(e).cast("int").alias("popcount"),
+        F.shiftleft(e, 2).alias("shl2"),
+        F.shiftright(e, 3).alias("shr3"),
+    )
+
+
+SQL_BITWISE_OPS = """
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 16 AS with_flag,
+       xor(event_id, 85) AS xored,
+       CAST(bit_count(event_id) AS INTEGER) AS popcount,
+       event_id << 2 AS shl2,
+       event_id >> 3 AS shr3
+FROM events
+"""
+
+
+def q_date_trunc(spark, sf_dir):
+    """date_trunc battery minute→quarter on event timestamps (TIMESTAMP_NTZ
+    in, NTZ out — results independent of the session timezone)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return ev.select(
+        "event_id",
+        F.date_trunc("minute", "ts").alias("ts_minute"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.date_trunc("quarter", "ts").alias("quarter_start"),
+    )
+
+
+SQL_DATE_TRUNC = """
+SELECT event_id,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts_minute,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+       CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS quarter_start
+FROM events
+"""
+
+
+def q_regr_stats(spark, sf_dir):
+    """Linear-regression aggregates: slope / intercept / R² / sample+pop
+    covariance / regr_count of extendedprice on quantity per returnflag.
+    Normalized statistics are stable across partial-agg orders at the
+    rounding used (floats are compared at 6 decimals by the gate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 3).alias("slope"),
+        F.round(F.regr_intercept(y, x), 3).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.covar_samp(y, x), 2).alias("cov_s"),
+        F.round(F.covar_pop(y, x), 2).alias("cov_p"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+SQL_REGR_STATS = """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,
+       ROUND(covar_pop(l_extendedprice, l_quantity), 2) AS cov_p,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Reshaping / explode pipelines
+# --------------------------------------------------------------------------
+
+def q_unpivot_long(spark, sf_dir):
+    """Wide→long unpivot (melt) of a per-priority metrics table — the
+    inverse of q_pivot_status.  All measures cast to double so the single
+    value column is type-stable."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_orders", "sum_price", "min_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT_LONG = f"""
+WITH wide AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           {DSUM_SQL.format(col='o_totalprice')} AS sum_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_orders, sum_price, min_price, max_price))
+"""
+
+
+def q_posexplode_tokens(spark, sf_dir):
+    """Positional explode: (doc, position, token) rows from the token array
+    — the indexed form of the q_word_count pipeline (generator preserves
+    order; no shuffle at all)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok")
+    )
+
+
+SQL_POSEXPLODE_TOKENS = f"""
+SELECT doc_id, z[2] AS pos, z[1] AS tok
+FROM (
+    SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS z
+    FROM (SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+)
+"""
+
+
+def q_sliding_windows(spark, sf_dir):
+    """Sliding (hopping) event-time windows: 10-minute windows every 5
+    minutes — each event lands in exactly 2 windows.  Same `F.window`
+    operator the streaming path uses; the oracle materializes the two
+    shifted tumbling grids explicitly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+SQL_SLIDING_WINDOWS = f"""
+WITH sec AS (
+    SELECT event_type, value,
+           date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s
+    FROM events
+), g AS (
+    SELECT event_type, value, (s // 300) * 300 - k AS start_s
+    FROM sec CROSS JOIN (SELECT unnest([0, 300]) AS k)
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL '1 second' * start_s AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {DSUM_SQL.format(col='value')} AS sum_value
+FROM g GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Ad-hoc SQL layer (§3.3) — dialect-neutral strings, oracle == query
+# --------------------------------------------------------------------------
+
+LOCAL_SUPPLIER_REVENUE_SQL = """
+SELECT n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+RETURNED_ITEM_REVENUE_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_sql_local_supplier(spark, sf_dir):
+    """§3.3 ad-hoc SQL: 6-table star join + agg (TPC-H Q5 shape).  Catalyst
+    broadcast-joins the four dim-side tables; only orders↔lineitem shuffles.
+    Oracle is the same string."""
+    from .sql import register_views, run_sql
+
+    register_views(
+        spark,
+        sf_dir,
+        tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return run_sql(spark, LOCAL_SUPPLIER_REVENUE_SQL)
+
+
+def q_sql_returned_items(spark, sf_dir):
+    """§3.3 ad-hoc SQL: returned-item revenue top-20 (TPC-H Q10 shape),
+    deterministic ORDER/LIMIT.  Oracle is the same string."""
+    from .sql import register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("customer", "orders", "lineitem", "nation"))
+    return run_sql(spark, RETURNED_ITEM_REVENUE_SQL)
+
+
+QUERIES_EXT = {
+    "q_grouping_sets": q_grouping_sets,
+    "q_window_navigation": q_window_navigation,
+    "q_moving_avg": q_moving_avg,
+    "q_argmax": q_argmax,
+    "q_conditional_agg": q_conditional_agg,
+    "q_string_funcs2": q_string_funcs2,
+    "q_array_funcs2": q_array_funcs2,
+    "q_bitwise_ops": q_bitwise_ops,
+    "q_date_trunc": q_date_trunc,
+    "q_regr_stats": q_regr_stats,
+    "q_unpivot_long": q_unpivot_long,
+    "q_posexplode_tokens": q_posexplode_tokens,
+    "q_sliding_windows": q_sliding_windows,
+    "q_sql_local_supplier": q_sql_local_supplier,
+    "q_sql_returned_items": q_sql_returned_items,
+}
+
+ORACLE_EXT = {
+    "q_grouping_sets": SQL_GROUPING_SETS,
+    "q_window_navigation": SQL_WINDOW_NAVIGATION,
+    "q_moving_avg": SQL_MOVING_AVG,
+    "q_argmax": SQL_ARGMAX,
+    "q_conditional_agg": SQL_CONDITIONAL_AGG,
+    "q_string_funcs2": SQL_STRING_FUNCS2,
+    "q_array_funcs2": SQL_ARRAY_FUNCS2,
+    "q_bitwise_ops": SQL_BITWISE_OPS,
+    "q_date_trunc": SQL_DATE_TRUNC,
+    "q_regr_stats": SQL_REGR_STATS,
+    "q_unpivot_long": SQL_UNPIVOT_LONG,
+    "q_posexplode_tokens": SQL_POSEXPLODE_TOKENS,
+    "q_sliding_windows": SQL_SLIDING_WINDOWS,
+    "q_sql_local_supplier": LOCAL_SUPPLIER_REVENUE_SQL,
+    "q_sql_returned_items": RETURNED_ITEM_REVENUE_SQL,
+}
