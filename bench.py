@@ -44,6 +44,11 @@ HEADLINE = [
     "q_word_count",
     "q_lag_lead_delta",
     "q_corr_stats",
+    "q_grouping_sets",
+    "q_conditional_agg",
+    "q_moving_avg",
+    "q_sliding_windows",
+    "q_sql_local_supplier",
 ]
 
 

@@ -56,3 +56,46 @@ def test_session_windows_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["q_session_windows"](spark, sf_dir))
     # lag window + running sum + groupBy all reuse ONE exchange on user_id
     assert plan.count("+- Exchange") == 1
+
+
+def test_grouping_sets_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_grouping_sets"](spark, sf_dir))
+    # grouping sets expand map-side; ONE exchange carries all three levels
+    assert "Expand" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_conditional_agg_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_conditional_agg"](spark, sf_dir))
+    # every conditional aggregate is partial-aggregable: map-side combine
+    # (partial HashAggregate below the exchange, final above), then one
+    # shuffle of tiny partials
+    assert plan.count("+- HashAggregate") == 2
+    assert plan.count("+- Exchange") == 1
+
+
+def test_sliding_windows_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_sliding_windows"](spark, sf_dir))
+    # the 2-windows-per-event fan-out is an Expand BEFORE the partial agg —
+    # no extra shuffle for the overlap
+    assert "Expand" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_sql_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["q_sql_local_supplier"](spark, sf_dir))
+    # region/nation/supplier/customer sides all broadcast; never sort-merge
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_moving_avg_prereduces_before_window(spark, sf_dir):
+    plan = _plan(QUERIES["q_moving_avg"](spark, sf_dir))
+    # the fact is aggregated to O(days) rows BEFORE the unpartitioned window
+    # (formatted-plan node ids are execution order: agg id < window id)
+    import re
+
+    agg_id = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan))
+    win_id = min(int(m) for m in re.findall(r"\((\d+)\) Window", plan))
+    assert agg_id < win_id
+    assert plan.count("+- Exchange") == 2
