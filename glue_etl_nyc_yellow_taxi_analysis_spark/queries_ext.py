@@ -544,3 +544,218 @@ ORACLE_EXT = {
     "q_sql_local_supplier": LOCAL_SUPPLIER_REVENUE_SQL,
     "q_sql_returned_items": RETURNED_ITEM_REVENUE_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Batch 2: multi-distinct, keyed dedup, HOFs, maps, try-arithmetic
+# --------------------------------------------------------------------------
+
+def q_multi_distinct(spark, sf_dir):
+    """Several exact COUNT(DISTINCT) in one aggregate — Spark plans this
+    with Expand (one duplicate-elimination lane per distinct column), still
+    a single pass over the fact."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+SQL_MULTI_DISTINCT = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(DISTINCT year(o_orderdate)) AS n_years,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_dedup_keyed(spark, sf_dir):
+    """Keyed dedup, deterministic form: keep the EARLIEST row per
+    (user_id, event_type).  `dropDuplicates(subset)` keeps an arbitrary row
+    — at scale that is nondeterministic across runs — so production dedup
+    is arg-min over a (ts, unique-id) struct: one hash/sort aggregate, same
+    shuffle as dropDuplicates but reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    first = F.min(
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("id"),
+            F.col("value").alias("v"),
+        )
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        first.getField("ts").alias("first_ts"),
+        first.getField("id").alias("first_event_id"),
+        first.getField("v").alias("first_value"),
+    )
+
+
+SQL_DEDUP_KEYED = """
+SELECT user_id, event_type,
+       min({'ts': ts, 'id': event_id, 'v': value}).ts AS first_ts,
+       min({'ts': ts, 'id': event_id, 'v': value}).id AS first_event_id,
+       min({'ts': ts, 'id': event_id, 'v': value}).v AS first_value
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_hof_battery(spark, sf_dir):
+    """Higher-order functions: transform / filter / exists / forall /
+    zip_with / aggregate over per-row int sequences.  zip_with pads the
+    shorter array with NULL in both engines (asserted by construction:
+    |a| ∈ [2,5], |b| = 6)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a = F.sequence(F.lit(1), (F.col("l_partkey") % 4 + 2).cast("int"))
+    b = F.sequence(F.lit(2), F.lit(7))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(a, lambda x: x * 2).alias("doubled"),
+        F.filter(a, lambda x: x % 2 == 1).alias("odds"),
+        F.exists(a, lambda x: x > 4).alias("has_gt4"),
+        F.forall(a, lambda x: x > 0).alias("all_pos"),
+        F.zip_with(a, b, lambda x, y: x * y).alias("prods"),
+        F.aggregate(a, F.lit(0), lambda acc, x: acc + x).alias("total"),
+    )
+
+
+SQL_HOF_BATTERY = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber,
+           range(1, CAST(l_partkey % 4 + 2 AS INTEGER) + 1) AS a,
+           range(2, 8) AS b
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       list_transform(a, x -> x * 2) AS doubled,
+       list_filter(a, x -> x % 2 = 1) AS odds,
+       len(list_filter(a, x -> x > 4)) > 0 AS has_gt4,
+       len(list_filter(a, x -> NOT (x > 0))) = 0 AS all_pos,
+       list_transform(list_zip(a, b), z -> z[1] * z[2]) AS prods,
+       CAST(COALESCE(list_sum(a), 0) AS INTEGER) AS total
+FROM base
+"""
+
+
+def q_map_ops(spark, sf_dir):
+    """Map-typed column battery: create_map / map_keys / element_at /
+    map_contains_key / map_filter / map_values.  The map itself never
+    reaches the output (maps are unordered — not hashable cross-engine);
+    every output is a deterministic projection of it."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        F.map_contains_key(m, "priority").alias("has_priority"),
+        F.map_values(F.map_filter(m, lambda k, v: k == "status")).alias("status_only"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+SQL_MAP_OPS = """
+SELECT o_orderkey,
+       ['priority', 'status'] AS keys_sorted,
+       o_orderstatus AS status_val,
+       TRUE AS has_priority,
+       [o_orderstatus] AS status_only,
+       2 AS n_entries
+FROM orders
+"""
+
+
+def q_try_arith(spark, sf_dir):
+    """ANSI-safe arithmetic: try_divide (NULL on zero denominator),
+    try_cast (NULL on malformed input), try_element_at (NULL out of
+    bounds).  Under ANSI mode (Spark 4 default) the plain operators THROW —
+    these are the scale-safe forms for dirty data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1).alias(
+            "per_prior_line"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.try_element_at(F.sequence(F.lit(1), F.lit(3)), F.lit(10)).alias("elem10"),
+    )
+
+
+SQL_TRY_ARITH = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / (l_linenumber - 1) AS per_prior_line,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       [1, 2, 3][10] AS elem10
+FROM lineitem
+"""
+
+
+def q_cross_join_small(spark, sf_dir):
+    """Explicit cartesian product of two tiny inputs (the only sane cross
+    join at scale: both sides O(1), Spark broadcasts one side into a
+    nested-loop)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+SQL_CROSS_JOIN_SMALL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+ORDER_PRIORITY_CHECK_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sql_order_priority(spark, sf_dir):
+    """§3.3 ad-hoc SQL: correlated EXISTS subquery (TPC-H Q4 shape) —
+    Catalyst decorrelates it into a left-semi join.  Oracle is the same
+    string."""
+    from .sql import register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("orders", "lineitem"))
+    return run_sql(spark, ORDER_PRIORITY_CHECK_SQL)
+
+
+QUERIES_EXT.update(
+    {
+        "q_multi_distinct": q_multi_distinct,
+        "q_dedup_keyed": q_dedup_keyed,
+        "q_hof_battery": q_hof_battery,
+        "q_map_ops": q_map_ops,
+        "q_try_arith": q_try_arith,
+        "q_cross_join_small": q_cross_join_small,
+        "q_sql_order_priority": q_sql_order_priority,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        "q_multi_distinct": SQL_MULTI_DISTINCT,
+        "q_dedup_keyed": SQL_DEDUP_KEYED,
+        "q_hof_battery": SQL_HOF_BATTERY,
+        "q_map_ops": SQL_MAP_OPS,
+        "q_try_arith": SQL_TRY_ARITH,
+        "q_cross_join_small": SQL_CROSS_JOIN_SMALL,
+        "q_sql_order_priority": ORDER_PRIORITY_CHECK_SQL,
+    }
+)

@@ -159,16 +159,24 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: list[str] | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling-window aggregate with late-data watermark.
+    """Streaming tumbling (or, with ``slide_duration``, hopping) window
+    aggregate with late-data watermark.
 
-    The batch twin is ``operators.sessionize.tumbling_agg`` — identical
-    F.window call, so batch results validate the streaming plan.
+    The batch twin is ``operators.sessionize.tumbling_agg`` /
+    ``queries_ext.q_sliding_windows`` — identical F.window call, so batch
+    results validate the streaming plan.
     """
     group_cols = group_cols or ["event_type"]
+    win = (
+        F.window(ts_col, window_duration, slide_duration)
+        if slide_duration
+        else F.window(ts_col, window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window_duration).alias("w"), *group_cols)
+        .groupBy(win.alias("w"), *group_cols)
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
     )

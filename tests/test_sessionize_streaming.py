@@ -72,3 +72,48 @@ def test_streaming_matches_batch(spark, sf_dir):
         for r in spark.table("sg_test_stream").collect()
     }
     assert got == expected
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """Hopping windows (10 min / 5 min slide) through the STREAMING path
+    must reproduce the batch F.window plan — each event in exactly 2
+    windows on both paths."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    expected = {
+        (r.w_start, r.event_type): r.n_events
+        for r in (
+            batch.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+            .collect()
+        )
+    }
+    assert sum(expected.values()) == 2 * batch.count()  # 2 windows per event
+
+    src = tempfile.mkdtemp(prefix="sg_slide_test_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = stream_files(spark, src, raw.schema)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(
+        stream.drop("__source_file"),
+        window_duration="10 minutes",
+        slide_duration="5 minutes",
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sg_slide_stream")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_slide_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("sg_slide_stream").collect()
+    }
+    assert got == expected
