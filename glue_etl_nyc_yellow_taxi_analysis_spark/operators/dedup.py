@@ -244,3 +244,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation → (u, label) with
+    label = smallest node id in the component.
+
+    Each iteration is ONE shuffle (neighbor-join + min-aggregate); the loop
+    runs until a fixpoint, bounded by ``max_iter``.  Iterations needed =
+    graph diameter — near-dup graphs are unions of small cliques, so 2-3 in
+    practice.  `localCheckpoint` truncates the growing lineage each round
+    (on a cluster with a checkpoint dir, `checkpoint()` — same call shape).
+    For web-scale graphs with long chains, the two-phase large-star/
+    small-star variant (Kiveris et al.) halves the rounds; the propagation
+    core is identical.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v2"), F.col("v") == F.col("v2"))
+            .select("u", "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "u")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -759,3 +759,209 @@ ORACLE_EXT.update(
         "q_sql_order_priority": ORDER_PRIORITY_CHECK_SQL,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: warehouse evolution (SCD2, merge), JSON roundtrip, null-safe join
+# --------------------------------------------------------------------------
+
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension history from a change log: each event closes
+    the previous validity window for its (user, type) and opens a new one.
+    One shuffle on the business key (operators/scd.py)."""
+    from .operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dim_key", F.concat_ws("|", "user_id", "event_type")
+    )
+    return scd2_history(
+        ev,
+        key_col="dim_key",
+        ts_col="ts",
+        attr_cols=["value"],
+        tiebreak_col="event_id",
+    )
+
+
+SQL_SCD2_HISTORY = """
+SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS dim_key,
+       value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+def q_upsert_merge(spark, sf_dir):
+    """MERGE/upsert semantics on plain parquet snapshots: updates win on
+    key collision, new keys append (operators/merge.py — left-anti +
+    unionByName; the small update side broadcasts, the base never
+    shuffles)."""
+    from .operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    updates = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return merge_upsert(o, updates.unionByName(inserts), keys=["o_orderkey"])
+
+
+SQL_UPSERT_MERGE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+), upd AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+           o_orderpriority
+    FROM base WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'N', o_totalprice, o_orderpriority
+    FROM base WHERE o_orderkey % 1000 = 0
+)
+SELECT * FROM upd
+UNION ALL
+SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+"""
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """Structured → JSON → structured roundtrip: to_json(struct) then
+    from_json with an explicit schema.  Doubles survive exactly (shortest
+    decimal representation parses back bit-identical); the JSON string
+    itself never reaches the output (engines format JSON differently)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = "struct<event_id:bigint,event_type:string,value:double>"
+    j = F.to_json(F.struct("event_id", "event_type", "value"))
+    parsed = F.from_json(j, schema)
+    return ev.select(
+        "event_id",
+        parsed.getField("event_type").alias("parsed_type"),
+        parsed.getField("value").alias("parsed_value"),
+        F.get_json_object(j, "$.event_type").alias("extracted_type"),
+    )
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT event_id,
+       event_type AS parsed_type,
+       value AS parsed_value,
+       event_type AS extracted_type
+FROM events
+"""
+
+
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL keys — a real join variant plain equi joins cannot express (they
+    drop NULL keys).  Still hash-joinable: Catalyst broadcasts the 3-row
+    dim."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("status_n"))
+    dim = (
+        left.groupBy("status_n")
+        .agg(F.count("*").alias("n_in_status"))
+        .withColumnRenamed("status_n", "dim_status_n")
+    )
+    return left.join(
+        F.broadcast(dim), F.col("status_n").eqNullSafe(F.col("dim_status_n")), "inner"
+    ).select("o_orderkey", "status_n", "n_in_status")
+
+
+SQL_JOIN_NULL_SAFE = """
+WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_n FROM orders),
+     d AS (SELECT status_n, COUNT(*) AS n_in_status FROM l GROUP BY status_n)
+SELECT l.o_orderkey, l.status_n, d.n_in_status
+FROM l JOIN d ON l.status_n IS NOT DISTINCT FROM d.status_n
+"""
+
+
+QUERIES_EXT.update(
+    {
+        "q_scd2_history": q_scd2_history,
+        "q_upsert_merge": q_upsert_merge,
+        "q_json_roundtrip": q_json_roundtrip,
+        "q_join_null_safe": q_join_null_safe,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        "q_scd2_history": SQL_SCD2_HISTORY,
+        "q_upsert_merge": SQL_UPSERT_MERGE,
+        "q_json_roundtrip": SQL_JSON_ROUNDTRIP,
+        "q_join_null_safe": SQL_JOIN_NULL_SAFE,
+    }
+)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    3-gram-Jaccard candidate graph (min-label propagation, one shuffle per
+    round, diameter-bounded).  Every document gets a cluster id (its
+    component's smallest doc_id; singletons cluster with themselves) and a
+    cluster size — the canonical keep-one-per-cluster dedup driver."""
+    from .operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "source", "lang")
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", block_col="block", n=3, threshold=0.5
+    )
+    comp = dd.connected_components(pairs, src="id_a", dst="id_b")
+    out = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["u"], "left")
+        .select(
+            "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select("doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, source || '|' || lang AS block,
+           list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+    FROM (SELECT doc_id, source, lang, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+), pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+                    ELSE 0.0 END AS jaccard_sim
+        FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+    WHERE jaccard_sim >= 0.5
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+), comp AS (
+    SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS cluster_size
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+QUERIES_EXT["q_dedup_clusters"] = q_dedup_clusters
+ORACLE_EXT["q_dedup_clusters"] = SQL_DEDUP_CLUSTERS
