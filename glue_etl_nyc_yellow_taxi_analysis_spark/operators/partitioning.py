@@ -51,3 +51,13 @@ def explode_salt(dim: DataFrame, buckets: int, salt_col: str = "__salt") -> Data
 def coalesce_output(df: DataFrame, max_partitions: int) -> DataFrame:
     """Cap output file count before a sink (no shuffle — narrow coalesce)."""
     return df.coalesce(max_partitions)
+
+
+def range_partition_sorted(df: DataFrame, cols: list[str], num_partitions: int) -> DataFrame:
+    """Range-partition + sort within partitions on the same keys — the
+    write-side layout for parquet data skipping: row-group min/max stats
+    become disjoint, so later range predicates prune at the footer level.
+    One sampling pass (range boundaries) + one shuffle; the sort folds into
+    the shuffle's sort-based writer, no extra exchange (asserted in
+    test_plans.py)."""
+    return df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)

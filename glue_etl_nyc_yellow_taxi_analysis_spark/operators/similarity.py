@@ -242,3 +242,93 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, score every
+    row against all k centroids in one JVM pass, arg-min by (distance,
+    cluster) struct — deterministic under ties.  Adds ``cluster``."""
+    cand = embeddings.crossJoin(
+        F.broadcast(cents.select(F.col("cluster").alias("__c"), "centroid"))
+    ).withColumn(
+        "__dist",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    best = F.min(F.struct(F.col("__dist").alias("d"), F.col("__c").alias("c")))
+    assigned = (
+        cand.groupBy(id_col)
+        .agg(best.getField("c").alias("cluster"))
+    )
+    return embeddings.join(assigned, id_col)
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Lloyd's k-means on a DataFrame — the IVF coarse-quantizer trainer.
+
+    Deterministic init (k rows with the smallest ids — reproducible across
+    runs and partitionings, unlike sampling).  Each iteration: broadcast
+    k×dim centroids, one assignment pass, one (cluster × dim)-cell shuffle
+    to re-average (``centroids_by``).  Converges when no assignment moves
+    more than ``tol`` in centroid space; lineage is truncated per round.
+    Returns (cluster, centroid, n_points).
+    """
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[1], [float(x) for x in t[0].centroid]))
+        .toDF(["cluster", "centroid"])
+    )
+    cents = init.localCheckpoint()
+    for _ in range(max_iter):
+        assigned = assign_clusters(
+            embeddings.drop("cluster"), cents, id_col, vec_col
+        )
+        new_cents = centroids_by(assigned, "cluster", vec_col).localCheckpoint()
+        moved = (
+            new_cents.join(cents.withColumnRenamed("centroid", "old"), "cluster")
+            .withColumn(
+                "shift",
+                F.aggregate(
+                    F.zip_with(
+                        "centroid", "old", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .agg(F.max("shift"))
+            .collect()[0][0]
+        )
+        cents = new_cents
+        if moved is not None and moved < tol * tol:
+            break
+    sizes = (
+        assign_clusters(embeddings, cents, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return cents.join(sizes, "cluster", "left").fillna(0, subset=["n_points"])

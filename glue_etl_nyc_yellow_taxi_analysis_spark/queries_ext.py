@@ -15,6 +15,8 @@ every output column is aliased identically on both sides.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -965,3 +967,77 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 QUERIES_EXT["q_dedup_clusters"] = q_dedup_clusters
 ORACLE_EXT["q_dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
+# --------------------------------------------------------------------------
+# Batch 4: iterative k-means trainer + stream-stream interval join
+# --------------------------------------------------------------------------
+
+def q_kmeans_train(spark, sf_dir):
+    """Lloyd's k-means over the embeddings table (the IVF coarse-quantizer
+    trainer, operators/similarity.kmeans_train): deterministic smallest-id
+    init, broadcast-centroid assignment passes, (cluster × dim)-cell
+    re-average shuffles, fixpoint detection.  Iterative — not SQL-
+    expressible; rows-only check (cluster count, sizes sum to corpus)."""
+    from .operators.similarity import kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_train(emb, k=8, max_iter=5)
+    return out.select(
+        "cluster",
+        "n_points",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("centroid", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+            4,
+        ).alias("centroid_norm"),
+    )
+
+
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks ⋈ views within 10 minutes per
+    user) through Structured Streaming with watermarked state expiry —
+    aggregated to per-user pair counts.  Rows-only (streaming execution);
+    parity with the batch twin is asserted in tests."""
+    import os
+
+    from .streaming.ingest import interval_join_streams, stream_files
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="sg_sjoin_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def one_side(event_type):
+        from pyspark.sql import types as T
+
+        s = stream_files(spark, src_dir, raw_schema)
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.drop("__source_file").filter(F.col("event_type") == event_type)
+
+    joined = interval_join_streams(one_side("click"), one_side("view"))
+    sink = "sg_stream_join"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_sjoin_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+QUERIES_EXT["q_kmeans_train"] = q_kmeans_train
+QUERIES_EXT["q_stream_join"] = q_stream_join

@@ -180,3 +180,34 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right-side events within ``gap`` BEFORE each left event, same key.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark can expire join state — without the time
+    bound, stream-stream join state grows forever.  Batch twin: the same
+    join expression on static DataFrames (parity-tested)."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.{ts_col} BETWEEN l.{ts_col} - INTERVAL {gap} AND l.{ts_col}"
+    )
+    return (
+        l.withWatermark(ts_col, watermark)
+        .join(r.withWatermark(ts_col, watermark), cond, "inner")
+        .select(
+            F.col(f"l.{key}").alias(key),
+            F.col(f"l.{ts_col}").alias("l_ts"),
+            F.col(f"r.{ts_col}").alias("r_ts"),
+        )
+    )

@@ -99,3 +99,17 @@ def test_moving_avg_prereduces_before_window(spark, sf_dir):
     win_id = min(int(m) for m in re.findall(r"\((\d+)\) Window", plan))
     assert agg_id < win_id
     assert plan.count("+- Exchange") == 2
+
+
+def test_range_partition_sorted_layout(spark, sf_dir):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.partitioning import (
+        range_partition_sorted,
+    )
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_orderkey")
+    plan = _plan(range_partition_sorted(li, ["l_shipdate"], 8))
+    # range exchange (sampled boundaries) + in-partition sort, ONE exchange
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("+- Exchange") == 1
+    assert "Sort " in plan or "Sort [" in plan

@@ -117,3 +117,50 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
         for r in spark.table("sg_slide_stream").collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join == the same join expression
+    on static frames."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.streaming.ingest import (
+        interval_join_streams,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks = ev.filter(F.col("event_type") == "click").alias("l")
+    views = ev.filter(F.col("event_type") == "view").alias("r")
+    expected = sorted(
+        tuple(r)
+        for r in clicks.join(
+            views,
+            F.expr(
+                "l.user_id = r.user_id AND "
+                "r.ts BETWEEN l.ts - INTERVAL 10 minutes AND l.ts"
+            ),
+        )
+        .select(F.col("l.user_id"), F.col("l.ts"), F.col("r.ts"))
+        .collect()
+    )
+
+    src = tempfile.mkdtemp(prefix="sg_sjoin_test_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    def side(et):
+        s = stream_files(spark, src, raw.schema)
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.drop("__source_file").filter(F.col("event_type") == et)
+
+    joined = interval_join_streams(side("click"), side("view"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sg_sjoin_parity")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_sjoin_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("sg_sjoin_parity").collect())
+    assert got == expected

@@ -72,3 +72,19 @@ def test_centroids_shape(spark, sf_dir):
     cents = similarity.centroids_by(emb).collect()
     assert len(cents) == 10
     assert all(len(c.centroid) == 64 for c in cents)
+
+
+def test_kmeans_deterministic_and_partitions_corpus(spark, sf_dir):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_train(emb, k=4, max_iter=3).collect()
+    b = kmeans_train(emb, k=4, max_iter=3).collect()
+    assert len(a) == 4
+    assert sum(r.n_points for r in a) == emb.count()  # total assignment
+    # deterministic init + deterministic tie-breaks -> identical runs
+    ca = {r.cluster: (r.n_points, [round(x, 9) for x in r.centroid]) for r in a}
+    cb = {r.cluster: (r.n_points, [round(x, 9) for x in r.centroid]) for r in b}
+    assert ca == cb
