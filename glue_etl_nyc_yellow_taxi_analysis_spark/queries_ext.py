@@ -1041,3 +1041,229 @@ def q_stream_join(spark, sf_dir):
 
 QUERIES_EXT["q_kmeans_train"] = q_kmeans_train
 QUERIES_EXT["q_stream_join"] = q_stream_join
+
+
+# --------------------------------------------------------------------------
+# Batch 5: file-format roundtrips, SQL DDL, and LLM-pipeline text ops
+# --------------------------------------------------------------------------
+
+def q_jsonl_source(spark, sf_dir):
+    """JSON-lines sink + source roundtrip: write events as JSONL, read back
+    with an explicit schema (never inferred — schema inference is a full
+    extra pass at scale), aggregate.  Doubles survive the text roundtrip
+    exactly (shortest-decimal representation)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out_dir = tempfile.mkdtemp(prefix="sg_jsonl_") + "/data"
+    ev.coalesce(4).write.mode("overwrite").json(out_dir)
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        out_dir
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+SQL_JSONL_SOURCE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {DSUM_SQL.format(col='value')} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source roundtrip (the second columnar format the engine
+    speaks natively); same explicit-schema discipline as JSONL."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out_dir = tempfile.mkdtemp(prefix="sg_orc_") + "/data"
+    ev.coalesce(4).write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("event_type").agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT event_type, MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_sql_ctas(spark, sf_dir):
+    """SQL DDL surface: CREATE TABLE AS SELECT into the session catalog
+    (the Glue-Catalog-registration path as plain SQL), read back by name.
+    Re-runnable: drops first."""
+    from .sql import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    spark.sql("CREATE DATABASE IF NOT EXISTS sg_ctas")
+    spark.sql("DROP TABLE IF EXISTS sg_ctas.priority_summary")
+    # a fresh metastore + persistent warehouse dir can leave an orphaned
+    # managed-table location the DROP above doesn't know about — scrub it
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/sg_ctas.db/priority_summary", ignore_errors=True)
+    spark.sql(
+        """CREATE TABLE sg_ctas.priority_summary USING PARQUET AS
+           SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                      AS sum_price
+           FROM orders GROUP BY o_orderpriority"""
+    )
+    return spark.table("sg_ctas.priority_summary")
+
+
+SQL_CTAS = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Training-data chunking: overlapping fixed-size token windows
+    (50 tokens, stride 40) per document — generator + slice, zero shuffles,
+    the canonical context-window prep step."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(40)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, 50))
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+SQL_DOC_CHUNK = f"""
+WITH t AS (
+    SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), 40)) AS st
+    FROM t
+)
+SELECT doc_id,
+       st // 40 AS chunk_idx,
+       len(list_slice(toks, st + 1, st + 50)) AS n_tokens,
+       array_to_string(list_slice(toks, st + 1, st + 50), ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_tf_idf(spark, sf_dir):
+    """TF-IDF top-3 terms per document: token explode → per-(doc, term)
+    counts → document frequency join → ln(N/df) weighting → windowed top-k.
+    Corpus size N rides along as a broadcast 1-row aggregate (no driver
+    collect)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rank")
+    )
+
+
+SQL_TF_IDF = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKS_SQL.format(c='text')}) AS tok FROM documents
+), tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, tok) AS rank
+    FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_text_scrub(spark, sf_dir):
+    """PII-style scrubbing battery: mask email-shaped and numeric runs,
+    count the masked spans (regexp_count / regexp_extract_all) — one JVM
+    regex pass, the standard pre-training cleanup shape."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    lowered = F.lower(F.col("text"))
+    masked = F.regexp_replace(
+        F.regexp_replace(lowered, email, "<EMAIL>"), r"[0-9]+", "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.length(masked).alias("masked_len"),
+        F.regexp_count(lowered, F.lit(email)).alias("n_emails"),
+        F.regexp_count(lowered, F.lit(r"[0-9]+")).alias("n_num_runs"),
+        F.substring(masked, 1, 80).alias("masked_prefix"),
+    )
+
+
+SQL_TEXT_SCRUB = r"""
+SELECT doc_id,
+       length(regexp_replace(regexp_replace(lower(text),
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]+', '<NUM>', 'g')) AS masked_len,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num_runs,
+       substring(regexp_replace(regexp_replace(lower(text),
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g'), 1, 80) AS masked_prefix
+FROM documents
+"""
+
+
+QUERIES_EXT.update(
+    {
+        "q_jsonl_source": q_jsonl_source,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_sql_ctas": q_sql_ctas,
+        "q_doc_chunk": q_doc_chunk,
+        "q_tf_idf": q_tf_idf,
+        "q_text_scrub": q_text_scrub,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        "q_jsonl_source": SQL_JSONL_SOURCE,
+        "q_orc_roundtrip": SQL_ORC_ROUNDTRIP,
+        "q_sql_ctas": SQL_CTAS,
+        "q_doc_chunk": SQL_DOC_CHUNK,
+        "q_tf_idf": SQL_TF_IDF,
+        "q_text_scrub": SQL_TEXT_SCRUB,
+    }
+)
