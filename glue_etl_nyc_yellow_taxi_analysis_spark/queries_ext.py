@@ -1267,3 +1267,34 @@ ORACLE_EXT.update(
         "q_text_scrub": SQL_TEXT_SCRUB,
     }
 )
+
+
+def q_groupwise_zscore(spark, sf_dir):
+    """applyInPandas grouped-map operator: per-nation z-scores of customer
+    balances, numpy inside, Arrow both directions (operators/pandas_ops).
+    Oracle is the pure-SQL window twin — proving the Python escape hatch
+    agrees with the JVM math."""
+    from .operators.pandas_ops import groupwise_zscore
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "nation_key", F.col("c_nationkey").cast("string")
+    )
+    return groupwise_zscore(
+        c, group_col="nation_key", value_col="c_acctbal", id_col="c_custkey"
+    )
+
+
+SQL_GROUPWISE_ZSCORE = """
+SELECT CAST(c_nationkey AS VARCHAR) AS nation_key,
+       c_custkey,
+       c_acctbal,
+       CASE WHEN stddev_samp(c_acctbal) OVER w > 0
+            THEN ROUND((c_acctbal - avg(c_acctbal) OVER w)
+                       / stddev_samp(c_acctbal) OVER w, 6)
+            ELSE 0.0 END AS zscore
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey)
+"""
+
+QUERIES_EXT["q_groupwise_zscore"] = q_groupwise_zscore
+ORACLE_EXT["q_groupwise_zscore"] = SQL_GROUPWISE_ZSCORE
