@@ -1747,3 +1747,9 @@ from .queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE.update(ORACLE_EXT)
+
+# extended inventory II (time-series/behavioral/maintenance) — queries_ext2.py
+from .queries_ext2 import ORACLE_EXT2, QUERIES_EXT2  # noqa: E402
+
+QUERIES.update(QUERIES_EXT2)
+ORACLE.update(ORACLE_EXT2)

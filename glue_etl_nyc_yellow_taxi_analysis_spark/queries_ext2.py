@@ -1,0 +1,467 @@
+"""Extended query inventory II — time-series, behavioral, and maintenance ops.
+
+Second widening batch beyond `queries_ext.py`: calendar gap-fill with
+forward-fill (keyed time-series repair), event funnels, numerically
+reproducible rolling anomaly detection, edit-distance fuzzy matching,
+cohort retention matrices, deterministic stratified sampling, and
+incremental (mergeable partial) aggregate maintenance — the
+materialized-view pattern a warehouse needs for month-over-month loads
+(reference reprocesses one month per run:
+glue_job_scripts/etl-glue-nyc-yellow-data-model.py:358-371).
+
+Cross-engine determinism rules (see queries.py docstring) apply: double
+sums via DECIMAL(18,4); rolling std derived from decimal moment sums, not
+floating accumulators; sampling keyed on md5 hex (bit-identical in Spark
+and DuckDB); every output column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import DSUM_SQL, _t, dsum
+
+QUERIES_EXT2 = {}
+ORACLE_EXT2 = {}
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + forward fill
+# --------------------------------------------------------------------------
+
+def q_gap_fill(spark, sf_dir):
+    """Keyed calendar gap-fill: per order-priority daily revenue series with
+    missing days materialized (per-key sequence+explode — no driver loop, no
+    cross join with a global calendar) and revenue forward-filled via
+    last(..., ignorenulls) over a running frame.
+
+    Scale shape: one shuffle on the series key for the window; the calendar
+    explode is generated map-side per key.  At 100 TB the key count is what
+    matters (windows parallelize per key), not the series length.
+    """
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.col("o_orderdate").cast("date")
+    )
+    daily = o.groupBy("o_orderpriority", "day").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    span = daily.groupBy("o_orderpriority").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        "o_orderpriority",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(daily, ["o_orderpriority", "day"], "left")
+        .select(
+            "o_orderpriority",
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.last("revenue", ignorenulls=True).over(w).alias("ff_revenue"),
+        )
+    )
+
+
+SQL_GAP_FILL = f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n_orders,
+         {DSUM_SQL.format(col='o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2
+),
+span AS (
+  SELECT o_orderpriority, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+calendar AS (
+  SELECT o_orderpriority,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT c.o_orderpriority, c.day,
+       COALESCE(d.n_orders, 0) AS n_orders,
+       last_value(d.revenue IGNORE NULLS) OVER (
+         PARTITION BY c.o_orderpriority ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_revenue
+FROM calendar c LEFT JOIN daily d
+  ON c.o_orderpriority = d.o_orderpriority AND c.day = d.day
+"""
+
+QUERIES_EXT2["q_gap_fill"] = q_gap_fill
+ORACLE_EXT2["q_gap_fill"] = SQL_GAP_FILL
+
+
+# --------------------------------------------------------------------------
+# Event funnel
+# --------------------------------------------------------------------------
+
+def q_funnel(spark, sf_dir):
+    """Ordered three-stage funnel (view -> click -> purchase) computed from ONE
+    conditional-min aggregation per user — no self-joins, no per-stage
+    passes.  A stage counts only if its first occurrence is strictly after
+    the previous stage's first occurrence (classic funnel semantics).
+
+    Scale shape: one shuffle on user_id for the per-user min-pivot, then a
+    tiny global rollup — the canonical two-level aggregation that survives
+    any fact size.
+    """
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.coalesce(F.col("t_click") > F.col("t_view"), F.lit(False))
+    purchased = clicked & F.coalesce(
+        F.col("t_purchase") > F.col("t_click"), F.lit(False)
+    )
+    staged = per_user.select(
+        viewed.cast("int").alias("s1"),
+        clicked.cast("int").alias("s2"),
+        purchased.cast("int").alias("s3"),
+    )
+    return staged.agg(
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_view_click_purchase"),
+    ).select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.round(F.try_divide(F.col("n_view_click"), F.col("n_view")), 4).alias(
+            "cr_click"
+        ),
+        F.round(
+            F.try_divide(F.col("n_view_click_purchase"), F.col("n_view_click")), 4
+        ).alias("cr_purchase"),
+    )
+
+
+SQL_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT CAST(t_view IS NOT NULL AS INTEGER) AS s1,
+         CAST(COALESCE(t_click > t_view, FALSE) AND t_view IS NOT NULL
+              AS INTEGER) AS s2,
+         CAST(COALESCE(t_purchase > t_click, FALSE)
+              AND COALESCE(t_click > t_view, FALSE) AND t_view IS NOT NULL
+              AS INTEGER) AS s3
+  FROM per_user
+)
+SELECT SUM(s1) AS n_view, SUM(s2) AS n_view_click,
+       SUM(s3) AS n_view_click_purchase,
+       ROUND(CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0), 4) AS cr_click,
+       ROUND(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0), 4) AS cr_purchase
+FROM staged
+"""
+
+QUERIES_EXT2["q_funnel"] = q_funnel
+ORACLE_EXT2["q_funnel"] = SQL_FUNNEL
+
+
+# --------------------------------------------------------------------------
+# Rolling anomaly detection (reproducible rolling std)
+# --------------------------------------------------------------------------
+
+# Rolling mean/std over the trailing frame, derived from DECIMAL moment sums
+# (n, Σx, Σx²) instead of floating accumulators: sliding-frame float
+# aggregation is order/implementation-dependent (Spark incrementally
+# adds/removes frame edges), decimal sums are exact, so mean/std — and the
+# anomaly verdict — are bit-stable across engines and partitionings.
+#
+# Two portability rules learned the hard way:
+# - Σx² is down-cast to DECIMAL(18,4) per row so the window sum's scaled
+#   integer stays below 2^53 — above that, decimal→double conversion is
+#   engine-dependent at the last ulp.
+# - mu/sd are NOT engine-rounded: identical exact decimals → identical
+#   doubles → identical IEEE divide/sqrt on both engines.  Engine round()
+#   implementations disagree on x.xxxx5 doubles (Spark rounds the
+#   shortest decimal repr HALF_UP; DuckDB scales and truncates the raw
+#   binary), so rounding is left to the comparison layer.
+_FRAME = 20  # trailing window (rows), excludes the current row
+_MIN_N = 8  # minimum history before flagging
+_SIGMA = 2.0
+
+
+def q_rolling_anomaly(spark, sf_dir):
+    """Per-user rolling anomaly flags: value vs mean±2σ of the previous 20
+    events.  One shuffle on user_id; the window frame is rows-based with a
+    unique (ts, event_id) order so results are deterministic.
+
+    σ is computed from exact decimal moments — see module comment — the
+    pattern to copy whenever a sliding float aggregate must be reproducible.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_FRAME, -1)
+    )
+    vdec = F.col("value").cast("decimal(18,4)")
+    vsq = (vdec * vdec).cast("decimal(18,4)")
+    moments = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(vdec).over(w).alias("s1"),
+        F.sum(vsq).over(w).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        moments.filter(F.col("n") >= _MIN_N)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            mu.alias("mu"),
+            sd.alias("sd"),
+        )
+        .filter(F.abs(F.col("value") - F.col("mu")) > _SIGMA * F.col("sd"))
+    )
+
+
+SQL_ROLLING_ANOMALY = f"""
+WITH moments AS (
+  SELECT event_id, user_id, value,
+         COUNT(value) OVER w AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) OVER w AS s1,
+         SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                  AS DECIMAL(18,4))) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_FRAME} PRECEDING AND 1 PRECEDING)
+),
+stats AS (
+  SELECT event_id, user_id, value,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         SQRT(GREATEST((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1),
+               0.0)) AS sd
+  FROM moments WHERE n >= {_MIN_N}
+)
+SELECT event_id, user_id, value, mu, sd
+FROM stats WHERE ABS(value - mu) > {_SIGMA} * sd
+"""
+
+QUERIES_EXT2["q_rolling_anomaly"] = q_rolling_anomaly
+ORACLE_EXT2["q_rolling_anomaly"] = SQL_ROLLING_ANOMALY
+
+
+# --------------------------------------------------------------------------
+# Edit-distance fuzzy matching
+# --------------------------------------------------------------------------
+
+def q_edit_distance(spark, sf_dir):
+    """Blocked fuzzy matching: part names compared by Levenshtein distance
+    WITHIN brand blocks (p_brand equi-key) — the blocking key turns an
+    O(n²) all-pairs comparison into an equi-join plus per-block pairs, the
+    standard entity-resolution shape.  levenshtein() is a JVM built-in on
+    both engines (no UDF).
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 10)
+    )
+
+
+SQL_EDIT_DISTANCE = """
+SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+"""
+
+QUERIES_EXT2["q_edit_distance"] = q_edit_distance
+ORACLE_EXT2["q_edit_distance"] = SQL_EDIT_DISTANCE
+
+
+# --------------------------------------------------------------------------
+# Cohort retention
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted in each subsequent month they ordered.  Month arithmetic is
+    integer (y*12+m) — identical in both engines, no fractional
+    months_between.
+
+    Scale shape: first-order month is a min-aggregate on custkey (one
+    shuffle), the matrix a second small aggregate; the fact is touched
+    twice but only (custkey, month) wide.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("month_idx"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("month_idx").alias("cohort_idx"))
+    return (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            ((F.col("cohort_idx") / 12).cast("int")).alias("cohort_year"),
+            (F.col("cohort_idx") % 12 + 1).alias("cohort_month"),
+            (F.col("month_idx") - F.col("cohort_idx")).alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH o AS (
+  SELECT o_custkey,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS month_idx
+  FROM orders
+),
+cohort AS (
+  SELECT o_custkey, MIN(month_idx) AS cohort_idx FROM o GROUP BY o_custkey
+)
+-- `//`: DuckDB CAST(double AS INTEGER) rounds half-even (Spark truncates) —
+-- integer division is the portable spelling of month-index -> year.
+SELECT CAST(cohort_idx // 12 AS INTEGER) AS cohort_year,
+       cohort_idx % 12 + 1 AS cohort_month,
+       month_idx - cohort_idx AS months_since,
+       COUNT(DISTINCT o.o_custkey) AS n_active
+FROM o JOIN cohort ON o.o_custkey = cohort.o_custkey
+GROUP BY 1, 2, 3
+"""
+
+QUERIES_EXT2["q_cohort_retention"] = q_cohort_retention
+ORACLE_EXT2["q_cohort_retention"] = SQL_COHORT_RETENTION
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+# Per-stratum keep-rates, expressed as an md5-hex prefix threshold: a row is
+# kept iff the first 4 hex chars of md5(key) sort below the threshold.
+# 0x8000/0x10000 = 50%, 0x4000 = 25%, 0x0ccd ≈ 5%.  md5 hex is bit-identical
+# in Spark and DuckDB (and any other engine), so the SAMPLE ITSELF — not
+# just its statistics — is reproducible everywhere, unlike rand()-based
+# sampling.  This is the sampling you want for training-data splits: stable
+# under re-runs, re-partitioning, and engine migration.
+_STRATA = {"O": "8000", "F": "4000", "P": "0ccd"}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample of orders by status (O 50% / F 25% /
+    P 5%) keyed on md5(o_orderkey).  The strata table is a literal
+    broadcast; the filter is a pure map — no shuffle, no rand(), fully
+    pushdown-friendly at any scale.
+    """
+    rates = F.create_map(
+        *[x for k, v in _STRATA.items() for x in (F.lit(k), F.lit(v))]
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 4),
+        )
+        .filter(F.col("bucket") < rates[F.col("o_orderstatus")])
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "bucket")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS bucket
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+      CASE o_orderstatus WHEN 'O' THEN '8000' WHEN 'F' THEN '4000'
+                         WHEN 'P' THEN '0ccd' END
+"""
+
+QUERIES_EXT2["q_stratified_sample"] = q_stratified_sample
+ORACLE_EXT2["q_stratified_sample"] = SQL_STRATIFIED_SAMPLE
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partials)
+# --------------------------------------------------------------------------
+
+_CUTOFF = "1999-01-01"
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Materialized-aggregate maintenance: the history partition's partial
+    aggregate (UNROUNDED decimal sums + counts) merged with the new
+    partition's partial, re-aggregated — and the result equals a full
+    recompute (the oracle).  This is the month-over-month load pattern the
+    reference runs (one month per job run): keep partials per partition,
+    merge on load, never rescan history.
+
+    The partial state must be the MERGEABLE form (sum, count — not avg, not
+    rounded) — rounding or averaging before the merge breaks associativity.
+    """
+    o = _t(spark, sf_dir, "orders")
+    raw_sum = F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+
+    def partial(df):
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n"), raw_sum.alias("s")
+        )
+
+    hist = partial(o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")))
+    fresh = partial(o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp")))
+    return (
+        hist.unionByName(fresh)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s_total"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.round("s_total", 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_INCREMENTAL_AGG = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+QUERIES_EXT2["q_incremental_agg"] = q_incremental_agg
+ORACLE_EXT2["q_incremental_agg"] = SQL_INCREMENTAL_AGG
