@@ -465,3 +465,81 @@ GROUP BY o_orderstatus, o_orderpriority
 
 QUERIES_EXT2["q_incremental_agg"] = q_incremental_agg
 ORACLE_EXT2["q_incremental_agg"] = SQL_INCREMENTAL_AGG
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key
+# --------------------------------------------------------------------------
+
+_ZBITS = 8
+
+
+def q_zorder_code(spark, sf_dir):
+    """The Z-order clustering key itself, as a query: bucketize
+    (o_totalprice, o_custkey) against global min/max and interleave bits
+    (operators/layout.morton_code).  Pure integer shift/mask arithmetic —
+    the DuckDB oracle runs the identical expression, proving the layout
+    key is engine-portable (a cluster written by this engine prunes
+    correctly when read by any other).
+
+    ``zorder_layout`` wraps this key with repartitionByRange + sort for
+    the write path; clustering quality is asserted in tests/test_layout.py
+    via parquet footer stats.
+    """
+    from .operators.layout import bucketize, morton_code
+
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_totalprice").cast("double")).alias("mn1"),
+        F.max(F.col("o_totalprice").cast("double")).alias("mx1"),
+        F.min(F.col("o_custkey").cast("double")).alias("mn2"),
+        F.max(F.col("o_custkey").cast("double")).alias("mx2"),
+    )
+    nb = 2**_ZBITS
+    keyed = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        bucketize(F.col("o_totalprice").cast("double"), F.col("mn1"), F.col("mx1"), nb).alias("bx"),
+        bucketize(F.col("o_custkey").cast("double"), F.col("mn2"), F.col("mx2"), nb).alias("by"),
+    )
+    return keyed.select(
+        "o_orderkey",
+        "bx",
+        "by",
+        morton_code([F.col("bx"), F.col("by")], _ZBITS).alias("zkey"),
+    )
+
+
+def _interleave_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_BUCKET_SQL = (
+    "LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - {mn}) / ({mx} - {mn})"
+    f" * {2**_ZBITS}) AS INTEGER), 0), {2**_ZBITS - 1})"
+)
+
+SQL_ZORDER_CODE = f"""
+WITH bounds AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+         MIN(CAST(o_custkey AS DOUBLE)) AS mn2,
+         MAX(CAST(o_custkey AS DOUBLE)) AS mx2
+  FROM orders
+),
+keyed AS (
+  SELECT o_orderkey,
+         {_BUCKET_SQL.format(c='o_totalprice', mn='mn1', mx='mx1')} AS bx,
+         {_BUCKET_SQL.format(c='o_custkey', mn='mn2', mx='mx2')} AS by
+  FROM orders, bounds
+)
+SELECT o_orderkey, bx, by,
+       CAST({_interleave_sql('bx', 'by', _ZBITS)} AS BIGINT) AS zkey
+FROM keyed
+"""
+
+QUERIES_EXT2["q_zorder_code"] = q_zorder_code
+ORACLE_EXT2["q_zorder_code"] = SQL_ZORDER_CODE
