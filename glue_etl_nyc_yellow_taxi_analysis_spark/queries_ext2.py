@@ -543,3 +543,130 @@ FROM keyed
 
 QUERIES_EXT2["q_zorder_code"] = q_zorder_code
 ORACLE_EXT2["q_zorder_code"] = SQL_ZORDER_CODE
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join
+# --------------------------------------------------------------------------
+
+_PIT_DATES = ["2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+
+
+def q_scd2_pit(spark, sf_dir):
+    """Point-in-time lookup against the SCD2 history (q_scd2_history's
+    output): for each (dim_key, as_of) probe, the attribute version whose
+    validity window contains the probe instant — the temporal join every
+    Kimball warehouse needs for 'as it was then' reporting.
+
+    Shape: equi-join on the business key + interval-containment residual;
+    Spark plans the equi part as a hash/sort-merge join and applies the
+    range predicate post-join — no interval explosion, no window rescan.
+    """
+    from .operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dim_key", F.concat_ws("|", "user_id", "event_type")
+    )
+    hist = scd2_history(
+        ev, key_col="dim_key", ts_col="ts", attr_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    probes = (
+        ev.select("dim_key")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(d,) for d in _PIT_DATES], "as_of_str string"
+                ).select(
+                    F.col("as_of_str").cast("timestamp_ntz").alias("as_of")
+                )
+            )
+        )
+    )
+    return probes.join(
+        hist,
+        (probes.dim_key == hist.dim_key)
+        & (hist.valid_from <= probes.as_of)
+        & (hist.valid_to.isNull() | (hist.valid_to > probes.as_of)),
+    ).select(probes.dim_key, "as_of", "value")
+
+
+SQL_SCD2_PIT = f"""
+WITH hist AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS dim_key,
+         value, ts AS valid_from, lead(ts) OVER w AS valid_to
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+probes AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS dim_key
+  FROM events
+),
+dates AS (
+  SELECT CAST(d AS TIMESTAMP) AS as_of
+  FROM (VALUES {', '.join(f"('{d}')" for d in _PIT_DATES)}) t(d)
+)
+SELECT p.dim_key, d.as_of, h.value
+FROM probes p CROSS JOIN dates d
+JOIN hist h ON h.dim_key = p.dim_key
+  AND h.valid_from <= d.as_of
+  AND (h.valid_to IS NULL OR h.valid_to > d.as_of)
+"""
+
+QUERIES_EXT2["q_scd2_pit"] = q_scd2_pit
+ORACLE_EXT2["q_scd2_pit"] = SQL_SCD2_PIT
+
+
+# --------------------------------------------------------------------------
+# Median + deterministic mode
+# --------------------------------------------------------------------------
+
+def q_median_mode(spark, sf_dir):
+    """Per-nation median balance (exact interpolated percentile — matches
+    DuckDB's quantile_cont bit-for-bit) and the mode market segment with a
+    DETERMINISTIC tie-break (highest count, then lexicographically
+    smallest value).  Engine-native mode() tie-breaking is unspecified in
+    both Spark and DuckDB — argmax over (count, value) is the
+    reproducible spelling.
+    """
+    c = _t(spark, sf_dir, "customer")
+    med = c.groupBy("c_nationkey").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal")
+    )
+    seg_counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cnt"), F.asc("c_mktsegment")
+    )
+    mode = (
+        seg_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )
+    return med.join(mode, "c_nationkey")
+
+
+SQL_MEDIAN_MODE = """
+WITH med AS (
+  SELECT c_nationkey, ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
+  FROM customer GROUP BY c_nationkey
+),
+seg AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+),
+mode AS (
+  SELECT c_nationkey, c_mktsegment AS mode_segment
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cnt DESC, c_mktsegment) AS rn
+        FROM seg)
+  WHERE rn = 1
+)
+SELECT med.c_nationkey, median_bal, mode_segment
+FROM med JOIN mode ON med.c_nationkey = mode.c_nationkey
+"""
+
+QUERIES_EXT2["q_median_mode"] = q_median_mode
+ORACLE_EXT2["q_median_mode"] = SQL_MEDIAN_MODE

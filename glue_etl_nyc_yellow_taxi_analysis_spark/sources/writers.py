@@ -67,17 +67,22 @@ class JdbcWarehouse(Warehouse):
         self.properties = dict(properties or {})
 
     def table_exists(self, table: str) -> bool:
+        # zero-row probe instead of a catalog query: works on any DBMS
+        # (Postgres like the reference, Derby in tests, ...) — information
+        # schema layouts differ, but SELECT-WHERE-1=0 is universal and the
+        # schema fetch reads no rows
         probe = (
             self.spark.read.format("jdbc")
             .option("url", self.url)
-            .option(
-                "query",
-                f"SELECT tablename FROM pg_catalog.pg_tables WHERE tablename = '{table}'",
-            )
+            .option("query", f"SELECT * FROM {table} WHERE 1 = 0")
         )
         for k, v in self.properties.items():
             probe = probe.option(k, v)
-        return probe.load().count() > 0
+        try:
+            probe.load().schema
+            return True
+        except Exception:
+            return False
 
     def create(self, df: DataFrame, table: str) -> None:
         df.write.jdbc(self.url, table, properties=self.properties)
