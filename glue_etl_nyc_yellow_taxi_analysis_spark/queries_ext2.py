@@ -670,3 +670,155 @@ FROM med JOIN mode ON med.c_nationkey = mode.c_nationkey
 
 QUERIES_EXT2["q_median_mode"] = q_median_mode
 ORACLE_EXT2["q_median_mode"] = SQL_MEDIAN_MODE
+
+
+# --------------------------------------------------------------------------
+# Ad-hoc SQL III: TPC-H Q7 / Q14 / Q19 shapes (dialect-neutral, §3.3)
+# --------------------------------------------------------------------------
+
+_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l.l_shipdate) AS l_year,
+         l.l_extendedprice, l.l_discount
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_volume_shipping(spark, sf_dir):
+    """§3.3 ad-hoc SQL: bidirectional two-nation trade volume by year
+    (TPC-H Q7 shape) — the fact shuffles once for orders⋈lineitem; both
+    nation joins broadcast.  Oracle is the same string."""
+    from .sql import register_views, run_sql
+
+    register_views(
+        spark, sf_dir,
+        tables=("supplier", "lineitem", "orders", "customer", "nation"),
+    )
+    return run_sql(spark, VOLUME_SHIPPING_SQL)
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT CAST(ROUND(
+         100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4))
+                             - CAST(l.l_discount AS DECIMAL(18,4)))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+       4) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q_sql_promo_revenue(spark, sf_dir):
+    """§3.3 ad-hoc SQL: promo revenue share (TPC-H Q14 shape) — decimal
+    sums, one double division at the end.  Oracle is the same string."""
+    from .sql import register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("lineitem", "part"))
+    return run_sql(spark, PROMO_REVENUE_SQL)
+
+
+DISCOUNTED_REVENUE_SQL = f"""
+SELECT CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_sql_discounted_revenue(spark, sf_dir):
+    """§3.3 ad-hoc SQL: disjunctive multi-band predicate revenue (TPC-H
+    Q19 shape).  The OR-of-ANDs stays a single scan+join — Catalyst keeps
+    the common join key equi (hashable) and evaluates the disjunction as
+    a post-join residual.  Oracle is the same string."""
+    from .sql import register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("lineitem", "part"))
+    return run_sql(spark, DISCOUNTED_REVENUE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Streaming watermark dedup (rows-only: streaming execution)
+# --------------------------------------------------------------------------
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once-per-key dedup (dropDuplicatesWithinWatermark —
+    bounded state, unlike plain streaming dropDuplicates) over the events
+    file-stream; output is per-event-type distinct-user counts, which a
+    batch countDistinct reproduces (asserted in tests/test_stream_dedup.py
+    at the row level).  Rows-only: streaming execution has no SQL oracle.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.ingest import dedup_stream, stream_files
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="sg_sdedup_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    s = stream_files(spark, src_dir, raw_schema).drop("__source_file")
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_stream(
+        s, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    )
+    out = tempfile.mkdtemp(prefix="sg_sdedup_out_") + "/rows"
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_sdedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+QUERIES_EXT2["q_stream_dedup"] = q_stream_dedup
+
+QUERIES_EXT2["q_sql_volume_shipping"] = q_sql_volume_shipping
+ORACLE_EXT2["q_sql_volume_shipping"] = VOLUME_SHIPPING_SQL
+QUERIES_EXT2["q_sql_promo_revenue"] = q_sql_promo_revenue
+ORACLE_EXT2["q_sql_promo_revenue"] = PROMO_REVENUE_SQL
+QUERIES_EXT2["q_sql_discounted_revenue"] = q_sql_discounted_revenue
+ORACLE_EXT2["q_sql_discounted_revenue"] = DISCOUNTED_REVENUE_SQL

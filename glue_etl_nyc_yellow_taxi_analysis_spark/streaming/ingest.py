@@ -211,3 +211,21 @@ def interval_join_streams(
             F.col(f"r.{ts_col}").alias("r_ts"),
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    the key's state once the watermark passes its event time — the
+    unbounded-state footgun of plain streaming ``dropDuplicates`` (state
+    grows forever at 100 TB/day) is what this exists to avoid.  Late
+    duplicates inside the watermark are suppressed; duplicates arriving
+    after state expiry are a watermark-sizing decision, not a bug.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
