@@ -49,6 +49,18 @@ HEADLINE = [
     "q_moving_avg",
     "q_sliding_windows",
     "q_sql_local_supplier",
+    # extension-II batch (round 1, appended after first green run —
+    # BASELINE.md carries their first-run numbers in the same table)
+    "q_gap_fill",
+    "q_funnel",
+    "q_rolling_anomaly",
+    "q_cohort_retention",
+    "q_stratified_sample",
+    "q_incremental_agg",
+    "q_zorder_code",
+    "q_scd2_pit",
+    "q_median_mode",
+    "q_sql_volume_shipping",
 ]
 
 
