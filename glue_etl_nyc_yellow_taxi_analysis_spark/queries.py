@@ -1432,14 +1432,17 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_similarity_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH-bucketed ANN (the no-training scale path;
-    brute-force twin q_similarity_topk anchors recall).  With few planes
-    (8) buckets stay populated at test scale.  Approximate → rows-only."""
+    """Multi-table random-hyperplane LSH ANN (the no-training scale path;
+    brute-force twin q_similarity_topk anchors recall, measured by
+    q_ann_recall).  (4 planes, 16 tables) is tuned for the synthetic
+    near-uniform embeddings (top-10 cosine ≈ 0.3 — the hard LSH regime);
+    clustered real embeddings sustain far fewer tables at the same
+    recall.  Approximate → rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_ann_topk(emb, queries, k=10, num_planes=8)
+    return similarity.lsh_ann_topk(emb, queries, k=10, num_planes=4, num_tables=16)
 
 
 def q_similarity_ann_ivf(spark, sf_dir):

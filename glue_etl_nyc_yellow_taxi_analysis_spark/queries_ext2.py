@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .queries import DSUM_SQL, _t, dsum
+from .queries import DSUM_SQL, TOKS_SQL, _t, dsum
 
 QUERIES_EXT2 = {}
 ORACLE_EXT2 = {}
@@ -815,6 +815,95 @@ def q_stream_dedup(spark, sf_dir):
 
 
 QUERIES_EXT2["q_stream_dedup"] = q_stream_dedup
+
+
+# --------------------------------------------------------------------------
+# ANN recall instrumentation
+# --------------------------------------------------------------------------
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
+    top-10, per query vector — the quality dial every approximate index
+    needs next to its speed claim.  Semi-join of the two result sets, then
+    a count ratio; at scale both sides are the (tiny) per-query top-k, so
+    the measurement itself is free.  Rows-only: LSH bucketing isn't
+    SQL-expressible; the exact side IS oracle-checked (q_similarity_topk).
+    """
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.lsh_ann_topk(
+        emb, queries, k=10, num_planes=4, num_tables=16
+    ).select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    # left join (not semi) so a zero-recall query still reports its row
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
+
+
+QUERIES_EXT2["q_ann_recall"] = q_ann_recall
+
+
+# --------------------------------------------------------------------------
+# Bigram statistics
+# --------------------------------------------------------------------------
+
+def q_bigram_topk(spark, sf_dir):
+    """Corpus bigram counts, top-20 (deterministic tiebreak) — the n-gram
+    statistics pass of LM data prep.  Bigrams are built JVM-side by
+    zipping the token array with itself shifted one (arrays_zip over
+    slices — no UDF, no explode-then-self-join), then ONE aggregation.
+    """
+    from .operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+SQL_BIGRAM_TOPK = f"""
+WITH toks AS (
+  SELECT {TOKS_SQL.format(c='text')} AS t FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(
+           list_zip(t[1:len(t)-1], t[2:len(t)]),
+           p -> p[1] || ' ' || p[2])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+QUERIES_EXT2["q_bigram_topk"] = q_bigram_topk
+ORACLE_EXT2["q_bigram_topk"] = SQL_BIGRAM_TOPK
 
 QUERIES_EXT2["q_sql_volume_shipping"] = q_sql_volume_shipping
 ORACLE_EXT2["q_sql_volume_shipping"] = VOLUME_SHIPPING_SQL
