@@ -1756,3 +1756,9 @@ from .queries_ext2 import ORACLE_EXT2, QUERIES_EXT2  # noqa: E402
 
 QUERIES.update(QUERIES_EXT2)
 ORACLE.update(ORACLE_EXT2)
+
+# extended inventory III (TPC-H SQL-shape completion) — queries_ext3.py
+from .queries_ext3 import ORACLE_EXT3, QUERIES_EXT3  # noqa: E402
+
+QUERIES.update(QUERIES_EXT3)
+ORACLE.update(ORACLE_EXT3)

@@ -1,0 +1,349 @@
+"""Extension batch III — TPC-H SQL-shape completion (§3.3 ad-hoc SQL).
+
+Completes the feasible TPC-H suite over the driver testdata.  With the
+shapes already shipped (Q1/Q3/Q4/Q5/Q7/Q14/Q19) this batch brings the
+engine to 16 of the 22 TPC-H queries; the remaining six (Q2/Q9/Q11/Q16/
+Q20 and verbatim Q12) need `partsupp` / `l_commitdate` columns the
+testdata does not carry, so four of them ship here as adapted shapes that
+preserve the plan structure (outer-join distribution, late-supplier
+EXISTS/NOT-EXISTS, country-code anti-join) on the columns that do exist.
+
+Every query runs the SAME dialect-neutral SQL string on Spark and DuckDB
+(the string is its own oracle), with the repo's decimal-exact aggregation
+conventions: double sums through DECIMAL(18,4), threshold comparisons
+multiplied out to exact decimal arithmetic (never `x < avg(...)` on
+floats — summation order differs across engines and flips boundary rows).
+
+Reference: glue_job_scripts/etl-glue-load-to-postgres.py:1 (the
+reference's SQL-over-tables surface; SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+QUERIES_EXT3 = {}
+ORACLE_EXT3 = {}
+
+_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+def _sql_query(name, sql, tables, doc):
+    """Register a same-string-on-both-engines SQL query."""
+
+    def fn(spark, sf_dir, _sql=sql, _tables=tables):
+        from .sql import register_views, run_sql
+
+        register_views(spark, sf_dir, tables=_tables)
+        return run_sql(spark, _sql)
+
+    fn.__name__ = name
+    fn.__qualname__ = name
+    fn.__doc__ = doc
+    QUERIES_EXT3[name] = fn
+    ORACLE_EXT3[name] = sql
+    return fn
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+
+MARKET_SHARE_SQL = """
+SELECT o_year,
+       CAST(ROUND(
+         CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT YEAR(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+           AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_sql_query(
+    "q_sql_market_share",
+    MARKET_SHARE_SQL,
+    ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    """§3.3 ad-hoc SQL: one nation's revenue share within its region by
+    year (TPC-H Q8 shape) — the deepest join tree in the suite (7 tables,
+    nation joined twice).  At scale every dimension side broadcasts; the
+    only shuffle is lineitem⋈orders.  Share is a decimal-exact
+    numerator/denominator with ONE double division at the end.  Oracle is
+    the same string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted) — priority class counts by return flag
+# --------------------------------------------------------------------------
+
+SHIP_PRIORITY_CLASSES_SQL = """
+SELECT l.l_returnflag,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+_sql_query(
+    "q_sql_priority_classes",
+    SHIP_PRIORITY_CLASSES_SQL,
+    ("orders", "lineitem"),
+    """§3.3 ad-hoc SQL: urgent-vs-other order counts per line category
+    (TPC-H Q12 shape; l_returnflag stands in for the l_shipmode column the
+    testdata lacks).  Conditional COUNT(CASE...) is the map-side-combinable
+    form — one shuffle on the join, partial aggregation before it.
+    Oracle is the same string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q13 (adapted) — customer order-count distribution
+# --------------------------------------------------------------------------
+
+CUST_DISTRIBUTION_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_sql_query(
+    "q_sql_cust_distribution",
+    CUST_DISTRIBUTION_SQL,
+    ("customer", "orders"),
+    """§3.3 ad-hoc SQL: how many customers placed how many qualifying
+    orders (TPC-H Q13 shape; the priority filter stands in for the
+    o_comment NOT LIKE the testdata lacks).  The LEFT JOIN keeps
+    zero-order customers in the histogram — COUNT(o_orderkey) counts
+    non-null matches only.  Two aggregations, each map-side combinable.
+    Oracle is the same string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue
+# --------------------------------------------------------------------------
+
+TOP_SUPPLIER_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND({_REV}, 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s.s_suppkey
+"""
+
+_sql_query(
+    "q_sql_top_supplier",
+    TOP_SUPPLIER_SQL,
+    ("supplier", "lineitem"),
+    """§3.3 ad-hoc SQL: supplier(s) with the maximum quarterly revenue
+    (TPC-H Q15 shape).  The CTE is computed once and reused for both the
+    join and the scalar-subquery MAX (Spark materializes it as a reused
+    exchange).  Revenue is decimal-exact then rounded, so the equality
+    against MAX is safe cross-engine.  Oracle is the same string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue
+# --------------------------------------------------------------------------
+
+SMALL_QTY_REVENUE_SQL = """
+WITH part_qty AS (
+  SELECT l_partkey, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT CAST(ROUND(
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0,
+       2) AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_qty pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(18,4)) * pq.cnt * 5 < pq.total_qty
+"""
+
+_sql_query(
+    "q_sql_small_qty_revenue",
+    SMALL_QTY_REVENUE_SQL,
+    ("lineitem", "part"),
+    """§3.3 ad-hoc SQL: average yearly revenue lost if small-quantity
+    orders stopped (TPC-H Q17 shape).  The correlated `l_quantity <
+    0.2*AVG(...)` is decorrelated into a per-part aggregate joined back —
+    one extra map-side-combinable agg instead of a per-row subquery — and
+    the threshold is multiplied out (`qty*cnt*5 < sum`) so the comparison
+    is exact decimal arithmetic on both engines; a float AVG's
+    summation-order ulp can flip boundary rows (quantities here are
+    integral, so `qty == 0.2*avg` genuinely occurs).  Oracle is the same
+    string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers
+# --------------------------------------------------------------------------
+
+LARGE_VOLUME_CUST_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 170
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+_sql_query(
+    "q_sql_large_volume_cust",
+    LARGE_VOLUME_CUST_SQL,
+    ("customer", "orders", "lineitem"),
+    """§3.3 ad-hoc SQL: customers whose orders exceed a total-quantity
+    threshold (TPC-H Q18 shape).  The IN-subquery is a grouped HAVING over
+    the fact — Catalyst plans it as an aggregate + left-semi join, so the
+    fact is read twice but shuffled on the same key both times.  The
+    HAVING threshold is decimal-exact (quantities are integral; a float
+    sum's ulp could flip an order at exactly 170).  Oracle is the same
+    string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who kept orders waiting
+# --------------------------------------------------------------------------
+
+WAITING_SUPPLIERS_SQL = """
+WITH lateline AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lateline l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.is_late = 1
+  AND n.n_name = 'NATION_2'
+  AND EXISTS (
+    SELECT 1 FROM lateline l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lateline l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late = 1
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+_sql_query(
+    "q_sql_waiting_suppliers",
+    WAITING_SUPPLIERS_SQL,
+    ("lineitem", "orders", "supplier", "nation"),
+    """§3.3 ad-hoc SQL: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders (TPC-H Q21 shape; lateness is
+    shipdate > orderdate+60d because the testdata lacks
+    l_commitdate/l_receiptdate).  Lateness is precomputed ONCE in a CTE so
+    both EXISTS subqueries correlate on pure equality (the scale-safe form
+    — Catalyst turns them into left-semi/left-anti joins on l_orderkey,
+    no per-row re-evaluation of the orders join).  Oracle is the same
+    string.""",
+)
+
+
+# --------------------------------------------------------------------------
+# Q22 (adapted) — global sales opportunity
+# --------------------------------------------------------------------------
+
+GLOBAL_SALES_OPP_SQL = """
+WITH pos AS (
+  SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total
+  FROM customer
+  WHERE c_acctbal > 0.0
+    AND SUBSTRING(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS totacctbal
+FROM (
+  SELECT SUBSTRING(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+  FROM customer c, pos
+  WHERE SUBSTRING(c.c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+    AND CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.cnt > pos.total
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+_sql_query(
+    "q_sql_global_sales_opp",
+    GLOBAL_SALES_OPP_SQL,
+    ("customer", "orders"),
+    """§3.3 ad-hoc SQL: above-average-balance customers with no open
+    orders, by country code (TPC-H Q22 shape; the code is the c_name
+    suffix and the anti-join is on open orders, since the testdata lacks
+    c_phone and every customer has SOME order).  The 'above average'
+    comparison is multiplied out (`bal*cnt > total`) so it is exact
+    decimal arithmetic; the one-row `pos` CTE cross-joins (broadcast) and
+    the NOT EXISTS becomes a left-anti join on o_custkey.  Oracle is the
+    same string.""",
+)
