@@ -347,3 +347,160 @@ _sql_query(
     the NOT EXISTS becomes a left-anti join on o_custkey.  Oracle is the
     same string.""",
 )
+
+
+# --------------------------------------------------------------------------
+# Training-data quality ops II — PII scrub, token entropy, repetition
+# --------------------------------------------------------------------------
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the corpus — emails and phone-shaped tokens to
+    placeholder tags, all JVM regexp (one Project, zero shuffles; at
+    100 TB this is a pure map stage).  The synthetic corpus carries no
+    PII, so the query plants a deterministic email+phone per doc (built
+    from doc_id) BEFORE scrubbing — the redaction is real and the oracle
+    hash proves both engines scrub identically."""
+    from pyspark.sql import functions as F
+
+    from .queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(aug, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+        r"555-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.substring(scrub, -40, 40).alias("scrubbed_tail"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+       right(regexp_replace(
+               regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g'), 40) AS scrubbed_tail
+FROM aug
+"""
+
+QUERIES_EXT3["q_pii_scrub"] = q_pii_scrub
+ORACLE_EXT3["q_pii_scrub"] = PII_SCRUB_SQL
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (low entropy = boilerplate /
+    repetition).  Computed as log2(n) - sum(c*log2 c)/n so every log is
+    of an integer count (cross-engine deterministic inputs); explode →
+    two aggregations, both keyed on doc_id so the second groupBy reuses
+    the first shuffle's partitioning."""
+    from pyspark.sql import functions as F
+
+    from .operators import text
+    from .queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    cnts = (
+        d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("token_entropy")
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4) AS token_entropy
+FROM cnt
+GROUP BY doc_id
+"""
+
+QUERIES_EXT3["q_token_entropy"] = q_token_entropy
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-token and
+    duplicate-bigram fractions per document.  Pure array expressions
+    (array_distinct / arrays_zip over slices) — one Project, zero
+    shuffles, integer-ratio divisions so the doubles are bit-identical
+    on any engine."""
+    from pyspark.sql import functions as F
+
+    from .operators import text
+    from .queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    bigs = F.transform(
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+        ),
+        lambda p: F.concat_ws(" ", p["w1"], p["w2"]),
+    )
+    return d.select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 4).alias(
+            "dup_token_ratio"
+        ),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigs)) / F.size(bigs), 4).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+REPETITION_RATIO_SQL = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                        p -> p[1] || ' ' || p[2]) AS bigs
+  FROM t
+)
+SELECT doc_id,
+       ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+         AS dup_token_ratio,
+       ROUND(1.0 - len(list_distinct(bigs)) * 1.0 / len(bigs), 4)
+         AS dup_bigram_ratio
+FROM b
+"""
+
+QUERIES_EXT3["q_repetition_ratio"] = q_repetition_ratio
+
+
+# TOKS_SQL lives in queries.py, which imports this module at its bottom —
+# by then TOKS_SQL is bound (same circular-import convention as queries_ext2)
+from .queries import TOKS_SQL  # noqa: E402
+
+_TOKS = TOKS_SQL.format(c="text")
+ORACLE_EXT3["q_token_entropy"] = TOKEN_ENTROPY_SQL.format(toks=_TOKS)
+ORACLE_EXT3["q_repetition_ratio"] = REPETITION_RATIO_SQL.format(toks=_TOKS)

@@ -113,3 +113,59 @@ def test_ext3_subqueries_compile_to_joins(spark, sf_dir):
     for q in ("q_sql_waiting_suppliers", "q_sql_large_volume_cust", "q_sql_global_sales_opp"):
         plan = _plan(QUERIES[q](spark, sf_dir))
         assert "LeftSemi" in plan or "LeftAnti" in plan, q
+
+
+def test_pii_scrub_redacts_planted_pii(spark, sf_dir):
+    rows = QUERIES["q_pii_scrub"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert "<EMAIL>" in r.scrubbed_tail and "<PHONE>" in r.scrubbed_tail
+        assert "@example.com" not in r.scrubbed_tail
+        assert "555-" not in r.scrubbed_tail
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_token_entropy"](spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == d.count()
+    # entropy is bounded by log2(token count) and non-negative
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import text
+
+    n_toks = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(text.tokens("text")).alias("n")).collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.token_entropy <= math.log2(n_toks[r.doc_id]) + 1e-9, r
+
+
+def test_repetition_ratio_matches_python(spark, sf_dir):
+    # independent recomputation in plain Python for a sample of docs
+    rows = {
+        r.doc_id: r for r in QUERIES["q_repetition_ratio"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    for doc in docs:
+        toks = " ".join(doc.text.lower().split()).split(" ")
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want_tok = 1.0 - len(set(toks)) / len(toks)
+        want_big = 1.0 - len(set(bigs)) / len(bigs)
+        got = rows[doc.doc_id]
+        # compare pre-rounding values (Spark ROUND is half-up, Python
+        # round() is banker's — they differ on exact .xxxx5 ratios)
+        assert abs(got.dup_token_ratio - want_tok) < 5.1e-5, doc.doc_id
+        assert abs(got.dup_bigram_ratio - want_big) < 5.1e-5, doc.doc_id
+
+
+def test_quality_ops_are_shuffle_free(spark, sf_dir):
+    # PII scrub and repetition ratio are pure map stages — the only
+    # allowed Exchange is _t()'s deliberate round-robin widening of the
+    # single-file testdata scan; a key (hash) shuffle would be a 100 TB
+    # regression
+    for q in ("q_pii_scrub", "q_repetition_ratio"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "hashpartitioning" not in plan, q
