@@ -504,3 +504,76 @@ from .queries import TOKS_SQL  # noqa: E402
 _TOKS = TOKS_SQL.format(c="text")
 ORACLE_EXT3["q_token_entropy"] = TOKEN_ENTROPY_SQL.format(toks=_TOKS)
 ORACLE_EXT3["q_repetition_ratio"] = REPETITION_RATIO_SQL.format(toks=_TOKS)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE + XML source (Spark 4 surface)
+# --------------------------------------------------------------------------
+
+RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT m AS month, COUNT(o.o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
+GROUP BY m
+ORDER BY m
+"""
+
+
+def q_sql_recursive_months(spark, sf_dir):
+    """WITH RECURSIVE month spine (Spark 4 recursive CTE) left-joined to
+    order counts — the SQL-native calendar densification (the DataFrame
+    twin is q_gap_fill's sequence()).  The recursion is driver-tiny (80
+    rows); the fact side aggregates on the join key, so the month spine
+    broadcasts.  Oracle is the same string (DuckDB WITH RECURSIVE)."""
+    from .sql import register_views, run_sql
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return run_sql(spark, RECURSIVE_MONTHS_SQL)
+
+
+QUERIES_EXT3["q_sql_recursive_months"] = q_sql_recursive_months
+ORACLE_EXT3["q_sql_recursive_months"] = RECURSIVE_MONTHS_SQL
+
+
+def q_xml_roundtrip(spark, sf_dir):
+    """XML sink + source roundtrip (Spark 4 built-in XML data source —
+    the config/feed interchange format; rowTag framing, explicit schema
+    on read-back like the JSONL/ORC twins).  XML stays a small-dim
+    format: row-oriented, no pushdown — never the fact path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .queries import _t
+
+    n = _t(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="sg_xml_") + "/data"
+    n.coalesce(1).write.mode("overwrite").format("xml").option("rowTag", "nation").save(out_dir)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(out_dir)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+    )
+
+
+SQL_XML_ROUNDTRIP = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       MIN(n_name) AS first_nation, MAX(n_name) AS last_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+QUERIES_EXT3["q_xml_roundtrip"] = q_xml_roundtrip
+ORACLE_EXT3["q_xml_roundtrip"] = SQL_XML_ROUNDTRIP

@@ -169,3 +169,20 @@ def test_quality_ops_are_shuffle_free(spark, sf_dir):
     for q in ("q_pii_scrub", "q_repetition_ratio"):
         plan = _plan(QUERIES[q](spark, sf_dir))
         assert "hashpartitioning" not in plan, q
+
+
+def test_recursive_months_spine_is_dense(spark, sf_dir):
+    rows = QUERIES["q_sql_recursive_months"](spark, sf_dir).collect()
+    assert len(rows) == 80  # 1995-01 .. 2001-08 inclusive
+    months = [r.month for r in rows]
+    assert months == sorted(months)
+    assert all(m.day == 1 for m in months)
+    # every order lands in exactly one month bucket
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_xml_roundtrip_preserves_nation(spark, sf_dir):
+    rows = QUERIES["q_xml_roundtrip"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sum(r.n_nations for r in rows) == 25
