@@ -61,6 +61,17 @@ HEADLINE = [
     "q_scd2_pit",
     "q_median_mode",
     "q_sql_volume_shipping",
+    # extension-III batch (round 1): TPC-H completion + quality ops
+    "q_sql_market_share",
+    "q_sql_cust_distribution",
+    "q_sql_top_supplier",
+    "q_sql_large_volume_cust",
+    "q_sql_waiting_suppliers",
+    "q_pii_scrub",
+    "q_token_entropy",
+    "q_repetition_ratio",
+    "q_bigram_topk",
+    "q_similarity_ann_lsh",
 ]
 
 

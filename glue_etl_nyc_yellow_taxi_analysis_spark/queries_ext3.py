@@ -577,3 +577,27 @@ GROUP BY n_regionkey
 
 QUERIES_EXT3["q_xml_roundtrip"] = q_xml_roundtrip
 ORACLE_EXT3["q_xml_roundtrip"] = SQL_XML_ROUNDTRIP
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4 user-defined table function)
+# --------------------------------------------------------------------------
+
+def q_udtf_doc_chunk(spark, sf_dir):
+    """Document chunking via a Python UDTF in a LATERAL join — the
+    imperative row→table expansion surface (Spark 4).  Same semantics as
+    the expression twin q_doc_chunk (size 50 / stride 40), same DuckDB
+    oracle — proving the slow-path mechanism agrees with the preferred
+    JVM-expression form.  UDTFs are for logic generators can't express;
+    the twin is the scale path."""
+    from .operators.udtf import chunk_docs_lateral
+    from .queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_docs_lateral(spark, docs)
+
+
+from .queries_ext import SQL_DOC_CHUNK  # noqa: E402
+
+QUERIES_EXT3["q_udtf_doc_chunk"] = q_udtf_doc_chunk
+ORACLE_EXT3["q_udtf_doc_chunk"] = SQL_DOC_CHUNK

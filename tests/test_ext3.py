@@ -186,3 +186,11 @@ def test_xml_roundtrip_preserves_nation(spark, sf_dir):
     rows = QUERIES["q_xml_roundtrip"](spark, sf_dir).collect()
     assert len(rows) == 5
     assert sum(r.n_nations for r in rows) == 25
+
+
+def test_udtf_chunker_agrees_with_expression_twin(spark, sf_dir):
+    a = QUERIES["q_udtf_doc_chunk"](spark, sf_dir)
+    b = QUERIES["q_doc_chunk"](spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_tokens", "chunk_text"
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
