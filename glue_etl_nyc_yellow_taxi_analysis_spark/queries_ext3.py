@@ -601,3 +601,51 @@ from .queries_ext import SQL_DOC_CHUNK  # noqa: E402
 
 QUERIES_EXT3["q_udtf_doc_chunk"] = q_udtf_doc_chunk
 ORACLE_EXT3["q_udtf_doc_chunk"] = SQL_DOC_CHUNK
+
+
+# --------------------------------------------------------------------------
+# DataSketches rollup (mergeable-sketch lifecycle)
+# --------------------------------------------------------------------------
+
+def q_sketch_rollup(spark, sf_dir):
+    """Two-level sketch rollup — the 100 TB pre-aggregation pattern: build
+    HLL distinct-user sketches per (event_type, day) ONCE, then answer the
+    per-event_type rollup by MERGING the stored binary sketches
+    (hll_union_agg) — the raw fact is never rescanned for the coarser
+    grain.  At scale the daily sketch table is metadata-sized; every
+    further rollup (weekly, all-time, cross-type) is a merge over it.
+    KLL value quantiles ride the same pass (per final group — this build
+    exposes only a binary kll merge, see inline note).  Sketch estimates
+    are engine-specific → rows-only; the test pins est_users within 5%
+    and the KLL median within 10% of the exact twins, and counts exact."""
+    from pyspark.sql import functions as F
+
+    from .queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+        F.count("*").alias("n"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias("est_users"),
+        F.sum("n").alias("n_events"),
+    )
+    # KLL lacks an N-ary union aggregate in this build (kll_sketch_merge_*
+    # is a binary scalar), so quantile sketches build per final group —
+    # still one pass, still mergeable pairwise for incremental loads
+    quant = ev.groupBy("event_type").agg(
+        F.round(
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "kll_sketch_agg_double(value), 0.5)"
+            ),
+            4,
+        ).alias("est_med_value")
+    )
+    return rolled.join(quant, "event_type").select(
+        "event_type", "est_users", "est_med_value", "n_events"
+    )
+
+
+QUERIES_EXT3["q_sketch_rollup"] = q_sketch_rollup
