@@ -72,6 +72,17 @@ HEADLINE = [
     "q_repetition_ratio",
     "q_bigram_topk",
     "q_similarity_ann_lsh",
+    # extension-IV batch (round 1): sequence analytics + exact-at-scale
+    "q_islands_gaps",
+    "q_interval_overlap",
+    "q_weighted_stats",
+    "q_markov_transitions",
+    "q_listagg",
+    "q_bitmap_distinct",
+    "q_salted_agg",
+    "q_struct_ops",
+    "q_time_weighted_avg",
+    "q_char_ngram_profile",
 ]
 
 

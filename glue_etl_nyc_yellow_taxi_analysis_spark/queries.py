@@ -1762,3 +1762,9 @@ from .queries_ext3 import ORACLE_EXT3, QUERIES_EXT3  # noqa: E402
 
 QUERIES.update(QUERIES_EXT3)
 ORACLE.update(ORACLE_EXT3)
+
+# extended inventory IV (sequence analytics + exact-at-scale patterns)
+from .queries_ext4 import ORACLE_EXT4, QUERIES_EXT4  # noqa: E402
+
+QUERIES.update(QUERIES_EXT4)
+ORACLE.update(ORACLE_EXT4)
