@@ -83,6 +83,10 @@ HEADLINE = [
     "q_struct_ops",
     "q_time_weighted_avg",
     "q_char_ngram_profile",
+    # extension-V batch (round 1): numeric + window-frame additions
+    "q_math_battery",
+    "q_trailing_window_range",
+    "q_pivot_dynamic",
 ]
 
 

@@ -1768,3 +1768,9 @@ from .queries_ext4 import ORACLE_EXT4, QUERIES_EXT4  # noqa: E402
 
 QUERIES.update(QUERIES_EXT4)
 ORACLE.update(ORACLE_EXT4)
+
+# extended inventory V (source/sink roundtrips + numeric/graph ops)
+from .queries_ext5 import ORACLE_EXT5, QUERIES_EXT5  # noqa: E402
+
+QUERIES.update(QUERIES_EXT5)
+ORACLE.update(ORACLE_EXT5)
