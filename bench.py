@@ -83,10 +83,12 @@ HEADLINE = [
     "q_struct_ops",
     "q_time_weighted_avg",
     "q_char_ngram_profile",
-    # extension-V batch (round 1): numeric + window-frame additions
+    # extension-V/VI batches (round 1): numeric, window-frame, set/binary
     "q_math_battery",
     "q_trailing_window_range",
     "q_pivot_dynamic",
+    "q_set_ops_all",
+    "q_binary_funcs",
 ]
 
 

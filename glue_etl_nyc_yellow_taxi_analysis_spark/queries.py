@@ -1774,3 +1774,9 @@ from .queries_ext5 import ORACLE_EXT5, QUERIES_EXT5  # noqa: E402
 
 QUERIES.update(QUERIES_EXT5)
 ORACLE.update(ORACLE_EXT5)
+
+# extended inventory VI (bag set ops, binary funcs, schema evolution)
+from .queries_ext6 import ORACLE_EXT6, QUERIES_EXT6  # noqa: E402
+
+QUERIES.update(QUERIES_EXT6)
+ORACLE.update(ORACLE_EXT6)
