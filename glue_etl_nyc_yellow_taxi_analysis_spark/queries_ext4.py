@@ -175,33 +175,23 @@ def q_weighted_stats(spark, sf_dir):
 
     Weighted mean from exact decimal sums (one rounded division at the
     end).  Weighted median = smallest price whose running weight reaches
-    half the total (cumulative decimal weights over the price order; ties
-    in price cannot change which price value crosses the threshold).
-    Scale shape: one shuffle on the flag for both the window and the
-    aggregates; cumulative windows parallelize per flag.
+    half the total — computed with the BUCKETED two-phase operator
+    (operators/quantiles.weighted_median): the naive formulation is a
+    cumulative window partitioned by a 3-value key, i.e. 3-way
+    parallelism no matter the cluster; the bucketed plan touches the
+    wide data only with hash aggregates and runs the exact window on
+    ~1/64 of one group.  The oracle remains the naive window SQL — same
+    answer, different physical plan.
     """
+    from .operators.quantiles import weighted_median
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("decimal(18,4)").alias("qty"),
     )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        "price",
-        "qty",
-        F.sum("qty").over(w_cum).alias("cw"),
-        F.sum("qty").over(w_all).alias("tw"),
-    )
-    med = (
-        cum.filter(F.col("cw") * 2 >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(F.min("price").alias("wmedian_price"))
+    med = weighted_median(
+        li, "l_returnflag", "price", "qty", out_col="wmedian_price"
     )
     stats = li.groupBy("l_returnflag").agg(
         F.sum(F.col("price").cast("decimal(18,4)") * F.col("qty")).alias("_pw"),

@@ -141,6 +141,64 @@ def test_weighted_median_threshold(spark, sf_dir):
                 break
 
 
+def test_weighted_median_operator_edges(spark):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.quantiles import (
+        weighted_median,
+    )
+
+    rows = [
+        # group a: values 1..4 weight 1 → cum 2*2>=4 at value 2
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1), ("a", 4.0, 1),
+        # group b: all values equal (degenerate lo==hi bucket path)
+        ("b", 7.0, 3), ("b", 7.0, 5),
+        # group c: heavy tail — weight concentrated on the max value
+        ("c", 1.0, 1), ("c", 100.0, 10),
+        # group d: single row
+        ("d", 42.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long").select(
+        "g", "v", F.col("w").cast("decimal(18,4)").alias("w")
+    )
+    got = {
+        r.g: r.m
+        for r in weighted_median(df, "g", "v", "w", out_col="m").collect()
+    }
+    assert got == {"a": 2.0, "b": 7.0, "c": 100.0, "d": 42.0}
+
+
+def test_weighted_median_matches_naive_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.quantiles import (
+        weighted_median,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("g"),  # many groups, small each
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("w"),
+    )
+    got = {
+        r.g: r.m for r in weighted_median(li, "g", "v", "w", out_col="m").collect()
+    }
+    w_cum = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        li.select(
+            "g", "v",
+            F.sum("w").over(w_cum).alias("cw"),
+            F.sum("w").over(Window.partitionBy("g")).alias("tw"),
+        )
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    )
+    assert got == {r.g: r.m for r in naive}
+
+
 def test_markov_probs_sum_to_one(spark, sf_dir):
     rows = QUERIES["q_markov_transitions"](spark, sf_dir).collect()
     by_prev = {}
