@@ -113,10 +113,13 @@ def q_interval_overlap(spark, sf_dir):
     Each event opens an interval [ts, ts+30min); +1/-1 deltas are summed per
     distinct boundary instant FIRST (so ordering among simultaneous
     boundaries can never matter), then a running sum over instants yields
-    concurrency.  Scale shape: the union doubles rows map-side; one shuffle
-    on event_type for the per-instant group-by, and the running-sum window
-    plus final max reuse it.
+    concurrency.  The running sum goes through the chunked two-phase
+    operator (operators/prefix.running_sum): a window partitioned by the
+    5-value event_type alone would cap parallelism at 5 regardless of
+    cluster size.
     """
+    from .operators.prefix import running_sum
+
     ev = _t(spark, sf_dir, "events").select("event_type", "ts")
     deltas = ev.select(
         "event_type", F.col("ts").alias("at"), F.lit(1).alias("delta")
@@ -129,14 +132,16 @@ def q_interval_overlap(spark, sf_dir):
     )
     per_instant = deltas.groupBy("event_type", "at").agg(
         F.sum("delta").alias("delta")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("at")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).withColumn(
+        "at_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', at)"
+        ),
     )
     return (
-        per_instant.withColumn("concurrent", F.sum("delta").over(w))
+        running_sum(
+            per_instant, "event_type", "at_us", "delta", out_col="concurrent"
+        )
         .groupBy("event_type")
         .agg(F.max("concurrent").alias("max_concurrent"))
     )
