@@ -97,3 +97,86 @@ def test_peak_band_matches_python_reference(hours):
         else:
             exp = "103"
         assert got[i] == exp
+
+
+# --------------------------------------------------------------------------
+# Two-phase operators vs a pure-Python reference (batched: one Spark job
+# evaluates every generated group at once)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # group
+            st.integers(min_value=-50, max_value=50),     # order key
+            st.integers(min_value=-5, max_value=9),       # value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_running_sum_property(rows):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.prefix import running_sum
+
+    spark = _get()
+    # de-duplicate order keys per group: prefix sums are only well-defined
+    # under a total order (same contract as the naive window)
+    seen, uniq = set(), []
+    for g, o, v in rows:
+        if (g, o) not in seen:
+            seen.add((g, o))
+            uniq.append((g, o, v))
+    df = spark.createDataFrame(uniq, "g long, o long, v long")
+    got = {
+        (r.g, r.o): r.running
+        for r in running_sum(df, "g", "o", "v", n_chunks=4).collect()
+    }
+    expect = {}
+    for g in {g for g, _, _ in uniq}:
+        acc = 0
+        for _, o, v in sorted((r for r in uniq if r[0] == g), key=lambda r: r[1]):
+            acc += v
+            expect[(g, o)] = acc
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),                  # group
+            st.floats(min_value=-100, max_value=100, allow_nan=False,
+                      allow_infinity=False, width=32),               # value
+            st.integers(min_value=1, max_value=9),                   # weight
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_median_property(rows):
+    from decimal import Decimal
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.quantiles import (
+        weighted_median,
+    )
+
+    spark = _get()
+    df = spark.createDataFrame(
+        [(g, float(v), w) for g, v, w in rows], "g long, v double, w long"
+    ).select("g", "v", F.col("w").cast("decimal(18,4)").alias("w"))
+    got = {
+        r.g: r.m for r in weighted_median(df, "g", "v", "w", out_col="m").collect()
+    }
+    by_g = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((float(v), w))
+    for g, pairs in by_g.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum * 2 >= total:
+                assert got[g] == v, (g, pairs, got[g])
+                break
