@@ -59,14 +59,27 @@ def sessionize(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
-    with_flag = df.withColumn(
-        "__new_session",
-        F.when(
-            (F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))) > gap_s,
-            1,
+    # gap = difference of floor-to-second epoch values (SQL EXTRACT(EPOCH)
+    # boundary semantics), computed against an NTZ epoch so it is exact
+    # under any session timezone — unix_timestamp would re-interpret the
+    # wall clock and skew gaps that span a DST transition
+    with_flag = (
+        df.withColumn(
+            "__es",
+            F.expr(
+                "timestampdiff(SECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+            ),
         )
-        .otherwise(0)
-        .cast("long"),
+        .withColumn(
+            "__new_session",
+            F.when(
+                (F.col("__es") - F.lag("__es").over(w)) > gap_s, 1
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .drop("__es")
     )
     with_id = with_flag.withColumn(
         "session_id",

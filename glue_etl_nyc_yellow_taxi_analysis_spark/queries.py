@@ -164,10 +164,15 @@ def q_derived_columns(spark, sf_dir):
         "event_id",
         F.date_format("ts", "yyyyMMdd").alias("date_id"),
         F.date_format("ts", "HHmmss").alias("time_id"),
-        # timestampdiff is well-defined on TIMESTAMP_NTZ (unix_timestamp is
-        # not: it would re-interpret the wall-clock through the session tz)
+        # timestampdiff on NTZ with an NTZ midnight (cast through DATE) is
+        # session-timezone-proof; unix_timestamp would re-interpret the
+        # wall clock, and date_trunc would coerce NTZ→LTZ (DST gaps)
         F.floor(
-            F.expr("timestampdiff(SECOND, date_trunc('day', ts), ts)") / 60
+            F.expr(
+                "timestampdiff(SECOND,"
+                " CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ), ts)"
+            )
+            / 60
         ).alias("minutes_since_midnight"),
     )
 

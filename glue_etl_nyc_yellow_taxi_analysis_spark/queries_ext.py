@@ -307,17 +307,39 @@ FROM events
 
 
 def q_date_trunc(spark, sf_dir):
-    """date_trunc battery minute→quarter on event timestamps (TIMESTAMP_NTZ
-    in, NTZ out — results independent of the session timezone)."""
+    """date_trunc battery minute→quarter on event timestamps, NTZ-NATIVE:
+    Spark's date_trunc coerces TIMESTAMP_NTZ through the session timezone
+    (LTZ out — wrong answers in DST gaps under a non-UTC driver), so the
+    truncations are computed as pure epoch arithmetic / field extraction
+    on the NTZ value, which no session setting can perturb.  Pinned by
+    tests/test_timezone.py."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+    def trunc_us(period_us: int):
+        return F.expr(
+            f"timestampadd(MICROSECOND, CAST(({us}) div {period_us}"
+            f" AS BIGINT) * {period_us}, {epoch})"
+        )
+
+    day_us = 86_400_000_000
     return ev.select(
         "event_id",
-        F.date_trunc("minute", "ts").alias("ts_minute"),
-        F.date_trunc("hour", "ts").alias("ts_hour"),
-        F.date_trunc("day", "ts").alias("ts_day"),
-        F.date_trunc("week", "ts").alias("week_start"),
-        F.date_trunc("month", "ts").alias("month_start"),
-        F.date_trunc("quarter", "ts").alias("quarter_start"),
+        trunc_us(60_000_000).alias("ts_minute"),
+        trunc_us(3_600_000_000).alias("ts_hour"),
+        trunc_us(day_us).alias("ts_day"),
+        # Monday-start week: epoch day 0 was a Thursday → offset 3
+        F.expr(
+            f"timestampadd(DAY, CAST((({us}) div {day_us})"
+            f" - ((({us}) div {day_us}) + 3) % 7 AS INT), {epoch})"
+        ).alias("week_start"),
+        F.expr(
+            "make_timestamp_ntz(year(ts), month(ts), 1, 0, 0, 0)"
+        ).alias("month_start"),
+        F.expr(
+            "make_timestamp_ntz(year(ts), 3 * quarter(ts) - 2, 1, 0, 0, 0)"
+        ).alias("quarter_start"),
     )
 
 
