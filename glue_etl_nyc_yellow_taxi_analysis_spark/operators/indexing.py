@@ -1,0 +1,82 @@
+"""Scale-safe global row indexing.
+
+``ROW_NUMBER() OVER (ORDER BY k)`` with no PARTITION BY collapses the
+whole table into ONE window partition — a single task sorts 100 TB.  The
+two-phase plan here keeps the sort distributed:
+
+1. bucket boundaries from ``approx_percentile`` (one column-pruned agg);
+2. exact per-bucket counts (second column-pruned agg, ~B rows to the
+   driver — the same "tiny statistics to the driver" move AQE itself
+   makes) → cumulative offsets;
+3. per-bucket ``row_number`` (windows run in parallel across buckets)
+   plus the broadcast offset.
+
+The result is byte-identical to the single-partition window: buckets are
+ranges of the order key, so bucket order + intra-bucket order = total
+order.  Any boundary skew only unbalances work, never correctness — the
+offsets come from exact counts, not from the quantile sketch.
+
+Reference anchor: the reference never needs a global index (its surrogate
+PK is ``uuid()``, etl-glue-nyc-yellow-data-model.py:279), but a
+contiguous stable index is the standard warehouse/ML-pipeline sibling of
+that PK (sample ids, deterministic train/test splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_index(
+    df: DataFrame,
+    order_col: str,
+    index_col: str = "idx",
+    buckets: int = 32,
+    start: int = 1,
+) -> DataFrame:
+    """Add a contiguous global index following ``ORDER BY order_col``.
+
+    ``order_col`` must be numeric and UNIQUE (the caller supplies any
+    tiebreak by pre-combining columns); uniqueness is what makes the
+    index deterministic.
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.expr(
+            f"approx_percentile({order_col}, array({', '.join(map(str, probs))}), 10000)"
+        ).alias("bs")
+    ).first()
+    # dedupe + sort: heavy skew can collapse quantiles onto one value
+    bounds = sorted(set(row["bs"] or []))
+    if bounds:
+        lits = ", ".join(repr(b) for b in bounds)
+        bucket_expr = F.expr(
+            f"size(filter(array({lits}), b -> {order_col} > b))"
+        )
+    else:
+        bucket_expr = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket_expr.cast("int"))
+
+    counts = {
+        r["__bucket"]: r["c"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], start
+    for b in range(len(bounds) + 1):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["__bucket", "__offset"])
+
+    w = Window.partitionBy("__bucket").orderBy(order_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "__bucket")
+        .withColumn(
+            index_col,
+            (F.row_number().over(w) - 1 + F.col("__offset")).cast("bigint"),
+        )
+        .drop("__bucket", "__offset")
+    )

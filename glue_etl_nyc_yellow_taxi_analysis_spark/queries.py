@@ -1785,3 +1785,9 @@ from .queries_ext6 import ORACLE_EXT6, QUERIES_EXT6  # noqa: E402
 
 QUERIES.update(QUERIES_EXT6)
 ORACLE.update(ORACLE_EXT6)
+
+# extended inventory VII (global index, skyline, profile, checksum, resilience)
+from .queries_ext7 import ORACLE_EXT7, QUERIES_EXT7  # noqa: E402
+
+QUERIES.update(QUERIES_EXT7)
+ORACLE.update(ORACLE_EXT7)
