@@ -89,6 +89,11 @@ HEADLINE = [
     "q_pivot_dynamic",
     "q_set_ops_all",
     "q_binary_funcs",
+    # extension-VII batch (round 1): indexing, skyline, profile, checksum
+    "q_global_index",
+    "q_pareto_frontier",
+    "q_summary_stats",
+    "q_table_checksum",
 ]
 
 
