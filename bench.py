@@ -94,6 +94,13 @@ HEADLINE = [
     "q_pareto_frontier",
     "q_summary_stats",
     "q_table_checksum",
+    # extension-VIII batch (round 1): analytics & change management
+    "q_pareto_share",
+    "q_rfm_segmentation",
+    "q_price_volume_bridge",
+    "q_nest_orders",
+    "q_snapshot_diff",
+    "q_inverted_index",
 ]
 
 

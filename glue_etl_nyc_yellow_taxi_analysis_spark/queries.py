@@ -1791,3 +1791,10 @@ from .queries_ext7 import ORACLE_EXT7, QUERIES_EXT7  # noqa: E402
 
 QUERIES.update(QUERIES_EXT7)
 ORACLE.update(ORACLE_EXT7)
+
+# extended inventory VIII (pareto share, RFM, price/volume bridge, nest,
+# snapshot diff, inverted index)
+from .queries_ext8 import ORACLE_EXT8, QUERIES_EXT8  # noqa: E402
+
+QUERIES.update(QUERIES_EXT8)
+ORACLE.update(ORACLE_EXT8)
