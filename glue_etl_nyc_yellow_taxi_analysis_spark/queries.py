@@ -1509,15 +1509,14 @@ def q_stream_ingest(spark, sf_dir):
     q_event_sessionize."""
     import os
 
-    from .streaming.ingest import stream_files, windowed_event_counts
+    from .streaming.ingest import ensure_event_time, stream_files, windowed_event_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="sg_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = stream_files(spark, src_dir, raw_schema)
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = ensure_event_time(stream)
     agg = windowed_event_counts(stream.drop("__source_file"))
     sink = "sg_stream_counts"
     ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
@@ -1798,3 +1797,10 @@ from .queries_ext8 import ORACLE_EXT8, QUERIES_EXT8  # noqa: E402
 
 QUERIES.update(QUERIES_EXT8)
 ORACLE.update(ORACLE_EXT8)
+
+# extended inventory IX (integrity/retrieval/sequence/graph + Spark-4
+# VARIANT & LATERAL surfaces)
+from .queries_ext9 import ORACLE_EXT9, QUERIES_EXT9  # noqa: E402
+
+QUERIES.update(QUERIES_EXT9)
+ORACLE.update(ORACLE_EXT9)

@@ -1028,7 +1028,7 @@ def q_stream_join(spark, sf_dir):
     parity with the batch twin is asserted in tests."""
     import os
 
-    from .streaming.ingest import interval_join_streams, stream_files
+    from .streaming.ingest import ensure_event_time, interval_join_streams, stream_files
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="sg_sjoin_src_")
@@ -1039,8 +1039,7 @@ def q_stream_join(spark, sf_dir):
         from pyspark.sql import types as T
 
         s = stream_files(spark, src_dir, raw_schema)
-        if isinstance(raw_schema["ts"].dataType, T.LongType):
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = ensure_event_time(s)
         return s.drop("__source_file").filter(F.col("event_type") == event_type)
 
     joined = interval_join_streams(one_side("click"), one_side("view"))

@@ -785,15 +785,14 @@ def q_stream_dedup(spark, sf_dir):
 
     from pyspark.sql import types as T
 
-    from .streaming.ingest import dedup_stream, stream_files
+    from .streaming.ingest import dedup_stream, ensure_event_time, stream_files
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="sg_sdedup_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = stream_files(spark, src_dir, raw_schema).drop("__source_file")
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = ensure_event_time(s)
     deduped = dedup_stream(
         s, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
     )

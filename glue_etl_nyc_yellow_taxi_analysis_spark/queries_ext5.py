@@ -312,15 +312,14 @@ def q_stream_stateful(spark, sf_dir):
 
     from pyspark.sql import types as T
 
-    from .streaming.ingest import stateful_user_totals, stream_files
+    from .streaming.ingest import ensure_event_time, stateful_user_totals, stream_files
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="sg_sstate_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = stream_files(spark, src_dir, raw_schema).drop("__source_file")
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = ensure_event_time(s)
     totals = stateful_user_totals(s)
     out = tempfile.mkdtemp(prefix="sg_sstate_out_") + "/rows"
     q = (

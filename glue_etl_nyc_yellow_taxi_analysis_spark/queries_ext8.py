@@ -153,9 +153,11 @@ def q_rfm_segmentation(spark, sf_dir):
         fq.alias("f_score"),
         m.alias("m_score"),
     )
+    # cell monetary total stays in the exact-decimal domain (an AVG over
+    # doubles can land on a half-cent and round differently per engine)
     return rfm.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.col("monetary").cast("double")), 2).alias("avg_monetary"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("sum_monetary"),
     )
 
 
@@ -180,7 +182,7 @@ WITH per_cust AS (
   FROM scored
 )
 SELECT r_score, f_score, m_score, COUNT(*) AS n,
-       ROUND(AVG(CAST(monetary AS DOUBLE)), 2) AS avg_monetary
+       CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS sum_monetary
 FROM rfm GROUP BY 1, 2, 3
 """
 

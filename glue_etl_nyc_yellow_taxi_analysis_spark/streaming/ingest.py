@@ -19,6 +19,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Make ``col`` watermark-able event time (streaming requires
+    TIMESTAMP, not TIMESTAMP_NTZ or raw integers).
+
+    The driver's testdata has shipped ``events.ts`` both as parquet
+    TIMESTAMP(NANOS) (readable only as nanos-since-epoch longs under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ).  Both converge here: longs via exact integer
+    division to microseconds, NTZ via a cast that preserves the wall
+    clock bit-for-bit because session.py pins the session timezone to
+    UTC.  Already-TIMESTAMP columns pass through untouched.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def stream_files(
     spark: SparkSession,
     source_dir: str,

@@ -26,6 +26,16 @@ def _events(spark):
     return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
 
 
+def _fix_ts(df):
+    """Normalize events.ts to watermark-able TIMESTAMP whichever physical
+    type the driver's parquet shipped (nanos-as-long or TIMESTAMP_NTZ)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.streaming.ingest import (
+        ensure_event_time,
+    )
+
+    return ensure_event_time(df)
+
+
 def test_sessionize_gap_boundaries(spark):
     out = sessionize.sessionize(_events(spark), gap_minutes=30).collect()
     u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.session_id)
@@ -47,7 +57,7 @@ def test_streaming_matches_batch(spark, sf_dir):
     plan (same counts per (window, type))."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = _fix_ts(raw)
     expected = {
         (r.window_start, r.event_type): r.n_events
         for r in sessionize.tumbling_agg(batch, group_cols=["event_type"]).collect()
@@ -56,7 +66,7 @@ def test_streaming_matches_batch(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="sg_stream_test_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     stream = stream_files(spark, src, raw.schema)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _fix_ts(stream)
     agg = windowed_event_counts(stream.drop("__source_file"))
     q = (
         agg.writeStream.outputMode("complete")
@@ -80,7 +90,7 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     windows on both paths."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = _fix_ts(raw)
     expected = {
         (r.w_start, r.event_type): r.n_events
         for r in (
@@ -97,7 +107,7 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="sg_slide_test_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     stream = stream_files(spark, src, raw.schema)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _fix_ts(stream)
     agg = windowed_event_counts(
         stream.drop("__source_file"),
         window_duration="10 minutes",
@@ -128,7 +138,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _fix_ts(raw)
     clicks = ev.filter(F.col("event_type") == "click").alias("l")
     views = ev.filter(F.col("event_type") == "view").alias("r")
     expected = sorted(
@@ -149,7 +159,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
 
     def side(et):
         s = stream_files(spark, src, raw.schema)
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _fix_ts(s)
         return s.drop("__source_file").filter(F.col("event_type") == et)
 
     joined = interval_join_streams(side("click"), side("view"))
