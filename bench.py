@@ -101,6 +101,18 @@ HEADLINE = [
     "q_nest_orders",
     "q_snapshot_diff",
     "q_inverted_index",
+    # extension-IX batch (round 1): integrity, retrieval, sequence, graph
+    "q_fk_orphans",
+    "q_bm25_search",
+    "q_event_pattern",
+    "q_attribution",
+    "q_key_skew_profile",
+    "q_triangle_count",
+    # extension-X batch (round 1): TPC-H completion + curation gates
+    "q_sql_min_cost_supplier",
+    "q_sql_product_profit",
+    "q_contamination_check",
+    "q_quality_filter_funnel",
 ]
 
 

@@ -1804,3 +1804,9 @@ from .queries_ext9 import ORACLE_EXT9, QUERIES_EXT9  # noqa: E402
 
 QUERIES.update(QUERIES_EXT9)
 ORACLE.update(ORACLE_EXT9)
+
+# extended inventory X (TPC-H completion adapted + corpus-curation gates)
+from .queries_ext10 import ORACLE_EXT10, QUERIES_EXT10  # noqa: E402
+
+QUERIES.update(QUERIES_EXT10)
+ORACLE.update(ORACLE_EXT10)
