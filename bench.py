@@ -113,6 +113,9 @@ HEADLINE = [
     "q_sql_product_profit",
     "q_contamination_check",
     "q_quality_filter_funnel",
+    # extension-XI batch (round 1): Spark-4 platform surfaces
+    "q_python_datasource",
+    "q_session_window_native",
 ]
 
 

@@ -1810,3 +1810,10 @@ from .queries_ext10 import ORACLE_EXT10, QUERIES_EXT10  # noqa: E402
 
 QUERIES.update(QUERIES_EXT10)
 ORACLE.update(ORACLE_EXT10)
+
+# extended inventory XI (Spark-4 platform surfaces: Python DataSource,
+# parameterized SQL, native session windows, observed metrics)
+from .queries_ext11 import ORACLE_EXT11, QUERIES_EXT11  # noqa: E402
+
+QUERIES.update(QUERIES_EXT11)
+ORACLE.update(ORACLE_EXT11)

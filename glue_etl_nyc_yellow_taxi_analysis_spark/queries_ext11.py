@@ -1,0 +1,244 @@
+"""Extension batch XI — Spark-4 platform surfaces.
+
+Four API surfaces a platform team needs that no earlier batch exercises:
+
+* ``q_python_datasource`` — custom Python DataSource (Spark 4 datasource
+  API): partition-parallel reads from a pure-Python source, verified
+  closed-form by the oracle (sources/pydatasource.py).
+* ``q_sql_parameterized`` — named-parameter SQL binding
+  (``spark.sql(query, args=…)``): the injection-safe resolution of the
+  reference's f-string-interpolated filters
+  (etl-glue-load-to-postgres.py:83-85, SURVEY §4 quirk 7).
+* ``q_session_window_native`` — ``session_window()`` gap sessions, the
+  built-in (and streaming-capable) twin of q_session_windows' lag+sum
+  composition; oracle recomputes sessions via island detection.
+* ``q_observe_metrics`` — ``Dataset.observe``: data-quality metrics
+  collected ON the same pass that produces the output (zero extra scans
+  at 100 TB — the reference's print-tracing done right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, dsum
+
+QUERIES_EXT11 = {}
+ORACLE_EXT11 = {}
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource
+# --------------------------------------------------------------------------
+
+def q_python_datasource(spark, sf_dir):
+    """Read 10 000 synthetic sensor readings through the custom Python
+    DataSource (8 independent partitions, LCG-deterministic cells) and
+    roll them up per device.  The oracle reproduces the source
+    closed-form from generate_series — proving the Python reader's
+    sharding and value function, not just its row count."""
+    from .sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_sensor")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("device").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("reading").alias("sum_reading"),
+        F.min("reading").alias("min_reading"),
+        F.max("reading").alias("max_reading"),
+        F.sum("seq").alias("seq_checksum"),
+    )
+
+
+SQL_PYTHON_DATASOURCE = """
+SELECT CAST(seq % 8 AS INTEGER) AS device,
+       COUNT(*) AS n,
+       SUM((seq * 1103515245 + 12345) % 1000) AS sum_reading,
+       MIN((seq * 1103515245 + 12345) % 1000) AS min_reading,
+       MAX((seq * 1103515245 + 12345) % 1000) AS max_reading,
+       SUM(seq) AS seq_checksum
+FROM (SELECT UNNEST(range(0, 10000)) AS seq)
+GROUP BY 1
+"""
+
+QUERIES_EXT11["q_python_datasource"] = q_python_datasource
+ORACLE_EXT11["q_python_datasource"] = SQL_PYTHON_DATASOURCE
+
+
+# --------------------------------------------------------------------------
+# Named-parameter SQL
+# --------------------------------------------------------------------------
+
+_PARAM_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderdate >= :start_ts
+  AND o_orderdate < :end_ts
+  AND o_orderstatus = :status
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_parameterized(spark, sf_dir):
+    """The reference interpolates year/month filters into SQL strings
+    f-string-style (etl-glue-load-to-postgres.py:83-85) — an injection
+    hazard and a plan-cache miss per value.  Spark 4 named parameters
+    (`spark.sql(query, args={...})`) bind values AFTER parsing: same
+    query text every run, values never concatenated into SQL.  The
+    oracle is the identical query with the literals inlined."""
+    from .sql import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        _PARAM_SQL,
+        args={
+            "start_ts": "1996-01-01 00:00:00",
+            "end_ts": "1997-01-01 00:00:00",
+            "status": "F",
+        },
+    )
+
+
+SQL_PARAMETERIZED = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+QUERIES_EXT11["q_sql_parameterized"] = q_sql_parameterized
+ORACLE_EXT11["q_sql_parameterized"] = SQL_PARAMETERIZED
+
+
+# --------------------------------------------------------------------------
+# Native session_window gap sessions
+# --------------------------------------------------------------------------
+
+def q_session_window_native(spark, sf_dir):
+    """Gap-based sessions via the BUILT-IN session_window (30-min gap):
+    one groupBy carries the whole sessionization — and the identical
+    expression works under writeStream with a watermark, which the
+    lag+running-sum composition (q_session_windows) cannot.  Session end
+    is normalized to last-event-time + gap on both engines.  One shuffle
+    on (user, session)."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum(F.round("value", 4)).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (F.col("last_ts") + F.expr("INTERVAL 30 MINUTES"))
+            .alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_NATIVE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+QUERIES_EXT11["q_session_window_native"] = q_session_window_native
+ORACLE_EXT11["q_session_window_native"] = SQL_SESSION_WINDOW_NATIVE
+
+
+# --------------------------------------------------------------------------
+# Observed metrics (free data-quality pass)
+# --------------------------------------------------------------------------
+
+def q_observe_metrics(spark, sf_dir):
+    """Data-quality metrics via Dataset.observe: null counts, row count,
+    and value bounds are accumulated ON the pass that computes the real
+    output (a per-type rollup written to the noop sink here) — at 100 TB
+    the metrics cost zero extra scans, unlike a separate validation
+    query.  The observed map is surfaced as a 1-row DataFrame; the
+    oracle recomputes the same metrics declaratively."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        # observe rejects DISTINCT aggregates — conditional count instead
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .alias("n_purchases"),
+    )
+    # the "real" job this pass performs; noop sink forces execution
+    observed.groupBy("event_type").agg(F.count(F.lit(1))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_props"],
+                m["n_null_value"],
+                float(m["min_value"]),
+                float(m["max_value"]),
+                m["n_purchases"],
+            )
+        ],
+        "n_rows long, n_null_props long, n_null_value long,"
+        " min_value double, max_value double, n_purchases long",
+    )
+
+
+SQL_OBSERVE_METRICS = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS n_purchases
+FROM events
+"""
+
+QUERIES_EXT11["q_observe_metrics"] = q_observe_metrics
+ORACLE_EXT11["q_observe_metrics"] = SQL_OBSERVE_METRICS
