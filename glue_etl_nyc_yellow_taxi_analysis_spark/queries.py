@@ -1817,3 +1817,9 @@ from .queries_ext11 import ORACLE_EXT11, QUERIES_EXT11  # noqa: E402
 
 QUERIES.update(QUERIES_EXT11)
 ORACLE.update(ORACLE_EXT11)
+
+# extended inventory XII (physical-layout levers: bucketing, codecs, cache)
+from .queries_ext12 import ORACLE_EXT12, QUERIES_EXT12  # noqa: E402
+
+QUERIES.update(QUERIES_EXT12)
+ORACLE.update(ORACLE_EXT12)

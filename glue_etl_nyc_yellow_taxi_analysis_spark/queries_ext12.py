@@ -1,0 +1,184 @@
+"""Extension batch XII — physical-layout levers.
+
+Three levers that change nothing semantically and everything at 100 TB,
+promoted from test-only coverage to declared queries:
+
+* ``q_bucketed_join`` — co-located fact↔fact join through bucketed
+  catalog tables (catalog.save_bucketed_table): both sides pre-hashed
+  into the same bucket count on the join key, so the sort-merge join
+  runs with ZERO exchanges (asserted in tests/test_bucketing_stateful.py
+  with broadcast disabled).  The oracle proves the layout changes no
+  results.
+* ``q_zstd_roundtrip`` — zstd-compressed parquet write + read-back (the
+  at-rest codec story: zstd ≈ snappy decode speed at a visibly better
+  ratio — at 100 TB the storage/scan-byte delta is the bill).
+* ``q_cached_multi_agg`` — persist() reuse: one filtered projection
+  cached, two aggregates served from it (the second reads
+  InMemoryTableScan, not the source — asserted in tests).  At 100 TB the
+  same pattern uses StorageLevel.DISK_ONLY or checkpoint, same API.
+
+Reference anchor: the reference controls layout only via snappy +
+partitionKeys (etl-glue-nyc-yellow-data-model.py:358-371); these are the
+remaining layout levers open-source Spark adds.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .queries import DSUM_SQL, _t, dsum
+
+QUERIES_EXT12 = {}
+ORACLE_EXT12 = {}
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join
+# --------------------------------------------------------------------------
+
+def q_bucketed_join(spark, sf_dir):
+    """Join lineitem↔orders through same-bucketed catalog tables and
+    roll up revenue per order priority.  save_bucketed_table pre-hashes
+    both sides into 8 buckets on the join key — the join plan needs no
+    exchange (the zero-shuffle property is asserted in tests with
+    broadcast disabled; here the layout must simply change NO results,
+    which the oracle's plain join proves).  Re-runnable: overwrite mode,
+    fixed database."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from . import catalog
+
+    db = "sg_q_buckets"
+    catalog.ensure_database(spark, db)
+    # a previous SESSION may have left the physical dirs behind without
+    # this session's metastore knowing the tables — clear both layers
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("lineitem_b", "orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(f"{wh}/{db}.db/{t}", ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    catalog.save_bucketed_table(
+        li, db, "lineitem_b", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    catalog.save_bucketed_table(
+        o, db, "orders_b", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    joined = catalog.read_table(spark, db, "lineitem_b").join(
+        catalog.read_table(spark, db, "orders_b"), "l_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+SQL_BUCKETED_JOIN = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT l.l_orderkey) AS n_orders,
+       {DSUM_SQL.format(col='l.l_extendedprice')} AS sum_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+QUERIES_EXT12["q_bucketed_join"] = q_bucketed_join
+ORACLE_EXT12["q_bucketed_join"] = SQL_BUCKETED_JOIN
+
+
+# --------------------------------------------------------------------------
+# zstd parquet roundtrip
+# --------------------------------------------------------------------------
+
+def q_zstd_roundtrip(spark, sf_dir):
+    """Write orders as zstd parquet, read it back, aggregate per status.
+    Pure codec coverage: results must be byte-identical to reading the
+    source (oracle = direct aggregate).  zstd is the at-rest codec of
+    record for petabyte archives — better ratio than snappy at
+    comparable decode throughput, and splittable the same way."""
+    o = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sg_zstd_") + "/orders"
+    o.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+SQL_ZSTD_ROUNDTRIP = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES_EXT12["q_zstd_roundtrip"] = q_zstd_roundtrip
+ORACLE_EXT12["q_zstd_roundtrip"] = SQL_ZSTD_ROUNDTRIP
+
+
+# --------------------------------------------------------------------------
+# Cached multi-aggregate
+# --------------------------------------------------------------------------
+
+def q_cached_multi_agg(spark, sf_dir):
+    """Two aggregates served from ONE cached filtered projection: the
+    1996 slice of lineitem is persisted, then rolled up by return flag
+    AND by line status — the second job reads InMemoryTableScan instead
+    of rescanning parquet (asserted in tests).  At 100 TB the slice
+    would persist DISK_ONLY (or checkpoint) — same API, and the scan
+    cost is still paid once instead of per-consumer."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .persist()
+    )
+    by_flag = base.groupBy(
+        F.col("l_returnflag").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    ).select(F.lit("by_flag").alias("kind"), "*")
+    by_status = base.groupBy(
+        F.col("l_linestatus").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    ).select(F.lit("by_status").alias("kind"), "*")
+    return by_flag.unionByName(by_status)
+
+
+SQL_CACHED_MULTI_AGG = f"""
+WITH base AS (
+  SELECT l_returnflag, l_linestatus, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT 'by_flag' AS kind, l_returnflag AS key, COUNT(*) AS n,
+       {DSUM_SQL.format(col='l_quantity')} AS sum_qty
+FROM base GROUP BY l_returnflag
+UNION ALL
+SELECT 'by_status', l_linestatus, COUNT(*),
+       {DSUM_SQL.format(col='l_quantity')}
+FROM base GROUP BY l_linestatus
+"""
+
+QUERIES_EXT12["q_cached_multi_agg"] = q_cached_multi_agg
+ORACLE_EXT12["q_cached_multi_agg"] = SQL_CACHED_MULTI_AGG

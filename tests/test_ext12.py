@@ -1,0 +1,80 @@
+"""Behavior contracts for extension batch XII (queries_ext12)."""
+
+import contextlib
+import glob
+import io
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------ bucketed join
+
+def test_bucketed_join_matches_plain_and_reruns(spark, sf_dir):
+    rows1 = {
+        r.o_orderpriority: (r.n_lines, r.n_orders, r.sum_price)
+        for r in QUERIES["q_bucketed_join"](spark, sf_dir).collect()
+    }
+    # stateful query must be re-runnable in the same session
+    rows2 = {
+        r.o_orderpriority: (r.n_lines, r.n_orders, r.sum_price)
+        for r in QUERIES["q_bucketed_join"](spark, sf_dir).collect()
+    }
+    assert rows1 == rows2
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = {
+        r.o_orderpriority: (r.n, r.d)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_orderkey").alias("d"),
+        )
+        .collect()
+    }
+    assert {k: (v[0], v[1]) for k, v in rows1.items()} == plain
+
+
+# ------------------------------------------------------------ zstd roundtrip
+
+def test_zstd_files_actually_use_zstd(spark, sf_dir):
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    out = tempfile.mkdtemp(prefix="sg_zstd_test_") + "/o"
+    o.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        meta.row_group(i).column(0).compression
+        for i in range(meta.num_row_groups)
+    }
+    assert codecs == {"ZSTD"}
+
+
+# --------------------------------------------------------- cached multi-agg
+
+def test_cached_multi_agg_uses_memory_scan(spark, sf_dir):
+    df = QUERIES["q_cached_multi_agg"](spark, sf_dir)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    rows = df.collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"by_flag", "by_status"}
+    # both rollups cover the same cached row set
+    by_kind = {}
+    for r in rows:
+        by_kind[r.kind] = by_kind.get(r.kind, 0) + r.n
+    assert by_kind["by_flag"] == by_kind["by_status"]
