@@ -376,12 +376,25 @@ def q_benford(spark, sf_dir):
     """Benford's-law screen on order totals: observed first-significant-
     digit shares vs log10(1 + 1/d), absolute deviation per digit.  Pure
     map + one 9-group aggregate + an O(9) window for the total — nothing
-    here grows with data volume except the scan."""
-    o = _t(spark, sf_dir, "orders").filter("o_totalprice > 0")
-    digit = F.floor(
-        F.col("o_totalprice")
-        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-    ).cast("long")
+    here grows with data volume except the scan.
+
+    The digit comes from the DECIMAL STRING, not floor(x/10^floor(log10 x)):
+    libm log10 is not correctly-rounded, so values within an ulp of a
+    power of 10 can floor to digit 0 — and Java vs C libm may disagree by
+    exactly that ulp (caught by tests/test_properties_ext.py)."""
+    o = _t(spark, sf_dir, "orders").filter("o_totalprice >= 1")
+    digit = (
+        F.substring(
+            F.regexp_replace(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                "[^1-9]",
+                "",
+            ),
+            1,
+            1,
+        )
+        .cast("long")
+    )
     grouped = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -399,11 +412,11 @@ def q_benford(spark, sf_dir):
 
 SQL_BENFORD = """
 WITH grouped AS (
-  SELECT CAST(FLOOR(o_totalprice
-                    / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT)
-           AS digit,
+  SELECT CAST(SUBSTRING(REGEXP_REPLACE(
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+           '[^1-9]', '', 'g'), 1, 1) AS BIGINT) AS digit,
          COUNT(*) AS n
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE o_totalprice >= 1
   GROUP BY 1
 )
 SELECT digit, n,

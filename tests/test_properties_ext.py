@@ -1,0 +1,116 @@
+"""Property-based tests for the extension-batch math (SURVEY §5.4).
+
+Batched like tests/test_properties.py: hypothesis generates case lists,
+Spark evaluates each list in ONE DataFrame pass.
+"""
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+import glue_etl_nyc_yellow_taxi_analysis_spark.queries  # noqa: F401  (completes the registry import cycle)
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext9 import _EWMA_EXPR
+
+_SPARK = None
+
+
+def setup_module(module):
+    global _SPARK
+    from glue_etl_nyc_yellow_taxi_analysis_spark.session import get_spark
+
+    _SPARK = get_spark(app_name="engine-tests", cpus=8, shuffle_partitions=8)
+
+
+def _ewma_python(window):
+    """Reference EWMA over up to 5 trailing values (newest first)."""
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625]
+    num = sum(w * v for w, v in zip(weights, window))
+    den = sum(w for w, _ in zip(weights, window))
+    return num / den
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_expression_matches_python(series):
+    rows = [(i, v) for i, v in enumerate(series)]
+    df = _SPARK.createDataFrame(rows, "i long, value double")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("i")
+    lagged = df.select(
+        "i",
+        F.col("value").alias("v0"),
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 3).over(w).alias("v3"),
+        F.lag("value", 4).over(w).alias("v4"),
+    )
+    got = {
+        r.i: r.e for r in lagged.select("i", F.expr(_EWMA_EXPR).alias("e")).collect()
+    }
+    for i in range(len(series)):
+        window = series[max(0, i - 4): i + 1][::-1]  # newest first
+        assert math.isclose(got[i], _ewma_python(window), rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_benford_first_digit_matches_python(values):
+    """String-derived first significant digit (the log10/pow form fails
+    within an ulp of powers of 10 — why q_benford avoids it)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = _SPARK.createDataFrame(rows, "i long, x double")
+    digit = (
+        F.substring(
+            F.regexp_replace(
+                F.col("x").cast("decimal(18,2)").cast("string"), "[^1-9]", ""
+            ),
+            1,
+            1,
+        )
+        .cast("long")
+    )
+    got = {r.i: r.d for r in df.select("i", digit.alias("d")).collect()}
+    for i, v in enumerate(values):
+        # Spark casts double→decimal through the shortest decimal repr
+        dec = Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        expect = int(next(c for c in str(dec) if c in "123456789"))
+        assert got[i] == expect
+        assert 1 <= got[i] <= 9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="cepsv", min_size=0, max_size=60),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pattern_count_matches_python_re(seqs):
+    rows = [(i, s) for i, s in enumerate(seqs)]
+    df = _SPARK.createDataFrame(rows, "i long, seq string")
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", F.regexp_count("seq", F.lit("v[ces]*p")).alias("n")
+        ).collect()
+    }
+    for i, s in enumerate(seqs):
+        assert got[i] == len(re.findall(r"v[ces]*p", s))
