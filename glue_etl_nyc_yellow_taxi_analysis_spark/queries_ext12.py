@@ -182,3 +182,95 @@ FROM base GROUP BY l_linestatus
 
 QUERIES_EXT12["q_cached_multi_agg"] = q_cached_multi_agg
 ORACLE_EXT12["q_cached_multi_agg"] = SQL_CACHED_MULTI_AGG
+
+
+# --------------------------------------------------------------------------
+# Streaming session windows (state-store session merging)
+# --------------------------------------------------------------------------
+
+def q_stream_sessions(spark, sf_dir):
+    """Gap-based sessionization THROUGH the streaming engine:
+    session_window under a watermark, availableNow catch-up, append-mode
+    parquet sink.  The state store merges per-user sessions as events
+    arrive and finalizes them when the watermark passes — bounded state
+    keyed by (user, open session), the scale path for clickstream
+    sessionization.  Batch-equivalence of per-user session counts vs
+    q_session_window_native is asserted in tests; the driver check is
+    rows-only (streaming)."""
+    import os
+
+    from .streaming.ingest import (
+        ensure_event_time,
+        session_window_counts,
+        stream_files,
+    )
+
+    import datetime as dt
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="sg_ssw_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/aa_events.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = raw.schema
+
+    # Append-mode session aggregates emit a session only once the
+    # watermark passes its close — so each user's FINAL session would
+    # never leave the state store when the stream drains.  A single
+    # watermark-advancing flush event (sentinel user -1, one day past
+    # the corpus max; the watermark is GLOBAL, not per key) closes every
+    # real session; maxFilesPerTrigger=1 guarantees the flush lands in a
+    # later micro-batch than the data it flushes.
+    from .queries import _events
+
+    mx = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    # TWO flush files: the watermark computed at the end of batch N is
+    # applied (state evicted, sessions emitted) in batch N+1 — the first
+    # flush advances the watermark, the second gives the engine the
+    # batch in which to act on it.  Written as PLAIN parquet files
+    # (pyarrow) so the file-stream source lists them like the data file,
+    # with the schema copied from the source file byte-for-byte.
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    src_schema = pa_pq.read_schema(f"{sf_dir}/events.parquet")
+    for i in (1, 2):
+        cols = {
+            "event_id": [-i],
+            "ts": [mx + dt.timedelta(days=i)],
+            "user_id": [-1],
+            "event_type": ["__flush__"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        tbl = pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type) for f in src_schema},
+            schema=src_schema,
+        )
+        pa_pq.write_table(tbl, f"{src_dir}/zz_flush{i}.parquet")
+
+    s = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    s = ensure_event_time(s)
+    sessions = session_window_counts(s)
+    out = tempfile.mkdtemp(prefix="sg_ssw_out_") + "/rows"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ssw_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    done = spark.read.parquet(out).filter("user_id >= 0")
+    return done.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+QUERIES_EXT12["q_stream_sessions"] = q_stream_sessions

@@ -204,6 +204,37 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming gap-session aggregate via the built-in session_window:
+    the state store merges adjacent per-key sessions as events arrive and
+    emits a session once the watermark passes its close — bounded state,
+    no custom state machine.  The batch twin is
+    ``queries_ext11.q_session_window_native`` (identical expression), so
+    batch results validate the streaming plan.
+    """
+    key_cols = key_cols or ["user_id"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

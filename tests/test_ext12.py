@@ -78,3 +78,23 @@ def test_cached_multi_agg_uses_memory_scan(spark, sf_dir):
     for r in rows:
         by_kind[r.kind] = by_kind.get(r.kind, 0) + r.n
     assert by_kind["by_flag"] == by_kind["by_status"]
+
+
+# --------------------------------------------------------- stream sessions
+
+def test_stream_sessions_match_batch_native(spark, sf_dir):
+    stream_rows = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in QUERIES["q_stream_sessions"](spark, sf_dir).collect()
+    }
+    batch = QUERIES["q_session_window_native"](spark, sf_dir)
+    batch_rows = {
+        r.user_id: (r.n, r.e)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_events").cast("long").alias("e"),
+        )
+        .collect()
+    }
+    assert stream_rows == batch_rows
