@@ -274,3 +274,72 @@ def q_stream_sessions(spark, sf_dir):
 
 
 QUERIES_EXT12["q_stream_sessions"] = q_stream_sessions
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join
+# --------------------------------------------------------------------------
+
+def q_stream_static_join(spark, sf_dir):
+    """Stream↔static enrichment: the event stream joins a STATIC
+    dimension (event_type → category/weight) before a windowed rollup —
+    the single most common production streaming shape (fact stream +
+    slowly-changing dim).  The static side needs no watermark and no
+    state: Spark broadcasts it into every micro-batch.  Batch twin
+    equivalence is asserted in tests; driver check is rows-only
+    (streaming)."""
+    import os
+
+    from .streaming.ingest import ensure_event_time, stream_files
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="sg_ssj_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    dim = spark.createDataFrame(
+        [
+            ("view", "engagement", 1),
+            ("click", "engagement", 2),
+            ("signup", "conversion", 5),
+            ("purchase", "conversion", 10),
+            ("error", "ops", 0),
+        ],
+        "event_type string, category string, weight int",
+    )
+
+    s = stream_files(spark, src_dir, raw_schema).drop("__source_file")
+    s = ensure_event_time(s)
+    enriched = s.join(F.broadcast(dim), "event_type")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weight").cast("long").alias("sum_weight"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "category",
+            "n_events",
+            "sum_weight",
+        )
+    )
+    sink = "sg_stream_static_join"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ssj_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_weight").cast("long").alias("sum_weight"),
+    )
+
+
+QUERIES_EXT12["q_stream_static_join"] = q_stream_static_join

@@ -98,3 +98,22 @@ def test_stream_sessions_match_batch_native(spark, sf_dir):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+# ------------------------------------------------------ stream-static join
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    rows = {
+        r.category: (r.n_events, r.sum_weight)
+        for r in QUERIES["q_stream_static_join"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    weights = {"view": 1, "click": 2, "signup": 5, "purchase": 10, "error": 0}
+    cats = {"view": "engagement", "click": "engagement",
+            "signup": "conversion", "purchase": "conversion", "error": "ops"}
+    expect = {}
+    for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect():
+        c = cats[r.event_type]
+        n, w = expect.get(c, (0, 0))
+        expect[c] = (n + r.n, w + r.n * weights[r.event_type])
+    assert rows == expect
