@@ -758,3 +758,78 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
 
 QUERIES_EXT9["q_triangle_count"] = q_triangle_count
 ORACLE_EXT9["q_triangle_count"] = SQL_TRIANGLE_COUNT
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS hop distance
+# --------------------------------------------------------------------------
+
+def q_graph_bfs(spark, sf_dir):
+    """Multi-source BFS over the part co-occurrence graph: minimum hop
+    distance (≤3) from the seed set (partkeys ≡ 0 mod 500) to every
+    reachable node, reported as a hop histogram + node-id checksum.
+
+    Iterative frontier expansion — each round is ONE distinct-join
+    (frontier ⋈ edges, anti-join against settled nodes), the same
+    broadcast-loop discipline as q_pagerank; rounds are bounded (3), and
+    the frontier is localCheckpoint'd so lineage stays flat.  Oracle:
+    DuckDB recursive CTE with UNION dedup + MIN(hop).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 20 = 0")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    half = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = edges.select("u").distinct()
+    seeds = nodes.filter("u % 500 = 0").select(F.col("u").alias("node"))
+
+    dist = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = dist.select("node")
+    for h in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").alias("node_checksum"),
+    )
+
+
+SQL_GRAPH_BFS = """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+), half AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT u, v FROM half UNION ALL SELECT v, u FROM half
+), bfs AS (
+  SELECT u AS node, 0 AS hop FROM (SELECT DISTINCT u FROM edges)
+  WHERE u % 500 = 0
+  UNION
+  SELECT e.v, b.hop + 1 FROM bfs b JOIN edges e ON e.u = b.node
+  WHERE b.hop < 3
+), best AS (
+  SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+)
+SELECT hop, COUNT(*) AS n_nodes, SUM(node) AS node_checksum
+FROM best GROUP BY hop
+"""
+
+QUERIES_EXT9["q_graph_bfs"] = q_graph_bfs
+ORACLE_EXT9["q_graph_bfs"] = SQL_GRAPH_BFS

@@ -222,3 +222,15 @@ def test_triangle_count_matches_python(spark, sf_dir):
     assert row.n_nodes == len(nodes)
     assert row.n_edges == len(edges)
     assert row.n_triangles == tri
+
+
+# ------------------------------------------------------------------ graph bfs
+
+def test_graph_bfs_hops_monotone_and_rooted(spark, sf_dir):
+    rows = {r.hop: r.n_nodes for r in QUERIES["q_graph_bfs"](spark, sf_dir).collect()}
+    assert 0 in rows  # seed layer present
+    assert set(rows) <= {0, 1, 2, 3}
+    # hop-h layer only exists if hop-(h-1) did
+    for h in (1, 2, 3):
+        if h in rows:
+            assert (h - 1) in rows

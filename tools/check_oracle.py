@@ -56,7 +56,14 @@ def value_hash(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark()
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # simulate the external driver: a bare session, none of
+        # session.py's tuned config (catches hidden dependencies on it)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES_SQL_NAMES:
         con.execute(
