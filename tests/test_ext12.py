@@ -117,3 +117,43 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         n, w = expect.get(c, (0, 0))
         expect[c] = (n + r.n, w + r.n * weights[r.event_type])
     assert rows == expect
+
+
+# ------------------------------------------------------- stream CDC apply
+
+def test_stream_upsert_apply_matches_sequential_merge(spark, sf_dir):
+    rows = {
+        r.o_orderstatus: (r.n_orders, r.sum_price)
+        for r in QUERIES["q_stream_upsert_apply"](spark, sf_dir).collect()
+    }
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.merge import merge_upsert
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    state = o
+    for ch in (
+        o.filter("o_orderkey % 13 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+        ),
+        o.filter("o_orderkey % 17 = 0").withColumn(
+            "o_orderstatus", F.lit("X")
+        ),
+        o.filter("o_orderkey % 19 = 0").withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+        ),
+    ):
+        state = merge_upsert(state, ch, ["o_orderkey"])
+    expect = {
+        r.o_orderstatus: (r.n, float(r.s))
+        for r in state.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert rows == expect
+    assert "X" in rows  # cancellations actually applied
