@@ -425,3 +425,47 @@ def q_stream_upsert_apply(spark, sf_dir):
 
 
 QUERIES_EXT12["q_stream_upsert_apply"] = q_stream_upsert_apply
+
+
+# --------------------------------------------------------------------------
+# pandas API on Spark
+# --------------------------------------------------------------------------
+
+def q_pandas_api(spark, sf_dir):
+    """The pandas-API-on-Spark surface (`DataFrame.pandas_api()`):
+    a pandas-shaped filter → groupby → named-agg pipeline that lowers to
+    the SAME Catalyst plans as the native API — zero data movement in or
+    out of pandas, executors never materialize pandas objects.  This is
+    the migration on-ramp for pandas codebases; aggregate choices here
+    (count / nunique / min / max) are the order-independent ones, so the
+    result is engine-exact without the decimal detour."""
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
+    pdf = _t(spark, sf_dir, "orders").pandas_api()
+    filt = pdf[pdf.o_totalprice > 1000.0]
+    agg = (
+        filt.groupby("o_orderstatus")
+        .agg(
+            n=("o_orderkey", "count"),
+            n_prio=("o_orderpriority", "nunique"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+    )
+    return agg.to_spark()
+
+
+SQL_PANDAS_API = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       COUNT(DISTINCT o_orderpriority) AS n_prio,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus
+"""
+
+QUERIES_EXT12["q_pandas_api"] = q_pandas_api
+ORACLE_EXT12["q_pandas_api"] = SQL_PANDAS_API

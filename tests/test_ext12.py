@@ -157,3 +157,29 @@ def test_stream_upsert_apply_matches_sequential_merge(spark, sf_dir):
     }
     assert rows == expect
     assert "X" in rows  # cancellations actually applied
+
+
+# ------------------------------------------------------------- pandas API
+
+def test_pandas_api_stays_on_jvm(spark, sf_dir):
+    df = QUERIES["q_pandas_api"](spark, sf_dir)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # pandas-API pipeline must lower to native plans — no Python workers
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    rows = {r.o_orderstatus: r.n for r in df.collect()}
+    direct = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_totalprice > 1000.0")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == direct
