@@ -116,6 +116,9 @@ HEADLINE = [
     # extension-XI batch (round 1): Spark-4 platform surfaces
     "q_python_datasource",
     "q_session_window_native",
+    # extension-XII / late additions: graph + pandas API
+    "q_graph_bfs",
+    "q_pandas_api",
 ]
 
 
