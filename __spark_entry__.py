@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from glue_etl_nyc_yellow_taxi_analysis_spark.coverage import driver_order
 from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE, QUERIES, q_star_agg
 
 
@@ -29,8 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.9."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.9, ordered so
+    the driver's bounded correctness window accumulates NEW evidence each
+    round (never-checked queries first; see coverage.py)."""
+    return driver_order(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

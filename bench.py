@@ -144,15 +144,33 @@ def main():
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline-suite wall-clock, noop sink, local mode",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # full per-query dict to a file (and to stdout EARLY, for humans);
+    # the FINAL stdout line stays compact — the driver captures only the
+    # tail of stdout, and a 90-query JSON line overflows that window
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full))
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
                 "metric": "headline-suite wall-clock, noop sink, local mode",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
-            }
+                "n_queries": len(timings),
+                "queries": worst,
+                "full": "BENCH_full.json",
+            },
+            separators=(",", ":"),
         )
     )
 

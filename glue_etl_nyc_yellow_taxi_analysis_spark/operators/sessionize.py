@@ -51,6 +51,13 @@ def sessionize(
     """Gap-based sessionization: a new session starts when the inter-event
     gap exceeds ``gap_minutes``.
 
+    Boundary semantics: STRICTLY greater (> gap) on floored-second deltas —
+    an event exactly ``gap_minutes`` after its predecessor stays in the
+    SAME session.  This differs from the built-in ``F.session_window``,
+    which is half-open [ts, ts+gap) (an exact-gap event starts a new
+    session); q_session_window_native and its oracle carry that other
+    convention.  Both are valid; they are deliberately not mixed.
+
     lag + conditional running count over a (key ORDER BY ts) window — one
     shuffle on the key.  Skewed keys (one user = millions of events) are the
     scale risk; AQE skew handling or key-salting applies.

@@ -144,8 +144,14 @@ def winnow_fingerprints(c: Column | str, n: int = 3, window: int = 4) -> Column:
     contributes a shared fingerprint — the classic plagiarism/near-dup
     selection scheme, at a fraction of full-shingle-set size.  All JVM
     higher-order functions.
+
+    Hash = md5 hex string (not xxhash64): md5 is bit-identical in every
+    engine and hex strings order lexicographically the same everywhere, so
+    the window-minimum selection (array_min over strings) is replicable by
+    an external SQL oracle.  Selection quality is unaffected — winnowing
+    only needs a uniform pseudo-random total order on shingles.
     """
-    hashes = F.transform(ordered_shingles(c, n), lambda s: F.xxhash64(s))
+    hashes = F.transform(ordered_shingles(c, n), lambda s: F.md5(s))
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))),
         lambda i: F.array_min(F.slice(hashes, i + 1, window)),

@@ -139,7 +139,12 @@ def q_rename_cast(spark, sf_dir):
         {
             "order_id": F.col("order_id").cast(T.IntegerType()),
             "customer_id": F.col("customer_id").cast(T.IntegerType()),
-            "total_price": F.col("total_price").cast(T.DecimalType(12, 2)),
+            # the decimal(12,2) cast is the reference's cast contract; the
+            # final .cast("double") is the canonical output lane every other
+            # money column in this inventory uses (decimal representations
+            # differ between engines at the comparison boundary, the rounded
+            # double does not — same rationale as dsum())
+            "total_price": F.col("total_price").cast(T.DecimalType(12, 2)).cast("double"),
             "order_date": F.date_format("order_date", "yyyy-MM-dd"),
         }
     )
@@ -150,7 +155,7 @@ SQL_RENAME_CAST = """
 SELECT CAST(o_orderkey AS INTEGER) AS order_id,
        CAST(o_custkey AS INTEGER) AS customer_id,
        o_orderstatus AS order_status,
-       CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date
 FROM orders
 """
@@ -750,14 +755,17 @@ def q_collect_agg(spark, sf_dir):
     (collect_set → array_sort for deterministic cross-engine output)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        # serialize the sorted set to a string: array-valued output columns
+        # break the driver's pandas canonicalizer (lists are unhashable in
+        # sort_values/factorize); the CSV string carries identical info
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.count("*").alias("n_orders"),
     )
 
 
 SQL_COLLECT_AGG = """
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
@@ -1147,9 +1155,10 @@ FROM n
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing document fingerprints (rolling min-hash window selection)
-    — xxhash64-family dependent → rows-only; selection-guarantee property
-    tested in tests/test_text_dedup.py."""
+    """Winnowing document fingerprints (rolling min-hash window selection).
+    Hash lane is md5 (engine-portable, lexicographic window minima), so the
+    full selection is oracle-checkable; the selection-guarantee property is
+    additionally tested in tests/test_text_dedup.py."""
     from .operators.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
@@ -1158,6 +1167,30 @@ def q_winnow_fingerprints(spark, sf_dir):
         F.size(winnow_fingerprints("text")).alias("n_fingerprints"),
         F.size(text.shingles("text")).alias("n_shingles"),
     )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, toks,
+         list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+         ) AS hashes
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(
+           range(0, greatest(len(hashes) - 4, 0) + 1),
+           i -> list_min(list_slice(hashes, i + 1, i + 4))))) AS INTEGER)
+           AS n_fingerprints,
+       CAST(len(list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS INTEGER)
+           AS n_shingles
+FROM sh
+"""
 
 
 def q_set_ops(spark, sf_dir):
@@ -1485,21 +1518,34 @@ def q_partitioned_write_prune(spark, sf_dir):
 
 
 def q_warehouse_roundtrip(spark, sf_dir):
-    """S6/S8/S9 semantics through the Warehouse interface (parquet-backed
-    here; JdbcWarehouse is a constructor swap): create dim, append fact
-    month, read back."""
-    wh = ParquetWarehouse(tempfile.mkdtemp(prefix="sg_wh_"))
-    nation = _t(spark, sf_dir, "nation")
-    if not wh.table_exists("dim_nation"):
-        wh.create(nation, "dim_nation")
-    jan = _t(spark, sf_dir, "orders").filter(
-        F.date_format("o_orderdate", "yyyy-MM") == "1995-01"
-    )
-    wh.append(jan, "fact_orders")
-    back = wh.read(spark, "fact_orders")
-    return back.agg(
-        F.count("*").alias("n_rows"), dsum("o_totalprice").alias("sum_price")
-    )
+    """S6/S8/S9 over REAL JDBC (embedded Derby, on Spark's classpath):
+    zero-row existence probe, first-time create, append of a month slice,
+    read back — the exact surface of the reference's Postgres Job 2
+    (PG:62-88).  Config resolution goes through the Job-2 bootstrap seam
+    (sources/config.py); pointing SG_WH_URL at Postgres swaps the engine
+    without a code change."""
+    from .sources.config import drop_derby_memory_db, resolve_warehouse_config
+    from .sources.writers import JdbcWarehouse
+
+    url, props = resolve_warehouse_config()
+    wh = JdbcWarehouse(spark, url, props)
+    try:
+        nation = _t(spark, sf_dir, "nation")
+        if not wh.table_exists("dim_nation"):
+            wh.create(nation, "dim_nation")
+        jan = _t(spark, sf_dir, "orders").filter(
+            F.date_format("o_orderdate", "yyyy-MM") == "1995-01"
+        )
+        wh.append(jan, "fact_orders")
+        back = wh.read(spark, "fact_orders")
+        return spark.createDataFrame(
+            back.agg(
+                F.count("*").alias("n_rows"), dsum("o_totalprice").alias("sum_price")
+            ).collect(),
+            "n_rows long, sum_price double",
+        )
+    finally:
+        drop_derby_memory_db(spark, url)
 
 
 def q_stream_ingest(spark, sf_dir):
@@ -1562,8 +1608,17 @@ def q_warehouse_load_plan(spark, sf_dir):
     catalog.save_table(
         fact, db, "fact_uber_trips", partition_by=["processed_year", "processed_month"]
     )
-    wh = ParquetWarehouse(tempfile.mkdtemp(prefix="sg_whload_"))
-    actions = warehouse.load_star_to_warehouse(spark, wh, db, "2021", "1")
+    # real JDBC sink (embedded Derby via the config seam) — the same
+    # load_star_to_warehouse plan runs against Postgres by env/config swap
+    from .sources.config import drop_derby_memory_db, resolve_warehouse_config
+    from .sources.writers import JdbcWarehouse
+
+    url, props = resolve_warehouse_config()
+    wh = JdbcWarehouse(spark, url, props)
+    try:
+        actions = warehouse.load_star_to_warehouse(spark, wh, db, "2021", "1")
+    finally:
+        drop_derby_memory_db(spark, url)
     rows = [(t, a) for t, a in sorted(actions.items())]
     return spark.createDataFrame(rows, "table_name string, action string")
 
@@ -1738,6 +1793,7 @@ ORACLE: dict[str, str] = {
     "q_pivot_status": SQL_PIVOT_STATUS,
     "q_running_total": SQL_RUNNING_TOTAL,
     "q_asof_join": SQL_ASOF_JOIN,
+    "q_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "q_range_join_bands": SQL_RANGE_JOIN_BANDS,
     "q_union_backfill": SQL_UNION_BACKFILL,
     "q_csv_lookup": SQL_CSV_LOOKUP,

@@ -247,14 +247,17 @@ def q_array_funcs2(spark, sf_dir):
     )
     a = F.sequence(F.lit(1), (F.col("l_partkey") % 4 + 2).cast("int"))
     b = F.sequence((F.col("l_suppkey") % 3 + 1).cast("int"), F.lit(6), F.lit(2))
+    # array-valued outputs are serialized to CSV strings: the driver's
+    # pandas canonicalizer cannot hash list cells (same contract as
+    # q_collect_agg); element info is preserved exactly
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.array_sort(F.array_intersect(a, b)).alias("inter"),
-        F.array_sort(F.array_union(a, b)).alias("uni"),
-        F.array_sort(F.array_except(a, b)).alias("minus"),
-        F.flatten(F.array(a, b)).alias("flat"),
-        F.slice(a, 2, 2).alias("mid"),
+        F.concat_ws(",", F.array_sort(F.array_intersect(a, b))).alias("inter"),
+        F.concat_ws(",", F.array_sort(F.array_union(a, b))).alias("uni"),
+        F.concat_ws(",", F.array_sort(F.array_except(a, b))).alias("minus"),
+        F.concat_ws(",", F.flatten(F.array(a, b))).alias("flat"),
+        F.concat_ws(",", F.slice(a, 2, 2)).alias("mid"),
         F.array_position(a, 3).alias("pos3"),
         F.array_contains(b, 4).alias("has4"),
     )
@@ -268,11 +271,15 @@ WITH base AS (
     FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
-       list_sort(list_intersect(a, b)) AS inter,
-       list_sort(list_distinct(list_concat(a, b))) AS uni,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS minus,
-       flatten([a, b]) AS flat,
-       list_slice(a, 2, 3) AS mid,
+       -- COALESCE: DuckDB's array_to_string of an empty list is NULL,
+       -- Spark's concat_ws of an empty array is '' — align on ''
+       COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS inter,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')
+           AS uni,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS minus,
+       COALESCE(array_to_string(flatten([a, b]), ','), '') AS flat,
+       COALESCE(array_to_string(list_slice(a, 2, 3), ','), '') AS mid,
        COALESCE(list_position(a, 3), 0) AS pos3,
        list_contains(b, 4) AS has4
 FROM base
@@ -635,14 +642,22 @@ def q_hof_battery(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
     a = F.sequence(F.lit(1), (F.col("l_partkey") % 4 + 2).cast("int"))
     b = F.sequence(F.lit(2), F.lit(7))
+    # array outputs serialized to CSV (driver-hashable); prods keeps its
+    # zip_with NULL padding visible as 'N' (concat_ws alone drops nulls)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(a, lambda x: x * 2).alias("doubled"),
-        F.filter(a, lambda x: x % 2 == 1).alias("odds"),
+        F.concat_ws(",", F.transform(a, lambda x: x * 2)).alias("doubled"),
+        F.concat_ws(",", F.filter(a, lambda x: x % 2 == 1)).alias("odds"),
         F.exists(a, lambda x: x > 4).alias("has_gt4"),
         F.forall(a, lambda x: x > 0).alias("all_pos"),
-        F.zip_with(a, b, lambda x, y: x * y).alias("prods"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.zip_with(a, b, lambda x, y: x * y),
+                lambda x: F.coalesce(x.cast("string"), F.lit("N")),
+            ),
+        ).alias("prods"),
         F.aggregate(a, F.lit(0), lambda acc, x: acc + x).alias("total"),
     )
 
@@ -655,11 +670,12 @@ WITH base AS (
     FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
-       list_transform(a, x -> x * 2) AS doubled,
-       list_filter(a, x -> x % 2 = 1) AS odds,
+       array_to_string(list_transform(a, x -> x * 2), ',') AS doubled,
+       array_to_string(list_filter(a, x -> x % 2 = 1), ',') AS odds,
        len(list_filter(a, x -> x > 4)) > 0 AS has_gt4,
        len(list_filter(a, x -> NOT (x > 0))) = 0 AS all_pos,
-       list_transform(list_zip(a, b), z -> z[1] * z[2]) AS prods,
+       array_to_string(list_transform(list_zip(a, b),
+           z -> COALESCE(CAST(z[1] * z[2] AS VARCHAR), 'N')), ',') AS prods,
        CAST(COALESCE(list_sum(a), 0) AS INTEGER) AS total
 FROM base
 """
@@ -677,20 +693,22 @@ def q_map_ops(spark, sf_dir):
     )
     return o.select(
         "o_orderkey",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(m, "status").alias("status_val"),
         F.map_contains_key(m, "priority").alias("has_priority"),
-        F.map_values(F.map_filter(m, lambda k, v: k == "status")).alias("status_only"),
+        F.concat_ws(
+            ",", F.map_values(F.map_filter(m, lambda k, v: k == "status"))
+        ).alias("status_only"),
         F.size(m).alias("n_entries"),
     )
 
 
 SQL_MAP_OPS = """
 SELECT o_orderkey,
-       ['priority', 'status'] AS keys_sorted,
+       'priority,status' AS keys_sorted,
        o_orderstatus AS status_val,
        TRUE AS has_priority,
-       [o_orderstatus] AS status_only,
+       o_orderstatus AS status_only,
        2 AS n_entries
 FROM orders
 """

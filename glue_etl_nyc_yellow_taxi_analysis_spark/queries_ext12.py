@@ -390,6 +390,13 @@ def q_stream_upsert_apply(spark, sf_dir):
             f"{src_dir}/batch_{i}",
             f"{src_dir}/b{i}",
         )
+        # FileStreamSource orders files by mtime; files written ms apart
+        # can tie at mtime granularity and apply out of order, which flips
+        # last-writer-wins for keys in multiple change sets (e.g. keys
+        # divisible by 13 AND 17).  Force strictly increasing mtimes.
+        for root, _dirs, names in os.walk(f"{src_dir}/b{i}"):
+            for fname in names:
+                os.utime(os.path.join(root, fname), (1_700_000_000 + i, 1_700_000_000 + i))
     # one micro-batch PER change file (maxFilesPerTrigger=1): merge
     # semantics are last-writer-wins, so change batches must apply in
     # arrival order, never fused into one unioned update set (keys in

@@ -73,6 +73,11 @@ def register(spark) -> None:
     """Idempotent registration of the source into a session."""
     try:
         spark.dataSource.register(_build_source_class())
-    except Exception:
-        # already registered in this session — the API has no lookup
-        pass
+    except Exception as e:
+        # the API has no lookup, so double-registration is detected by
+        # message — anything else (import error inside the factory, API
+        # drift) must surface here, not later as 'data source not found'
+        msg = str(e).lower()
+        if "already" in msg and ("exist" in msg or "register" in msg):
+            return
+        raise

@@ -27,9 +27,11 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     TIMESTAMP(NANOS) (readable only as nanos-since-epoch longs under
     ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
     (read as TIMESTAMP_NTZ).  Both converge here: longs via exact integer
-    division to microseconds, NTZ via a cast that preserves the wall
-    clock bit-for-bit because session.py pins the session timezone to
-    UTC.  Already-TIMESTAMP columns pass through untouched.
+    division to microseconds, NTZ via an explicit epoch computation that
+    interprets the wall clock as UTC — NOT a bare cast, which would pick
+    up whatever spark.sql.session.timeZone the host session carries (a
+    non-UTC session with DST would shift streaming window boundaries).
+    Already-TIMESTAMP columns pass through untouched.
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
@@ -37,7 +39,15 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
             col, F.timestamp_micros(F.expr(f"{col} div 1000"))
         )
     if dtype == "timestamp_ntz":
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND,"
+                    f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                )
+            ),
+        )
     return df
 
 

@@ -120,3 +120,54 @@ def test_jdbc_warehouse_load_cli(spark):
     assert fact.count() == 201
     dim = spark.read.jdbc(url, "dim_payment_type", properties=_props())
     assert dim.count() > 0
+
+
+def test_warehouse_config_seam(monkeypatch, tmp_path):
+    """Job-2 bootstrap resolution order: config file > env > Derby default
+    (reference fetches credentials at runtime, PG:22-45)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.sources import config as C
+
+    monkeypatch.delenv("SG_WH_CONFIG", raising=False)
+    monkeypatch.delenv("SG_WH_URL", raising=False)
+    url, props = C.resolve_warehouse_config()
+    assert url.startswith("jdbc:derby:memory:") and ";create=true" in url
+    assert props["driver"] == C.DERBY_DRIVER
+
+    monkeypatch.setenv("SG_WH_URL", "jdbc:postgresql://h:5432/db")
+    monkeypatch.setenv("SG_WH_USER", "u")
+    monkeypatch.setenv("SG_WH_PASSWORD", "s3cret")
+    url, props = C.resolve_warehouse_config()
+    assert url == "jdbc:postgresql://h:5432/db"
+    assert props == {"user": "u", "password": "s3cret"}
+    assert "s3cret" not in C.describe(url, props)
+
+    cfg = tmp_path / "wh.json"
+    cfg.write_text(
+        '{"url": "jdbc:postgresql://other/db2", "properties": {"user": "x"}}'
+    )
+    monkeypatch.setenv("SG_WH_CONFIG", str(cfg))
+    url, props = C.resolve_warehouse_config()
+    assert url == "jdbc:postgresql://other/db2" and props == {"user": "x"}
+
+
+def test_jdbc_warehouse_probe_create_append(spark, sf_dir):
+    """The Warehouse interface against real JDBC: zero-row existence probe
+    (PG:62-67), first-time create (PG:71), incremental append (PG:86-88)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.sources.config import (
+        drop_derby_memory_db,
+        resolve_warehouse_config,
+    )
+    from glue_etl_nyc_yellow_taxi_analysis_spark.sources.writers import JdbcWarehouse
+
+    url, props = resolve_warehouse_config()
+    assert url.startswith("jdbc:derby:memory:")
+    wh = JdbcWarehouse(spark, url, props)
+    try:
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        assert not wh.table_exists("dim_nation")
+        wh.create(n, "dim_nation")
+        assert wh.table_exists("dim_nation")
+        wh.append(n, "dim_nation")
+        assert wh.read(spark, "dim_nation").count() == 2 * n.count()
+    finally:
+        drop_derby_memory_db(spark, url)

@@ -82,6 +82,26 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        # Driver-hazard lint: the external driver canonicalizes via pandas
+        # (toPandas vs duckdb.df()), where list/map/struct cells are
+        # unhashable in sort_values and Decimal-vs-float64 dtypes hash
+        # differently even when values agree.  Any oracle-bearing query
+        # must emit only scalar, non-decimal output columns.
+        if ORACLE.get(name) is not None:
+            from pyspark.sql import types as _T
+
+            hazards = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(
+                    f.dataType,
+                    (_T.DecimalType, _T.ArrayType, _T.MapType, _T.StructType),
+                )
+            ]
+            if hazards:
+                print(f"FAIL  {name}: driver-hazard output dtypes on {hazards}")
+                failures.append(name)
+                continue
         took = time.time() - t0
         sql = ORACLE.get(name)
         if sql is None:
