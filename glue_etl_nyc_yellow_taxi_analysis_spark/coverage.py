@@ -56,6 +56,11 @@ PINNED: tuple[str, ...] = (
     "q_kmeans_train",
     "q_tf_idf",
     "q_contamination_check",
+    # oracle-checked md5-lane twins (ext13) — hash-verified evidence for
+    # the minhash/simhash/IVF pipelines themselves
+    "q_minhash_dedup_oracle",
+    "q_simhash_oracle",
+    "q_ann_ivf_oracle",
 )
 
 

@@ -43,30 +43,48 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """id → shingle set + minhash signature array (length ``num_hashes``).
 
-    Hash family: xxhash64(shingle, seed_i) — seeding via an extra hashed
-    literal gives k independent-enough functions with zero Python cost.
-    Each of the k minhashes is a separate ``array_min(transform(...))``
-    expression over the bound ``shingles`` column: a nested
-    transform-over-seed-indices formulation is prettier but its inner lambda
-    leaves whole-stage codegen (measured 15x slower) — keep the literal
-    seeds.  Input is spread across the cluster first (``spread``): a small
-    upstream file must not serialize this compute-bound stage onto one core.
+    Hash family (``lane="xxhash64"``, the throughput default):
+    xxhash64(shingle, seed_i) — seeding via an extra hashed literal gives k
+    independent-enough functions with zero Python cost.  Each of the k
+    minhashes is a separate ``array_min(transform(...))`` expression over
+    the bound ``shingles`` column: a nested transform-over-seed-indices
+    formulation is prettier but its inner lambda leaves whole-stage codegen
+    (measured 15x slower) — keep the literal seeds.  Input is spread across
+    the cluster first (``spread``): a small upstream file must not
+    serialize this compute-bound stage onto one core.
+
+    ``lane="md5"``: minhash_i = lexicographic min of md5('<i>|' + shingle)
+    hex strings.  Slower than xxhash64 but bit-identical in every engine
+    (md5 + ASCII ordering), so the FULL pipeline — signatures, banding,
+    candidate pairs, verified output — is replicable by an external SQL
+    oracle.  Same minima-of-uniform-hashes statistics.
     """
     sh = shingles(text_col, shingle_n).alias("shingles")
-    sig = F.array(
-        *[
+    if lane == "md5":
+        mh = [
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.md5(F.concat_ws("|", F.lit(str(i)), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    else:
+        mh = [
             F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
-    ).alias("minhash_sig")
+    sig = F.array(*mh).alias("minhash_sig")
     return spread(df).select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8, lane: str = "xxhash64"
 ) -> DataFrame:
     """LSH banding: equal band-signature → candidate pair (id_a < id_b).
 
@@ -75,18 +93,18 @@ def minhash_lsh_candidates(
     the join never degenerates to a cross join.  Pairs deduped across bands.
     """
     rows_per_band = num_hashes // bands
+
+    def band_key(b):
+        els = [F.col("minhash_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if lane == "md5":
+            return F.md5(F.concat_ws("|", *els))
+        return F.xxhash64(*els)
+
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("minhash_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -118,14 +136,15 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.6,
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified pairs with jaccard ≥ τ.
 
     candidates (banding) → join back shingle sets → exact-Jaccard verify.
     Returns (id_a, id_b, jaccard_sim).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
-    cands = minhash_lsh_candidates(sigs, num_hashes, bands)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, lane).cache()
+    cands = minhash_lsh_candidates(sigs, num_hashes, bands, lane)
     sh = sigs.select("id", "shingles")
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
@@ -164,11 +183,43 @@ def simhash64(toks_col_name: str) -> Column:
     return F.expr(_SIMHASH_EXPR.format(toks=toks_col_name))
 
 
+# md5 lane: 60-bit simhash over per-token hashes taken from the first 15
+# hex chars of md5 (fits signed 64-bit in every engine; Spark computes the
+# int via conv(hex,16,10), an oracle via ('0x'||hex)::BIGINT).  Token
+# hashes are materialized ONCE ({hs} is a precomputed array<long> column),
+# then the 60-bit loop folds over ints only — md5 is not recomputed per bit.
+_SIMHASH_MD5_EXPR = """
+aggregate(
+  zip_with(
+    transform(sequence(0, 59),
+              b -> aggregate({hs}, 0L,
+                             (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L
+                                                    THEN 1L ELSE -1L END)),
+    sequence(0, 59),
+    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+  0L, (acc, x) -> acc | x)
+"""
+
+TOKEN_HASH_MD5_EXPR = (
+    "transform({toks}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+
+
+def simhash60_md5(toks_col_name: str) -> Column:
+    """Engine-portable 60-bit SimHash (md5-derived token hashes): same
+    majority-vote construction as ``simhash64``, but every intermediate is
+    replicable in an external SQL oracle."""
+    return F.expr(
+        _SIMHASH_MD5_EXPR.format(hs=TOKEN_HASH_MD5_EXPR.format(toks=toks_col_name))
+    )
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: 16-bit band blocking + Hamming verify.
 
@@ -177,11 +228,19 @@ def simhash_dedup_pairs(
     with distance ≤ 3 exactly, and pairs up to ``max_hamming`` best-effort —
     the classic scalable SimHash trade-off.
     Returns (id_a, id_b, hamming).
+
+    ``lane="md5"`` swaps in the 60-bit engine-portable signature
+    (``simhash60_md5``, 15-bit bands) so the whole pipeline is
+    oracle-replicable; banding guarantees are the same pigeonhole argument.
     """
+    nbits, nbands = (60, 4) if lane == "md5" else (64, 4)
+    band_bits = nbits // nbands
+    mask = (1 << band_bits) - 1
+    sig_expr = simhash60_md5("__toks") if lane == "md5" else simhash64("__toks")
     sigs = (
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        .select("id", simhash64("__toks").alias("simhash"))
+        .select("id", sig_expr.alias("simhash"))
         .cache()
     )
     banded = sigs.select(
@@ -190,8 +249,8 @@ def simhash_dedup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
+                    F.shiftright(F.col("simhash"), band_bits * b).bitwiseAND(F.lit(mask))
+                    for b in range(nbands)
                 ]
             )
         ).alias("band_idx", "band_val"),

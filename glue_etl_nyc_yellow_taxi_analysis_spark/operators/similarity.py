@@ -102,6 +102,25 @@ def centroids_by(
     )
 
 
+def rep_centroids(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse 'centroids': the member vector with the lowest
+    id per cluster (a medoid stand-in).  Unlike the element-wise mean
+    (``centroids_by``), this involves NO float summation — the result is
+    bit-identical regardless of partitioning/merge order, so an IVF search
+    built on it is replicable by an external SQL oracle."""
+    w = Window.partitionBy(cluster_col).orderBy(id_col)
+    return (
+        embeddings.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(cluster_col).alias("cluster"), F.col(vec_col).alias("centroid"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -111,6 +130,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     query_id_col: str = "query_id",
+    centroid_mode: str = "mean",
 ) -> DataFrame:
     """IVF-style ANN: probe only the ``nprobe`` nearest clusters per query.
 
@@ -120,15 +140,28 @@ def ivf_topk(
     the scale win lives.  Returns (query_id, vec_id, cosine_sim, rank) —
     approximate: recall < 1 when a true neighbor lives outside the probed
     clusters.
+
+    ``centroid_mode="rep"`` probes against deterministic lowest-id
+    representatives (``rep_centroids``) with the probe similarity rounded —
+    every stage then matches an external SQL oracle exactly; ``"mean"`` is
+    the quality default (float mean centroids, rows-only checkable).
     """
-    cents = centroids_by(embeddings, cluster_col, vec_col)
+    if centroid_mode == "rep":
+        cents = rep_centroids(embeddings, cluster_col, id_col, vec_col)
+    else:
+        cents = centroids_by(embeddings, cluster_col, vec_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.desc("centroid_sim"), F.col("cluster")
     )
+    centroid_sim = cosine(F.col("__qvec"), F.col("centroid"))
+    if centroid_mode == "rep":
+        # rounded probe score: float cosine at full precision could order
+        # two near-tied clusters differently across engines
+        centroid_sim = F.round(centroid_sim, 6)
     probed = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("centroid_sim", cosine(F.col("__qvec"), F.col("centroid")))
+        .withColumn("centroid_sim", centroid_sim)
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
         .select(query_id_col, "__qvec", "cluster")

@@ -1879,3 +1879,10 @@ from .queries_ext12 import ORACLE_EXT12, QUERIES_EXT12  # noqa: E402
 
 QUERIES.update(QUERIES_EXT12)
 ORACLE.update(ORACLE_EXT12)
+
+# extended inventory XIII (oracle-checked md5-lane twins of the hash-family
+# dedup/ANN pipelines)
+from .queries_ext13 import ORACLE_EXT13, QUERIES_EXT13  # noqa: E402
+
+QUERIES.update(QUERIES_EXT13)
+ORACLE.update(ORACLE_EXT13)

@@ -121,3 +121,55 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     sh = df.select(text.shingles("text", 3).alias("s")).collect()[0].s
     assert sh == ["one two"]
+
+
+def test_minhash_md5_lane_matches_xxhash_lane_semantics(spark):
+    """The md5 (oracle) lane must surface the same verified near-dup pairs
+    as the xxhash64 (throughput) lane — the hash family only steers
+    candidate generation; the exact-Jaccard verify fixes the output."""
+    docs = _docs(spark)
+    got = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_dedup_pairs(
+            docs, num_hashes=12, bands=4, threshold=0.5, lane="md5"
+        ).collect()
+    }
+    assert (1, 5) in got and (1, 2) in got
+    ref = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_dedup_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert ref <= got or got <= ref  # both catch the planted pairs
+
+
+def test_simhash_md5_lane_properties(spark):
+    docs = _docs(spark)
+    pairs = {
+        (p.id_a, p.id_b): p.hamming
+        for p in dedup.simhash_dedup_pairs(docs, max_hamming=16, lane="md5").collect()
+    }
+    assert pairs.get((1, 5)) == 0  # identical text → identical 60-bit signature
+    # 60-bit signatures stay within the signed-long budget
+    sigs = [
+        r.s
+        for r in _docs(spark)
+        .select(dedup.tokens("text").alias("__toks"))
+        .select(dedup.simhash60_md5("__toks").alias("s"))
+        .collect()
+    ]
+    assert all(0 <= s < (1 << 60) for s in sigs)
+
+
+def test_rep_centroids_deterministic(spark):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], "a"),
+        (3, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    reps = {r.cluster: r.centroid for r in similarity.rep_centroids(df).collect()}
+    assert reps == {"a": [1.0, 0.0], "b": [0.0, 1.0]}
