@@ -61,6 +61,12 @@ PINNED: tuple[str, ...] = (
     "q_minhash_dedup_oracle",
     "q_simhash_oracle",
     "q_ann_ivf_oracle",
+    # training-pipeline round-2 operators (ext14) — new, need first rows
+    "q_boilerplate_ratio",
+    "q_hash_sample",
+    "q_embedding_quantize",
+    "q_bpe_pair_counts",
+    "q_sequence_packing",
 )
 
 

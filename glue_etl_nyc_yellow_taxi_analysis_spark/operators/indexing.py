@@ -80,3 +80,65 @@ def global_index(
         )
         .drop("__bucket", "__offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    buckets: int = 32,
+) -> DataFrame:
+    """Global running sum of ``value_col`` following ``ORDER BY order_col``
+    — the same two-phase plan as ``global_index`` (a bare
+    ``SUM() OVER (ORDER BY ...)`` is a one-task sort at 100 TB):
+
+    1. range-bucket on quantile boundaries of ``order_col`` (unique,
+       numeric — caller supplies the tiebreak);
+    2. per-bucket value sums → exact cumulative offsets (B rows to the
+       driver);
+    3. intra-bucket running sum windows in parallel + broadcast offset.
+
+    ``value_col`` must be integral (exact offsets); the result is
+    byte-identical to the single-partition window.  This is the
+    backbone of sequence packing: token budgets are running sums.
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.expr(
+            f"approx_percentile({order_col}, array({', '.join(map(str, probs))}), 10000)"
+        ).alias("bs")
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+    if bounds:
+        lits = ", ".join(repr(b) for b in bounds)
+        bucket_expr = F.expr(f"size(filter(array({lits}), b -> {order_col} > b))")
+    else:
+        bucket_expr = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket_expr.cast("int"))
+
+    sums = {
+        r["__bucket"]: r["s"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append((b, acc))
+        acc += int(sums.get(b) or 0)
+    off_df = df.sparkSession.createDataFrame(offsets, ["__bucket", "__offset"])
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "__bucket")
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(w) + F.col("__offset")).cast("bigint"),
+        )
+        .drop("__bucket", "__offset")
+    )

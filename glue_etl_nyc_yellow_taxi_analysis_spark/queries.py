@@ -1886,3 +1886,10 @@ from .queries_ext13 import ORACLE_EXT13, QUERIES_EXT13  # noqa: E402
 
 QUERIES.update(QUERIES_EXT13)
 ORACLE.update(ORACLE_EXT13)
+
+# extended inventory XIV (training-data pipeline round 2: boilerplate,
+# hash sampling, quantization, BPE pairs, sequence packing)
+from .queries_ext14 import ORACLE_EXT14, QUERIES_EXT14  # noqa: E402
+
+QUERIES.update(QUERIES_EXT14)
+ORACLE.update(ORACLE_EXT14)

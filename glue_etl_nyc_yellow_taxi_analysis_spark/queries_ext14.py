@@ -1,0 +1,285 @@
+"""Extended inventory XIV — training-data pipeline operators, round 2.
+
+Five operators a 100 TB pretraining-data pipeline runs constantly, each
+with a full DuckDB oracle:
+
+- cross-doc boilerplate detection (shingle document-frequency → per-doc
+  boilerplate ratio — the C4 "remove lines repeated across the corpus"
+  move, on shingles since the synthetic docs are single-line);
+- deterministic hash sampling (md5-bucket Bernoulli — reproducible
+  train/eval splits with no RNG state, the only sane sampling at scale);
+- int8 scalar quantization of embeddings (per-dim min/max → codes →
+  reconstruction error — the memory-bound embedding-store lever);
+- BPE-style adjacent-pair counting (the inner loop of tokenizer
+  training);
+- sequence packing by token budget (two-phase global running sum →
+  pack id — the pretraining batch-shaping step; a bare SUM() OVER
+  (ORDER BY) would be a one-task sort at scale, see
+  operators/indexing.global_running_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import text
+from .operators.indexing import global_running_sum
+from .queries import TOKS_SQL, _t
+
+QUERIES_EXT14 = {}
+ORACLE_EXT14 = {}
+
+
+# --------------------------------------------------------------------------
+# Cross-doc boilerplate: shingle document frequency → per-doc ratio
+# --------------------------------------------------------------------------
+
+_BP_DF = 20  # a shingle present in ≥ this many docs is boilerplate
+
+
+def q_boilerplate_ratio(spark, sf_dir):
+    """Per-document boilerplate ratio: fraction of a doc's distinct
+    3-shingles that occur in ≥ 20 documents corpus-wide.  One explode +
+    one groupBy(shingle) (the shuffle key is the shingle, map-side
+    partial-counted), join back, re-aggregate per doc — the C4/RefinedWeb
+    repeated-content filter expressed as two shuffles, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(text.shingles("text")).alias("s"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    flagged = sh.join(df_counts, "s").select(
+        "doc_id", (F.col("df") >= _BP_DF).alias("is_bp")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+SQL_BOILERPLATE_RATIO = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
+  FROM (SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+), dfc AS (
+  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS n_boiler,
+       ROUND(CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS boiler_ratio
+FROM sh JOIN dfc USING (s)
+GROUP BY doc_id
+"""
+
+QUERIES_EXT14["q_boilerplate_ratio"] = q_boilerplate_ratio
+ORACLE_EXT14["q_boilerplate_ratio"] = SQL_BOILERPLATE_RATIO
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling
+# --------------------------------------------------------------------------
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 5% Bernoulli sample of orders keyed on
+    md5(o_orderkey): bucket = first 8 md5 hex chars mod 100.  Unlike
+    rand()-based sampling this is reproducible across runs, engines and
+    partitionings — the standard way to carve stable train/eval splits
+    from a 100 TB corpus (and it pushes down: no shuffle, one scan)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return o.filter(bucket < 5).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+SQL_HASH_SAMPLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+"""
+
+QUERIES_EXT14["q_hash_sample"] = q_hash_sample
+ORACLE_EXT14["q_hash_sample"] = SQL_HASH_SAMPLE
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization of embeddings
+# --------------------------------------------------------------------------
+
+def q_embedding_quantize(spark, sf_dir):
+    """int8 scalar quantization: corpus-wide per-dimension [min, max]
+    (exact order-free aggregates), code = floor((v-lo)/(hi-lo)*255 + 0.5),
+    then per-vector reconstruction error.  The 4×-memory lever of every
+    embedding store; bounds are a broadcast O(dims) table, so quantization
+    is one scan.  floor(x+0.5) not round(): round() tie semantics differ
+    across engines, floor is exact everywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    bounds = (
+        dims.groupBy("dim")
+        .agg(
+            F.min("val").cast("double").alias("lo"),
+            F.max("val").cast("double").alias("hi"),
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias("cells"))
+        .select(
+            F.transform("cells", lambda c: c.getField("lo")).alias("los"),
+            F.transform("cells", lambda c: c.getField("hi")).alias("his"),
+        )
+    )
+    per_dim_sqerr = (
+        "transform(sequence(0, size(embedding) - 1), i -> "
+        " POW(CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        "  - (element_at(los, i + 1) + floor((CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        "       - element_at(los, i + 1)) / (element_at(his, i + 1) - element_at(los, i + 1))"
+        "       * 255.0 + 0.5) / 255.0 * (element_at(his, i + 1) - element_at(los, i + 1))), 2))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(f"aggregate({per_dim_sqerr}, 0.0D, (acc, x) -> acc + x)")
+                / F.size("embedding"),
+                8,
+            ).alias("mse"),
+        )
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH bounds AS (
+  SELECT i AS dim,
+         MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY i
+), b AS (
+  SELECT list_transform(list_sort(list({'dim': dim, 'lo': lo, 'hi': hi})),
+                        r -> r.lo) AS los,
+         list_transform(list_sort(list({'dim': dim, 'lo': lo, 'hi': hi})),
+                        r -> r.hi) AS his
+  FROM bounds
+)
+SELECT vec_id,
+       ROUND(list_sum(list_transform(range(0, len(embedding)), i ->
+           POW(CAST(embedding[i + 1] AS DOUBLE)
+               - (los[i + 1] + floor((CAST(embedding[i + 1] AS DOUBLE) - los[i + 1])
+                     / (his[i + 1] - los[i + 1]) * 255.0 + 0.5)
+                   / 255.0 * (his[i + 1] - los[i + 1])), 2)))
+           / len(embedding), 8) AS mse
+FROM embeddings, b
+"""
+
+QUERIES_EXT14["q_embedding_quantize"] = q_embedding_quantize
+ORACLE_EXT14["q_embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
+
+
+# --------------------------------------------------------------------------
+# BPE-style adjacent pair counts
+# --------------------------------------------------------------------------
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-20 adjacent token pairs across the corpus — the merge-candidate
+    scoring pass at the heart of BPE tokenizer training.  Pair extraction
+    stays in codegen (transform over an index sequence); one shuffle on
+    the pair key with map-side partial counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pair"))
+        .limit(20)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+SELECT pair, COUNT(*) AS cnt FROM (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) AS pair
+  FROM (SELECT {TOKS_SQL.format(c='text')} AS toks FROM documents)
+)
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+QUERIES_EXT14["q_bpe_pair_counts"] = q_bpe_pair_counts
+ORACLE_EXT14["q_bpe_pair_counts"] = SQL_BPE_PAIR_COUNTS
+
+
+# --------------------------------------------------------------------------
+# Sequence packing by token budget
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Pack documents (ordered by doc_id) into fixed token-budget
+    sequences: pack_id = floor(exclusive-running-token-count / 512).
+    The running sum is the two-phase distributed plan
+    (operators/indexing.global_running_sum) — never a bare global window.
+    Output is per-pack shape accounting (docs, tokens), the thing a
+    pretraining dataloader needs precomputed."""
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    cum = global_running_sum(with_counts, "doc_id", "n_tokens", out_col="cum_tokens")
+    packs = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_BUDGET).cast("long"),
+    )
+    return packs.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH counted AS (
+  SELECT doc_id, CAST(len({TOKS_SQL.format(c='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS cum_tokens
+  FROM counted
+)
+SELECT CAST(floor((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+"""
+
+QUERIES_EXT14["q_sequence_packing"] = q_sequence_packing
+ORACLE_EXT14["q_sequence_packing"] = SQL_SEQUENCE_PACKING

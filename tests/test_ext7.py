@@ -159,3 +159,25 @@ def test_csv_malformed_keeps_all_rows(spark, sf_dir):
     # parseable fields of a partially-bad row survive
     partial = next(r for r in rows if r.id == 2)
     assert partial.val is None and partial.tag == "b" and partial.is_bad
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("v")
+    )
+    got = {
+        r.k: r.running_sum
+        for r in global_running_sum(df, "k", "v", buckets=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.rs for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
+    assert got == want
+    # and the plan windows over __bucket, not a single empty partition
+    plan = _plan(global_running_sum(df, "k", "v", buckets=8))
+    assert "__bucket" in plan
