@@ -67,6 +67,13 @@ PINNED: tuple[str, ...] = (
     "q_embedding_quantize",
     "q_bpe_pair_counts",
     "q_sequence_packing",
+    # streaming queries upgraded from rows-only to batch-equivalence
+    # oracles in r2 — the hash row IS the stream/batch equivalence proof
+    "q_stream_join",
+    "q_stream_dedup",
+    "q_stream_sessions",
+    "q_stream_static_join",
+    "q_stream_upsert_apply",
 )
 
 

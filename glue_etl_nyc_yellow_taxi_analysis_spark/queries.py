@@ -1517,6 +1517,16 @@ def q_partitioned_write_prune(spark, sf_dir):
     )
 
 
+SQL_PARTITIONED_WRITE_PRUNE = f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(*) AS n_rows,
+       {DSUM_SQL.format(col='l_extendedprice')} AS sum_price
+FROM lineitem
+WHERE year(l_shipdate) = 1996
+GROUP BY 1
+"""
+
+
 def q_warehouse_roundtrip(spark, sf_dir):
     """S6/S8/S9 over REAL JDBC (embedded Derby, on Spark's classpath):
     zero-row existence probe, first-time create, append of a month slice,
@@ -1548,15 +1558,28 @@ def q_warehouse_roundtrip(spark, sf_dir):
         drop_derby_memory_db(spark, url)
 
 
+SQL_WAREHOUSE_ROUNDTRIP = f"""
+SELECT COUNT(*) AS n_rows,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
+"""
+
+
 def q_stream_ingest(spark, sf_dir):
     """Structured Streaming file-source ingest (availableNow trigger) →
     windowed event aggregate into a memory sink — the Lambda/EventBridge
-    replacement.  Batch-verifiable: same F.window plan as
-    q_event_sessionize."""
+    replacement.  Oracle-checked stream/batch equivalence: the drained
+    complete-mode result must equal the batch date_trunc('hour') rollup.
+    Session timezone is pinned to UTC first — F.window aligns hour
+    boundaries in SESSION-LOCAL time, so a half-hour-offset host tz would
+    shift every window (all queries in this inventory are engineered to
+    be tz-independent, so the pin is side-effect-free)."""
     import os
 
     from .streaming.ingest import ensure_event_time, stream_files, windowed_event_counts
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="sg_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
@@ -1575,7 +1598,22 @@ def q_stream_ingest(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_INGEST = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
 
 
 def q_taxi_star_build(spark, sf_dir):
@@ -1621,6 +1659,24 @@ def q_warehouse_load_plan(spark, sf_dir):
         drop_derby_memory_db(spark, url)
     rows = [(t, a) for t, a in sorted(actions.items())]
     return spark.createDataFrame(rows, "table_name string, action string")
+
+
+# fresh in-memory Derby each run → every dim is create-if-missing 'created'
+# and the fact month appends; the action log is fully deterministic, so a
+# literal oracle pins it (regressions in probe/create/append routing or
+# table naming hash-fail instead of hiding behind rows-only)
+SQL_WAREHOUSE_LOAD_PLAN = """
+SELECT * FROM (VALUES
+    ('dim_date', 'created'),
+    ('dim_payment_type', 'created'),
+    ('dim_ratecode', 'created'),
+    ('dim_store_and_fwd_flag', 'created'),
+    ('dim_time', 'created'),
+    ('dim_trip_peak_band', 'created'),
+    ('dim_vendors', 'created'),
+    ('fact_uber_trips', 'appended 2021-1')
+) AS t(table_name, action)
+"""
 
 
 def _taxi_fixture(spark) -> DataFrame:
@@ -1797,6 +1853,13 @@ ORACLE: dict[str, str] = {
     "q_range_join_bands": SQL_RANGE_JOIN_BANDS,
     "q_union_backfill": SQL_UNION_BACKFILL,
     "q_csv_lookup": SQL_CSV_LOOKUP,
+    # write-path / streaming queries with deterministic drained outputs:
+    # the oracle is the batch equivalent — a REAL stream/batch-equivalence
+    # check at the driver gate, not just a row count
+    "q_stream_ingest": SQL_STREAM_INGEST,
+    "q_partitioned_write_prune": SQL_PARTITIONED_WRITE_PRUNE,
+    "q_warehouse_roundtrip": SQL_WAREHOUSE_ROUNDTRIP,
+    "q_warehouse_load_plan": SQL_WAREHOUSE_LOAD_PLAN,
 }
 
 # the ad-hoc SQL layer's oracle is the very same dialect-neutral string

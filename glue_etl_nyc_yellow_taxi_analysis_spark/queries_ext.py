@@ -1042,8 +1042,9 @@ def q_kmeans_train(spark, sf_dir):
 def q_stream_join(spark, sf_dir):
     """Stream-stream interval join (clicks ⋈ views within 10 minutes per
     user) through Structured Streaming with watermarked state expiry —
-    aggregated to per-user pair counts.  Rows-only (streaming execution);
-    parity with the batch twin is asserted in tests."""
+    aggregated to per-user pair counts.  Oracle-checked: the availableNow
+    drain is a single micro-batch (no late data to drop), so the batch
+    self-join replays it exactly."""
     import os
 
     from .streaming.ingest import ensure_event_time, interval_join_streams, stream_files
@@ -1080,6 +1081,19 @@ def q_stream_join(spark, sf_dir):
 
 QUERIES_EXT["q_kmeans_train"] = q_kmeans_train
 QUERIES_EXT["q_stream_join"] = q_stream_join
+
+# stream-stream interval join drains deterministically under availableNow
+# (single micro-batch; no late data to drop), so the batch self-join IS
+# the oracle — a hash-checked stream/batch-equivalence gate
+SQL_STREAM_JOIN = """
+SELECT l.user_id AS user_id, COUNT(*) AS n_pairs
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
+GROUP BY l.user_id
+"""
+ORACLE_EXT["q_stream_join"] = SQL_STREAM_JOIN
 
 
 # --------------------------------------------------------------------------

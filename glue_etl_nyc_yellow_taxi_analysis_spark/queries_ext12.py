@@ -195,8 +195,8 @@ def q_stream_sessions(spark, sf_dir):
     arrive and finalizes them when the watermark passes — bounded state
     keyed by (user, open session), the scale path for clickstream
     sessionization.  Batch-equivalence of per-user session counts vs
-    q_session_window_native is asserted in tests; the driver check is
-    rows-only (streaming)."""
+    q_session_window_native is asserted in tests, and the per-user session
+    counts are oracle-checked (gap merging is pure event-time, tz-free)."""
     import os
 
     from .streaming.ingest import (
@@ -247,6 +247,14 @@ def q_stream_sessions(spark, sf_dir):
             schema=src_schema,
         )
         pa_pq.write_table(tbl, f"{src_dir}/zz_flush{i}.parquet")
+        # FileStreamSource orders by mtime: the data symlink carries the
+        # OLD testdata mtime, but the two flush files are written
+        # back-to-back and could tie — force flush1 < flush2 so the
+        # watermark advance and the eviction batch stay distinct
+        os.utime(
+            f"{src_dir}/zz_flush{i}.parquet",
+            (1_900_000_000 + i, 1_900_000_000 + i),
+        )
 
     s = (
         spark.readStream.format("parquet")
@@ -275,6 +283,32 @@ def q_stream_sessions(spark, sf_dir):
 
 QUERIES_EXT12["q_stream_sessions"] = q_stream_sessions
 
+# session_window merges on pure event-time gaps (no tz-dependent
+# alignment) and the drained output is integer counts — the batch
+# lag-sessionization with the SAME half-open boundary (>= gap starts a
+# new session) is the oracle
+SQL_STREAM_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id
+"""
+ORACLE_EXT12["q_stream_sessions"] = SQL_STREAM_SESSIONS
+
 
 # --------------------------------------------------------------------------
 # Stream-static enrichment join
@@ -286,12 +320,15 @@ def q_stream_static_join(spark, sf_dir):
     the single most common production streaming shape (fact stream +
     slowly-changing dim).  The static side needs no watermark and no
     state: Spark broadcasts it into every micro-batch.  Batch twin
-    equivalence is asserted in tests; driver check is rows-only
-    (streaming)."""
+    equivalence is asserted in tests AND oracle-checked at the gate
+    (session tz pinned to UTC so day windows match date_trunc)."""
     import os
 
     from .streaming.ingest import ensure_event_time, stream_files
 
+    # F.window('1 day') aligns to SESSION-LOCAL midnight; pin UTC so the
+    # day boundaries match the oracle's date_trunc under any host tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="sg_ssj_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
@@ -344,6 +381,27 @@ def q_stream_static_join(spark, sf_dir):
 
 QUERIES_EXT12["q_stream_static_join"] = q_stream_static_join
 
+SQL_STREAM_STATIC_JOIN = """
+WITH dim AS (
+  SELECT * FROM (VALUES
+      ('view', 'engagement', 1), ('click', 'engagement', 2),
+      ('signup', 'conversion', 5), ('purchase', 'conversion', 10),
+      ('error', 'ops', 0)) AS t(event_type, category, weight)
+), windows AS (
+  SELECT d.category, date_trunc('day', e.ts) AS day_start,
+         COUNT(*) AS n_events, SUM(d.weight) AS sum_weight
+  FROM events e JOIN dim d USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT category,
+       COUNT(*) AS n_windows,
+       SUM(n_events) AS n_events,
+       SUM(sum_weight) AS sum_weight
+FROM windows
+GROUP BY category
+"""
+ORACLE_EXT12["q_stream_static_join"] = SQL_STREAM_STATIC_JOIN
+
 
 # --------------------------------------------------------------------------
 # Streaming CDC apply (foreachBatch merge loop)
@@ -357,8 +415,9 @@ def q_stream_upsert_apply(spark, sf_dir):
     reference's 'one Lambda invocation', merge = the MERGE the reference's
     append-only Job 2 lacks.  Final snapshot = base with batch-2 winning
     on collisions (last-writer-wins across ordered batches), summarized
-    per status.  Batch recomputation equivalence is asserted in tests;
-    the driver check is rows-only (streaming + write path)."""
+    per status.  Batch recomputation equivalence is asserted in tests, and
+    the closed-form CASE replay of the three ordered batches is the
+    driver oracle (hash-fails if batches fuse or apply out of order)."""
     import os
 
     from .operators.merge import merge_upsert
@@ -432,6 +491,33 @@ def q_stream_upsert_apply(spark, sf_dir):
 
 
 QUERIES_EXT12["q_stream_upsert_apply"] = q_stream_upsert_apply
+
+# last-writer-wins over the three ordered change sets is closed-form:
+# %17 keys take batch-1's whole row (status 'X', ORIGINAL price — b1 was
+# built from the source, so it overwrites b0's reprice), else %13 keys
+# take batch-0's +10 reprice; batch-2 inserts key+20M clones.  The CASE
+# replay is the oracle — it hash-fails if batches apply out of order.
+SQL_STREAM_UPSERT_APPLY = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+         CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice
+              WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM final
+GROUP BY o_orderstatus
+"""
+ORACLE_EXT12["q_stream_upsert_apply"] = SQL_STREAM_UPSERT_APPLY
 
 
 # --------------------------------------------------------------------------

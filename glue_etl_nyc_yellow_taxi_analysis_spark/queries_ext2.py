@@ -777,8 +777,9 @@ def q_stream_dedup(spark, sf_dir):
     """Streaming exactly-once-per-key dedup (dropDuplicatesWithinWatermark —
     bounded state, unlike plain streaming dropDuplicates) over the events
     file-stream; output is per-event-type distinct-user counts, which a
-    batch countDistinct reproduces (asserted in tests/test_stream_dedup.py
-    at the row level).  Rows-only: streaming execution has no SQL oracle.
+    batch countDistinct reproduces — asserted in tests/test_stream_dedup.py
+    at the row level AND oracle-checked at the driver gate (the distinct
+    count is drain-order independent).
     """
     import os
     import tempfile
@@ -814,6 +815,15 @@ def q_stream_dedup(spark, sf_dir):
 
 
 QUERIES_EXT2["q_stream_dedup"] = q_stream_dedup
+
+# dropDuplicatesWithinWatermark keeps ≥1 row per (user, type) and the
+# output is a distinct-count — deterministic after the drain, so the batch
+# COUNT(DISTINCT) is the oracle
+SQL_STREAM_DEDUP = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+ORACLE_EXT2["q_stream_dedup"] = SQL_STREAM_DEDUP
 
 
 # --------------------------------------------------------------------------

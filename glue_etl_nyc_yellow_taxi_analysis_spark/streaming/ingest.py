@@ -209,7 +209,15 @@ def windowed_event_counts(
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), *group_cols)
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal-routed double sum (same lane as tumbling_agg/dsum):
+            # streaming state accumulates in arrival order, which would
+            # make a bare double sum run-dependent at the last ulp
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
     )
 
