@@ -74,6 +74,7 @@ PINNED: tuple[str, ...] = (
     "q_stream_sessions",
     "q_stream_static_join",
     "q_stream_upsert_apply",
+    "q_stream_stateful",
 )
 
 

@@ -345,6 +345,20 @@ def q_stream_stateful(spark, sf_dir):
 
 QUERIES_EXT5["q_stream_stateful"] = q_stream_stateful
 
+# the state accumulates integer ten-thousandths (floor(v*10000 + 0.5) per
+# row — bit-identical IEEE ops in numpy and SQL), so the final per-user
+# state is exactly the batch rollup: a hash-checked proof that the custom
+# state machine accumulated correctly across micro-batches
+SQL_STREAM_STATEFUL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS total_value
+FROM events
+GROUP BY user_id
+"""
+ORACLE_EXT5["q_stream_stateful"] = SQL_STREAM_STATEFUL
+
 
 # --------------------------------------------------------------------------
 # Iterative PageRank on the event-type transition graph

@@ -143,6 +143,14 @@ def stateful_user_totals(
     state lives in the state store (checkpointed, exactly-once), and the
     user function sees Arrow batches, never single rows.  Output mode
     "update": one row per key per batch with the post-batch totals.
+
+    The running total is held as integer TEN-THOUSANDTHS: each value is
+    quantized per-row with floor(v*10000 + 0.5) — pure IEEE multiply/floor,
+    bit-identical in numpy, the JVM, and any SQL engine — and summed as an
+    int.  A float accumulator rounded per batch would drift with batch
+    boundaries and pandas' pairwise-summation order, making the final
+    state unverifiable; the integer lane makes the whole operator
+    replayable by a batch SQL oracle.
     """
     import pandas as pd  # noqa: F401 — required by the worker closure
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -157,20 +165,23 @@ def stateful_user_totals(
     state_schema = T.StructType(
         [
             T.StructField("n_events", T.LongType()),
-            T.StructField("total_value", T.DoubleType()),
+            T.StructField("total_i", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state: "GroupState"):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_i = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
-        state.update((n, round(total, 2)))
+            total_i += int(
+                np.floor(pdf[value_col].to_numpy(dtype="float64") * 10000.0 + 0.5).sum()
+            )
+        state.update((n, total_i))
         yield pd.DataFrame(
-            {key_col: [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {key_col: [key[0]], "n_events": [n], "total_value": [total_i / 10000.0]}
         )
 
     return (
