@@ -75,6 +75,7 @@ PINNED: tuple[str, ...] = (
     "q_stream_static_join",
     "q_stream_upsert_apply",
     "q_stream_stateful",
+    "q_pagerank",
 )
 
 

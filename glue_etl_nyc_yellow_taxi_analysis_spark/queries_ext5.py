@@ -438,3 +438,80 @@ def q_pagerank(spark, sf_dir):
 
 
 QUERIES_EXT5["q_pagerank"] = q_pagerank
+
+
+# ---------------------------------------------------------------------------
+# q_pagerank oracle: a GENERATED 20-iteration chained-CTE replay.
+#
+# The Spark implementation is engineered to be bit-deterministic (decimal
+# lanes everywhere), which makes even this iterative algorithm externally
+# verifiable — the oracle replays Spark's exact decimal semantics:
+# - double -> DECIMAL(20,18) goes through the shortest double repr in both
+#   engines (Spark BigDecimal.valueOf == DuckDB CAST(dbl AS VARCHAR));
+# - Spark's DECIMAL(20,18)*DECIMAL(20,18) is the exact 36-scale product
+#   rounded HALF_UP to its (38,33) result type, then HALF_UP again on the
+#   CAST to (20,18).  DuckDB's decimal downcast TRUNCATES, so HALF_UP is
+#   emulated by adding half an ulp of the target scale before the cast;
+# - per-iteration CTEs are MATERIALIZED (inlined CTEs re-evaluate the
+#   whole upstream chain per reference - measured 64s -> 0.1s).
+# Verified equal to the Spark output at sf0.001 and sf0.01.
+
+
+HALF33 = "CAST('0.000000000000000000000000000000000500' AS DECIMAL(37,36))"
+HALF18_FROM33 = "CAST('0.000000000000000000500000000000000' AS DECIMAL(34,33))"
+HALF18_FROM20 = "CAST('0.00000000000000000050' AS DECIMAL(21,20))"
+
+
+def prod18(wt, rank):
+    """Spark CAST(wt*rank AS DECIMAL(20,18)): exact 36-scale product,
+    HALF_UP to 33 (Spark's (38,33) product type), HALF_UP to 18."""
+    p36 = f"(CAST({wt} AS DECIMAL(19,18)) * CAST({rank} AS DECIMAL(19,18)))"
+    p33 = f"CAST(CAST({p36} AS DECIMAL(37,36)) + {HALF33} AS DECIMAL(38,33))"
+    return f"CAST(CAST({p33} AS DECIMAL(37,33)) + {HALF18_FROM33} AS DECIMAL(20,18))"
+
+
+def build_pagerank_oracle_sql(iters=20):
+    rank_update = (
+        "CAST(CAST(CAST(b.base AS DECIMAL(22,20)) + "
+        "CAST(CAST(COALESCE(c.c, CAST(0 AS DECIMAL(20,18))) AS DECIMAL(35,18))"
+        " * CAST(0.85 AS DECIMAL(3,2)) AS DECIMAL(24,20))"
+        f" AS DECIMAL(24,20)) + {HALF18_FROM20} AS DECIMAL(20,18))"
+    )
+    parts = [f"""
+WITH pairs AS MATERIALIZED (
+  SELECT src, event_type AS dst, COUNT(*) AS n FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+    FROM events)
+  WHERE src IS NOT NULL GROUP BY src, event_type
+), edges AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(CAST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS VARCHAR)
+              AS DECIMAL(20,18)) AS wt
+  FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), consts AS MATERIALIZED (
+  SELECT CAST(CAST(CAST(0.15 AS DOUBLE) / COUNT(*) AS VARCHAR) AS DECIMAL(20,18)) AS base,
+         CAST(CAST(CAST(1.0 AS DOUBLE) / COUNT(*) AS VARCHAR) AS DECIMAL(20,18)) AS r0
+  FROM nodes
+), rank0 AS (
+  SELECT node, (SELECT r0 FROM consts) AS rank FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", contrib{i} AS MATERIALIZED (
+  SELECT e.dst, SUM({prod18('e.wt', f'r.rank')}) AS c
+  FROM edges e JOIN rank{i-1} r ON e.src = r.node
+  GROUP BY e.dst
+), rank{i} AS MATERIALIZED (
+  SELECT n.node, {rank_update} AS rank
+  FROM nodes n LEFT JOIN contrib{i} c ON n.node = c.dst, consts b
+)""")
+    parts.append(f"""
+SELECT node, ROUND(CAST(rank AS DOUBLE), 8) AS pagerank FROM rank{iters}
+""")
+    return "".join(parts)
+
+
+ORACLE_EXT5["q_pagerank"] = build_pagerank_oracle_sql()
+
