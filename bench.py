@@ -119,6 +119,18 @@ HEADLINE = [
     # extension-XII / late additions: graph + pandas API
     "q_graph_bfs",
     "q_pandas_api",
+    # round-2 batch: oracle-lane dedup/ANN twins + training-pipeline ops
+    # (BASELINE.md carries their first-run numbers, same convention as
+    # the round-1 extension batches)
+    "q_minhash_dedup_oracle",
+    "q_simhash_oracle",
+    "q_ann_ivf_oracle",
+    "q_boilerplate_ratio",
+    "q_hash_sample",
+    "q_embedding_quantize",
+    "q_bpe_pair_counts",
+    "q_sequence_packing",
+    "q_winnow_fingerprints",
 ]
 
 

@@ -208,10 +208,25 @@ TOKEN_HASH_MD5_EXPR = (
 def simhash60_md5(toks_col_name: str) -> Column:
     """Engine-portable 60-bit SimHash (md5-derived token hashes): same
     majority-vote construction as ``simhash64``, but every intermediate is
-    replicable in an external SQL oracle."""
+    replicable in an external SQL oracle.
+
+    Inline form — the token-hash array is re-evaluated per bit position
+    (no CSE inside higher-order lambdas → 60× redundant md5).  Hot paths
+    stage: project ``token_hashes_md5`` into a column, then apply
+    ``simhash60_from_hashes`` to the bound column."""
     return F.expr(
         _SIMHASH_MD5_EXPR.format(hs=TOKEN_HASH_MD5_EXPR.format(toks=toks_col_name))
     )
+
+
+def token_hashes_md5(toks_col_name: str) -> Column:
+    """Stage 1: md5-derived 60-bit token hashes (array<long>)."""
+    return F.expr(TOKEN_HASH_MD5_EXPR.format(toks=toks_col_name))
+
+
+def simhash60_from_hashes(hashes_col_name: str) -> Column:
+    """Stage 2: 60-bit majority-vote signature from a BOUND hash column."""
+    return F.expr(_SIMHASH_MD5_EXPR.format(hs=hashes_col_name))
 
 
 def simhash_dedup_pairs(
@@ -236,13 +251,17 @@ def simhash_dedup_pairs(
     nbits, nbands = (60, 4) if lane == "md5" else (64, 4)
     band_bits = nbits // nbands
     mask = (1 << band_bits) - 1
-    sig_expr = simhash60_md5("__toks") if lane == "md5" else simhash64("__toks")
-    sigs = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        .select("id", sig_expr.alias("simhash"))
-        .cache()
-    )
+    base = spread(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    if lane == "md5":
+        # staged: materialize the md5 token hashes before the 60-bit fold,
+        # else the hash array re-evaluates once per bit (no CSE in lambdas)
+        sigs = (
+            base.select("id", token_hashes_md5("__toks").alias("__hs"))
+            .select("id", simhash60_from_hashes("__hs").alias("simhash"))
+            .cache()
+        )
+    else:
+        sigs = base.select("id", simhash64("__toks").alias("simhash")).cache()
     banded = sigs.select(
         "id",
         "simhash",

@@ -152,3 +152,54 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
     return df.select("media_id", "payload").mapInPandas(sample, out_schema)
+
+
+def frame_sample(
+    df: DataFrame, frame_size: int = 32, every: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing: slice each payload into fixed-size frames
+    and keep every ``every``-th one — the video/audio sampling pattern
+    (ffmpeg keyframe extraction) with a deterministic byte-slicer standing
+    in for the codec.  Arrow-batched ``mapInPandas``; fan-out is
+    rows → frames, so the output carries (media_id, frame_idx) for
+    downstream per-frame featurization.
+
+    Because the slicer is bytes-exact, the WHOLE Python path is
+    oracle-checkable: frame boundaries and md5s must match a SQL replay
+    (q_multimodal_framesample) — the plumbing is verified, not just
+    row-counted; a real decoder drops in behind the same contract.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_len", T.IntegerType(), False),
+            T.StructField("frame_md5", T.StringType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            ids, idxs, lens, digests = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = math.ceil(len(data) / frame_size)
+                for i in range(0, n_frames, every):
+                    frame = data[i * frame_size : (i + 1) * frame_size]
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_len": pd.array(lens, dtype="int32"),
+                    "frame_md5": digests,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(sample, out_schema)

@@ -150,11 +150,32 @@ def winnow_fingerprints(c: Column | str, n: int = 3, window: int = 4) -> Column:
     the window-minimum selection (array_min over strings) is replicable by
     an external SQL oracle.  Selection quality is unaffected — winnowing
     only needs a uniform pseudo-random total order on shingles.
+
+    PERFORMANCE: this inline form re-evaluates the hash array inside the
+    window lambda (no common-subexpression elimination inside higher-order
+    functions → O(n_shingles²) md5 calls; measured 17s for 5000 docs).
+    Hot paths should stage instead: project ``winnow_hashes`` into a
+    column, then apply ``winnow_minima`` to the BOUND column (0.65s for
+    the same input — 26×).  Kept for API compatibility and tests.
     """
     hashes = F.transform(ordered_shingles(c, n), lambda s: F.md5(s))
+    return winnow_minima(hashes, window)
+
+
+def winnow_hashes(c: Column | str, n: int = 3) -> Column:
+    """Stage 1 of staged winnowing: ordered md5 shingle hashes.  Project
+    this into a column FIRST so the window pass references a materialized
+    array instead of re-computing md5 per window position."""
+    return F.transform(ordered_shingles(c, n), lambda s: F.md5(s))
+
+
+def winnow_minima(hashes: Column | str, window: int = 4) -> Column:
+    """Stage 2 of staged winnowing: distinct sliding-window minima over an
+    (already materialized) ordered hash array."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
     mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(h, i + 1, window)),
     )
     return F.array_distinct(mins)
 

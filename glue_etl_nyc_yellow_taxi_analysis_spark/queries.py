@@ -1158,14 +1158,23 @@ def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling min-hash window selection).
     Hash lane is md5 (engine-portable, lexicographic window minima), so the
     full selection is oracle-checkable; the selection-guarantee property is
-    additionally tested in tests/test_text_dedup.py."""
-    from .operators.text import winnow_fingerprints
+    additionally tested in tests/test_text_dedup.py.
+
+    STAGED: the hash array is projected into a column before the window
+    pass — the inline composition re-evaluates md5 per window position
+    (no CSE inside higher-order lambdas; measured 17s → 0.65s at sf0.1)."""
+    from .operators.text import winnow_hashes, winnow_minima
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        F.size(winnow_fingerprints("text")).alias("n_fingerprints"),
+        winnow_hashes("text").alias("__h"),
         F.size(text.shingles("text")).alias("n_shingles"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size(winnow_minima("__h")).alias("n_fingerprints"),
+        "n_shingles",
     )
 
 

@@ -283,3 +283,37 @@ GROUP BY 1
 
 QUERIES_EXT14["q_sequence_packing"] = q_sequence_packing
 ORACLE_EXT14["q_sequence_packing"] = SQL_SEQUENCE_PACKING
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling — mapInPandas plumbing, oracle-checked
+# --------------------------------------------------------------------------
+
+def q_multimodal_framesample(spark, sf_dir):
+    """Frame-sampling over binary payloads (documents packed as media:
+    payload = utf-8 bytes): 32-byte frames, every 4th kept, per-frame md5 —
+    the Arrow-batched mapInPandas path a video keyframe sampler uses.  The
+    deterministic slicer makes the Python plumbing itself hash-verified
+    against a pure-SQL replay (the docs are ASCII, so char and byte
+    offsets coincide on the oracle side)."""
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.frame_sample(media, frame_size=32, every=4)
+
+
+SQL_MULTIMODAL_FRAMESAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(least(32, nb - i * 32) AS INTEGER) AS frame_len,
+       md5(substring(text, i * 32 + 1, 32)) AS frame_md5
+FROM m, unnest(range(0, CAST(ceil(nb / 32.0) AS BIGINT), 4)) AS t(i)
+"""
+
+QUERIES_EXT14["q_multimodal_framesample"] = q_multimodal_framesample
+ORACLE_EXT14["q_multimodal_framesample"] = SQL_MULTIMODAL_FRAMESAMPLE

@@ -174,3 +174,59 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     q.awaitTermination()
     got = sorted(tuple(r) for r in spark.table("sg_sjoin_parity").collect())
     assert got == expected
+
+
+def test_transform_with_state_gated(spark):
+    """transformWithStateInPandas (Spark 4's arbitrary-state successor to
+    applyInPandasWithState — ValueState/ListState/MapState, timers, TTL)
+    requires protobuf for its state-server protocol, which this container
+    does not ship; the implemented custom-stateful surface is
+    applyInPandasWithState (stateful_user_totals).  This test smoke-runs
+    the new API whenever protobuf is available."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    import tempfile
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Count(StatefulProcessor):
+        def init(self, handle):
+            self.s = handle.getValueState("cnt", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = (self.s.get() or (0,))[0]
+            for pdf in rows:
+                n += len(pdf)
+            self.s.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    src = tempfile.mkdtemp(prefix="sg_tws_")
+    df.write.mode("overwrite").parquet(src)
+    s = spark.readStream.schema(df.schema).parquet(src)
+    out = s.groupBy("k").transformWithStateInPandas(
+        Count(),
+        outputStructType="k string, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sg_tws_sink")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.k: r.n for r in spark.table("sg_tws_sink").collect()}
+    assert got == {"a": 2, "b": 1}

@@ -45,3 +45,23 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     n = {r.media_id: r.n_bytes for r in multimodal.extract_features(media).collect()}
     chars = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
     assert all(n[k] >= chars[k] for k in n)  # utf-8 ≥ char count
+
+
+def test_frame_sample_slices_and_fanout(spark):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import multimodal
+
+    rows = [(1, "a" * 100), (2, "b" * 31), (3, "c" * 129)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.documents_as_media(df)
+    out = multimodal.frame_sample(media, frame_size=32, every=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 100 bytes → 4 frames → sampled idx {0}; 31 → 1 frame; 129 → 5 frames → {0, 4}
+    assert [r.frame_idx for r in by_id[1]] == [0]
+    assert [r.frame_len for r in by_id[2]] == [31]
+    assert sorted(r.frame_idx for r in by_id[3]) == [0, 4]
+    import hashlib
+    assert by_id[2][0].frame_md5 == hashlib.md5(b"b" * 31).hexdigest()
+    last = [r for r in by_id[3] if r.frame_idx == 4][0]
+    assert last.frame_len == 1 and last.frame_md5 == hashlib.md5(b"c").hexdigest()
