@@ -131,6 +131,7 @@ HEADLINE = [
     "q_bpe_pair_counts",
     "q_sequence_packing",
     "q_winnow_fingerprints",
+    "q_multimodal_framesample",
 ]
 
 

@@ -76,6 +76,7 @@ PINNED: tuple[str, ...] = (
     "q_stream_upsert_apply",
     "q_stream_stateful",
     "q_pagerank",
+    "q_multimodal_framesample",
 )
 
 
