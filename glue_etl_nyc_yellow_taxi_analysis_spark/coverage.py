@@ -77,6 +77,7 @@ PINNED: tuple[str, ...] = (
     "q_stream_stateful",
     "q_pagerank",
     "q_multimodal_framesample",
+    "q_kmeans_oracle",
 )
 
 

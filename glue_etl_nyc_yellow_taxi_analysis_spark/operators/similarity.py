@@ -396,3 +396,102 @@ def kmeans_train(
         .agg(F.count("*").alias("n_points"))
     )
     return cents.join(sizes, "cluster", "left").fillna(0, subset=["n_points"])
+
+
+def kmeans_train_exact(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on the EXACT lane: bit-deterministic under any
+    partitioning and fully SQL-replayable (q_kmeans_oracle).
+
+    The one source of nondeterminism in distributed k-means is the
+    centroid update — a float mean accumulates in partition order.  Here
+    per-(cluster, dim) sums go through DECIMAL(27,18) (exact, order-free)
+    and the mean is ONE double division of the exact sum; everything else
+    (distances, argmin) is per-row double math with a fixed fold order,
+    identical in any engine.  Init = the k lowest-id vectors; ties on
+    distance break toward the lower cluster id; empty clusters drop out
+    (both rules replicated by the oracle).
+
+    Returns (cluster, n_points, centroid_norm, inertia): sizes, the L2
+    norm of each final centroid, and the decimal-summed within-cluster
+    squared-distance total — the convergence scorecard of the trainer.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("x"),
+    )
+    w = Window.orderBy("id")
+    cents = (
+        emb.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cluster"),
+            F.col("x").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    dist = F.aggregate(
+        F.zip_with("x", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(cents)).withColumn("d", dist)
+        assigned = (
+            scored.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(F.col("d").alias("d"), F.col("cluster").alias("c"))
+                ).alias("best"),
+                F.first("x").alias("x"),
+            )
+            .select("id", F.col("best.c").alias("cluster"), F.col("best.d").alias("d"), "x")
+        )
+        cells = assigned.select("cluster", F.posexplode("x").alias("dim", "v"))
+        cents = (
+            cells.groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(27,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn("m", F.col("s").cast("double") / F.col("n"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("cells"))
+            .select(
+                "cluster",
+                F.transform(F.col("cells"), lambda c: c.getField("m")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    # final pass: re-assign against the last centroids so sizes/inertia
+    # describe the returned model, then summarize
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn("d", dist)
+    assigned = (
+        scored.groupBy("id")
+        .agg(
+            F.min(F.struct(F.col("d").alias("d"), F.col("cluster").alias("c"))).alias("best")
+        )
+        .select("id", F.col("best.c").alias("cluster"), F.col("best.d").alias("d"))
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("centroid", lambda v: v * v), F.lit(0.0), lambda a, v: a + v
+            )
+        ),
+        6,
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.col("d").cast("decimal(27,12)")), 4).cast("double").alias("inertia"),
+    )
+    return (
+        cents.join(stats, "cluster")
+        .select("cluster", "n_points", norm.alias("centroid_norm"), "inertia")
+    )

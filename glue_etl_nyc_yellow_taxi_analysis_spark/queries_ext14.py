@@ -317,3 +317,90 @@ FROM m, unnest(range(0, CAST(ceil(nb / 32.0) AS BIGINT), 4)) AS t(i)
 
 QUERIES_EXT14["q_multimodal_framesample"] = q_multimodal_framesample
 ORACLE_EXT14["q_multimodal_framesample"] = SQL_MULTIMODAL_FRAMESAMPLE
+
+
+# --------------------------------------------------------------------------
+# Exact-lane k-means — an ITERATIVE trainer with a full SQL oracle
+# --------------------------------------------------------------------------
+
+def q_kmeans_oracle(spark, sf_dir):
+    """Lloyd's k-means (k=8, 3 iterations) on the exact lane
+    (operators/similarity.kmeans_train_exact): decimal-summed centroid
+    updates remove the one order-dependent float accumulation in
+    distributed k-means, so the whole trainer — init, assignment, update,
+    final model stats — is replayed by a generated chained-CTE oracle.
+    The production trainer (q_kmeans_train) keeps float means + fixpoint
+    stopping; this is its verification twin."""
+    from .operators.similarity import kmeans_train_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_train_exact(emb, k=8, iters=3)
+
+
+_KM_DIST = (
+    "list_sum(list_transform(range(1, len({x}) + 1),"
+    " i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])))"
+)
+# Spark double→decimal goes through the shortest double repr; DuckDB's
+# VARCHAR cast is the same algorithm, and string→decimal rounds HALF_UP in
+# both engines (see the q_pagerank oracle notes).
+_KM_DEC18 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,18))"
+_KM_DEC12 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,12))"
+
+
+def build_kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    assign = """, assign{i} AS MATERIALIZED (
+  SELECT id, x, min({{'d': d, 'c': cluster}}).c AS cluster,
+         min({{'d': d, 'c': cluster}}).d AS d
+  FROM (
+    SELECT e.id, e.x, c.cluster, {dist} AS d
+    FROM emb e, cents{prev} c)
+  GROUP BY id, x
+)"""
+    update = """, cents{i} AS MATERIALIZED (
+  SELECT cluster,
+         list_transform(list_sort(list({{'dim': dim, 'm': m}})), r -> r.m)
+             AS centroid
+  FROM (
+    SELECT cluster, dim,
+           CAST(SUM({dec18}) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cluster, i AS dim, x[i] AS v
+          FROM assign{i}, unnest(range(1, len(x) + 1)) AS t(i))
+    GROUP BY cluster, dim)
+  GROUP BY cluster
+)"""
+    parts = [f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+), cents0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cluster,
+         x AS centroid
+  FROM (SELECT id, x FROM emb ORDER BY id LIMIT {k})
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            assign.format(i=i, prev=i - 1, dist=_KM_DIST.format(x="e.x", c="c.centroid"))
+        )
+        parts.append(update.format(i=i, dec18=_KM_DEC18.format(v="v")))
+    parts.append(f""", final AS MATERIALIZED (
+  SELECT id, min({{'d': d, 'c': cluster}}).c AS cluster,
+         min({{'d': d, 'c': cluster}}).d AS d
+  FROM (
+    SELECT e.id, c.cluster, {_KM_DIST.format(x="e.x", c="c.centroid")} AS d
+    FROM emb e, cents{iters} c)
+  GROUP BY id
+)
+SELECT f.cluster,
+       COUNT(*) AS n_points,
+       ROUND(sqrt(list_sum(list_transform(c.centroid, v -> v * v))), 6)
+           AS centroid_norm,
+       CAST(ROUND(SUM({_KM_DEC12.format(v="f.d")}), 4) AS DOUBLE) AS inertia
+FROM final f JOIN cents{iters} c ON f.cluster = c.cluster
+GROUP BY f.cluster, c.centroid
+""")
+    return "".join(parts)
+
+
+QUERIES_EXT14["q_kmeans_oracle"] = q_kmeans_oracle
+ORACLE_EXT14["q_kmeans_oracle"] = build_kmeans_oracle_sql()

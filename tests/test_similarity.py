@@ -106,3 +106,19 @@ def test_lsh_ann_recall_floor(spark, sf_dir):
     # theory ≈ 1-(1-p^4)^16 with per-bit p ≈ 0.6 → ~0.9; floor at 0.6
     # to absorb per-query variance without flaking
     assert mean >= 0.6, [(r.query_id, r.recall_at_10) for r in rows]
+
+
+def test_kmeans_exact_lane_properties(spark, sf_dir):
+    """The exact-lane trainer must partition the corpus (sizes sum to N),
+    keep k or fewer clusters, and be bit-stable under re-partitioning
+    (the decimal-sum update is order-free)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.similarity import (
+        kmeans_train_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_train_exact(emb, k=4, iters=2).collect()
+    assert 1 <= len(out) <= 4
+    assert sum(r.n_points for r in out) == emb.count()
+    again = kmeans_train_exact(emb.repartition(7), k=4, iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
