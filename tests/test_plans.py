@@ -113,3 +113,46 @@ def test_range_partition_sorted_layout(spark, sf_dir):
     assert "rangepartitioning" in plan.lower()
     assert plan.count("+- Exchange") == 1
     assert "Sort " in plan or "Sort [" in plan
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["q_hash_sample"](spark, sf_dir))
+    # deterministic md5-bucket sampling is a pure scan-stage filter
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_partial_aggregates(spark, sf_dir):
+    plan = _plan(QUERIES["q_boilerplate_ratio"](spark, sf_dir))
+    # shingle document-frequency must partial-count map-side before the
+    # shuffle (the heavy-hitter-shingle survival requirement at scale)
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_quantize_broadcasts_bounds(spark, sf_dir):
+    plan = _plan(QUERIES["q_embedding_quantize"](spark, sf_dir))
+    # per-dim bounds are an O(dims) broadcast; quantization is one scan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_windows_per_bucket(spark, sf_dir):
+    plan = _plan(QUERIES["q_sequence_packing"](spark, sf_dir))
+    # the running sum windows over __bucket partitions, never an empty
+    # PARTITION BY (the one-task global sort this operator exists to avoid)
+    assert "__bucket" in plan
+
+
+def test_minhash_md5_lane_stays_jvm_side(spark, sf_dir):
+    plan = _plan(QUERIES["q_minhash_dedup_oracle"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_staged_single_hash_projection(spark, sf_dir):
+    # the md5 hash array must be projected ONCE (staged), not re-derived
+    # inside the window lambda: the plan's Project nodes may mention md5 at
+    # most twice (hash build + any collapsed alias), never once per window
+    # position (the O(n²) inline form)
+    plan = _plan(QUERIES["q_winnow_fingerprints"](spark, sf_dir))
+    assert plan.count("md5") <= 2, plan.count("md5")
