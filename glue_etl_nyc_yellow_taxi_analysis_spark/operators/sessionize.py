@@ -53,10 +53,11 @@ def sessionize(
 
     Boundary semantics: STRICTLY greater (> gap) on floored-second deltas —
     an event exactly ``gap_minutes`` after its predecessor stays in the
-    SAME session.  This differs from the built-in ``F.session_window``,
-    which is half-open [ts, ts+gap) (an exact-gap event starts a new
-    session); q_session_window_native and its oracle carry that other
-    convention.  Both are valid; they are deliberately not mixed.
+    SAME session.  The built-in ``F.session_window`` agrees on the exact-gap
+    case (it MERGES touching sessions — pinned empirically by
+    test_session_window_exact_gap_merges), but evaluates the gap at full
+    microsecond precision where this composed form floors to seconds; the
+    two can differ only for sub-second gap excesses.
 
     lag + conditional running count over a (key ORDER BY ts) window — one
     shuffle on the key.  Skewed keys (one user = millions of events) are the

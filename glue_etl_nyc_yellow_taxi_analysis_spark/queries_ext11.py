@@ -157,10 +157,13 @@ def q_session_window_native(spark, sf_dir):
 SQL_SESSION_WINDOW_NATIVE = """
 WITH ordered AS (
   SELECT user_id, ts, value,
-         -- >= not >: Spark's session_window is half-open [ts, ts+gap), so
-         -- an event exactly gap after its predecessor starts a NEW session
+         -- strict >: Spark's session_window MERGES an event landing
+         -- exactly gap after its predecessor (sessions extend while
+         -- next_ts <= session_end; pinned empirically by
+         -- test_session_window_exact_gap_merges — only a gap strictly
+         -- greater than 30:00 opens a new session)
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events

@@ -285,13 +285,14 @@ QUERIES_EXT12["q_stream_sessions"] = q_stream_sessions
 
 # session_window merges on pure event-time gaps (no tz-dependent
 # alignment) and the drained output is integer counts — the batch
-# lag-sessionization with the SAME half-open boundary (>= gap starts a
-# new session) is the oracle
+# lag-sessionization with the SAME boundary (strict >: an exact-gap
+# event MERGES, pinned by test_session_window_exact_gap_merges) is the
+# oracle
 SQL_STREAM_SESSIONS = """
 WITH ordered AS (
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events

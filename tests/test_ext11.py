@@ -113,3 +113,26 @@ def test_observe_metrics_match_direct_aggregate(spark, sf_dir):
     assert abs(row.min_value - direct.mn) < 1e-4
     assert abs(row.max_value - direct.mx) < 1e-4
     assert row.n_purchases == direct.p
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary pin: Spark's session_window MERGES an event landing exactly
+    gap after its predecessor (the session extends while next_ts <=
+    session_end); only a STRICTLY greater gap opens a new session — which
+    is why the q_session_window_native / q_stream_sessions oracles use
+    `> INTERVAL 30 MINUTE`.  A +1µs gap splits (second case)."""
+    from pyspark.sql import functions as F
+
+    def sessions(ts2):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (1, ts2)], "user_id long, ts_s string"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        out = (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return sorted(r.n for r in out)
+
+    assert sessions("2024-01-01 00:30:00") == [2]  # exact gap merges
+    assert sessions("2024-01-01 00:30:00.000001") == [1, 1]  # +1µs splits
