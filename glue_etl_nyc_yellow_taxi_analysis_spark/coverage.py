@@ -78,6 +78,8 @@ PINNED: tuple[str, ...] = (
     "q_pagerank",
     "q_multimodal_framesample",
     "q_kmeans_oracle",
+    "q_dedup_keep_best",
+    "q_dataset_mixture",
 )
 
 

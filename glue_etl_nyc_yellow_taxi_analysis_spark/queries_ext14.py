@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .operators import text
 from .operators.indexing import global_running_sum
-from .queries import TOKS_SQL, _t
+from .queries import NORM_SQL, TOKS_SQL, _t
 
 QUERIES_EXT14 = {}
 ORACLE_EXT14 = {}
@@ -404,3 +404,122 @@ GROUP BY f.cluster, c.centroid
 
 QUERIES_EXT14["q_kmeans_oracle"] = q_kmeans_oracle
 ORACLE_EXT14["q_kmeans_oracle"] = build_kmeans_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Dedup RESOLUTION: keep the best document per duplicate cluster
+# --------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark, sf_dir):
+    """The step after dedup detection: resolve each exact-duplicate cluster
+    (md5 content fingerprint) to its best member — highest quality score
+    (token count with stopword presence bonus), doc_id tiebreak — via ONE
+    tie-safe struct-max aggregation (no window, no second join; the
+    scalable 'row with the max' idiom).  Emits the kept doc per cluster
+    with the discard count — the canonical curation output."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    score = (
+        F.size(toks)
+        + F.when(
+            F.arrays_overlap(toks, F.array(F.lit("the"), F.lit("a"), F.lit("of"))),
+            F.lit(10),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    scored = docs.select(
+        text.content_fingerprint("text").alias("fingerprint"),
+        F.struct(
+            score.alias("s"), (-F.col("doc_id")).alias("neg_id")
+        ).alias("pick"),
+        "doc_id",
+    )
+    return (
+        scored.groupBy("fingerprint")
+        .agg(
+            F.max("pick").alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "fingerprint",
+            (-F.col("best.neg_id")).cast("long").alias("keep_id"),
+            F.col("best.s").alias("keep_score"),
+            (F.col("n_members") - 1).cast("long").alias("n_discarded"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH scored AS (
+  SELECT md5({NORM_SQL.format(c='text')}) AS fingerprint,
+         doc_id,
+         CAST(len(toks)
+              + CASE WHEN len(list_intersect(toks, ['the', 'a', 'of'])) > 0
+                     THEN 10 ELSE 0 END AS BIGINT) AS s
+  FROM (SELECT doc_id, text, {TOKS_SQL.format(c='text')} AS toks FROM documents)
+)
+SELECT fingerprint,
+       CAST(-max({{'s': s, 'neg_id': -doc_id}}).neg_id AS BIGINT) AS keep_id,
+       max({{'s': s, 'neg_id': -doc_id}}).s AS keep_score,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_discarded
+FROM scored
+GROUP BY fingerprint
+"""
+
+QUERIES_EXT14["q_dedup_keep_best"] = q_dedup_keep_best
+ORACLE_EXT14["q_dedup_keep_best"] = SQL_DEDUP_KEEP_BEST
+
+
+# --------------------------------------------------------------------------
+# Dataset mixture weighting
+# --------------------------------------------------------------------------
+
+def q_dataset_mixture(spark, sf_dir):
+    """Dataset mixing math: given per-source token counts and a uniform
+    target distribution, compute each source's sampling weight (target
+    share / natural share) and its epoch multiplier capped at 5× (the
+    up-sampling bound every mixture recipe carries).  One tiny aggregate
+    over the corpus stats — the planning step that decides how a 100 TB
+    mixture is actually drawn."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(text.token_count("text").cast("long")).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("natural_share"),
+            F.round(
+                F.least(
+                    (F.col("t") / F.col("k")) / F.col("n_tokens"), F.lit(5.0)
+                ),
+                6,
+            ).alias("epoch_multiplier"),
+        )
+    )
+
+
+SQL_DATASET_MIXTURE = f"""
+WITH per_source AS (
+  SELECT source,
+         SUM(CAST(len({TOKS_SQL.format(c='text')}) AS BIGINT)) AS n_tokens,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS natural_share,
+       ROUND(least((CAST(t AS DOUBLE) / k) / n_tokens, 5.0), 6)
+           AS epoch_multiplier
+FROM per_source, tot
+"""
+
+QUERIES_EXT14["q_dataset_mixture"] = q_dataset_mixture
+ORACLE_EXT14["q_dataset_mixture"] = SQL_DATASET_MIXTURE
