@@ -132,6 +132,9 @@ HEADLINE = [
     "q_sequence_packing",
     "q_winnow_fingerprints",
     "q_multimodal_framesample",
+    # round-3 batch: flagship star pipeline + LSH oracle lane
+    "q_taxi_star_deterministic",
+    "q_ann_lsh_oracle",
 ]
 
 
@@ -147,14 +150,18 @@ def main():
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):  # best-of-2: shields the number from machine-load noise
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        # run-to-run spread: (max-min)/min — regressions are only real when
+        # they exceed the recorded noise band of the same machine/run
+        spreads[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 3)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -162,6 +169,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": float(sf),
     }
     # full per-query dict to a file (and to stdout EARLY, for humans);

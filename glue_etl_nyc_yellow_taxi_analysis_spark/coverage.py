@@ -3,17 +3,18 @@
 The external correctness gate checks the FIRST ~50 entries of the declared
 query registry each round, so with ~200 declared queries a static order
 would leave most of the inventory without hard driver-side evidence
-forever.  This module records which queries already have a driver row
-(from CORRECTNESS_r{N}.json, updated per round) and reorders the registry
-so that:
+forever.  This module reads which queries already have a driver row (the
+committed CORRECTNESS_r{N}.json files) and reorders the registry so that:
 
 1. ``PINNED`` queries come first — fixes that need fresh driver evidence
-   this round, plus the LLM-pipeline north-star family (dedup / ANN /
-   TF-IDF / contamination) until each holds a green driver row.
-2. Queries never driver-checked in any past round come next (stable
+   this round.
+2. A small ``RECHECK_QUOTA`` of previously-green queries rotates back in
+   (round-robin keyed on the round number) so a regression in an
+   already-checked query is eventually re-detected, not invisible forever.
+3. Queries never driver-checked in any past round come next (stable
    registry order), so the window keeps consuming new evidence each round.
-3. Previously-checked queries go last — their rows exist in committed
-   CORRECTNESS_r{N}.json files and need no re-spend of the window.
+4. Remaining previously-checked queries go last — their rows exist in
+   committed CORRECTNESS_r{N}.json files.
 
 Every query remains declared and locally gated (tools/check_oracle.py +
 pytest) regardless of position.
@@ -21,77 +22,73 @@ pytest) regardless of position.
 
 from __future__ import annotations
 
-# Names with a driver-side row per round (keys of CORRECTNESS_r{N}.json).
-ROUND_CHECKED: dict[int, tuple[str, ...]] = {
-    1: (
-        "q_scan_project_filter", "q_rename_cast", "q_derived_columns",
-        "q_case_recode", "q_dedup_exact", "q_distinct_project",
-        "q_generator_dim_date", "q_generator_dim_time", "q_join_broadcast_dim",
-        "q_join_semi", "q_join_anti", "q_star_agg", "q_window_rank",
-        "q_sort_limit_topk", "q_event_sessionize", "q_session_windows",
-        "q_text_stats", "q_lang_id", "q_token_count", "q_doc_fingerprint",
-        "q_dedup_exact_docs", "q_ngram_jaccard", "q_similarity_topk",
-        "q_embedding_neardup", "q_json_extract", "q_salted_join",
-        "q_word_count", "q_sql_pricing_summary", "q_sql_shipping_priority",
-        "q_centroids", "q_normalize_embeddings", "q_winnow_fingerprints",
-        "q_set_ops", "q_string_funcs", "q_array_ops", "q_null_handling",
-        "q_data_quality", "q_percentile", "q_approx_stats", "q_rollup_agg",
-        "q_date_arith", "q_collect_agg", "q_regexp_extract", "q_cube_agg",
-        "q_lag_lead_delta", "q_histogram", "q_corr_stats", "q_pivot_status",
-        "q_running_total", "q_asof_join",
-    ),
-}
+import glob
+import json
+import os
+import re
 
-# Must re-earn a driver row this round (r1 FAIL/err fixes) or are the
-# LLM-pipeline family the build is graded on — kept at the very front.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Must re-earn a driver row this round: the r2 hash-fail/err fixes (ppm
+# integer ratios, BIGINT-cast oracle sums, hashable multimodal features)
+# plus the new oracle-bearing queries added in r3.
 PINNED: tuple[str, ...] = (
-    "q_rename_cast",
-    "q_collect_agg",
-    "q_winnow_fingerprints",
-    "q_dedup_fuzzy_minhash",
-    "q_dedup_simhash",
-    "q_similarity_ann_ivf",
-    "q_similarity_ann_lsh",
-    "q_dedup_clusters",
-    "q_kmeans_train",
-    "q_tf_idf",
     "q_contamination_check",
-    # oracle-checked md5-lane twins (ext13) — hash-verified evidence for
-    # the minhash/simhash/IVF pipelines themselves
-    "q_minhash_dedup_oracle",
-    "q_simhash_oracle",
-    "q_ann_ivf_oracle",
-    # training-pipeline round-2 operators (ext14) — new, need first rows
     "q_boilerplate_ratio",
-    "q_hash_sample",
-    "q_embedding_quantize",
-    "q_bpe_pair_counts",
-    "q_sequence_packing",
-    # streaming queries upgraded from rows-only to batch-equivalence
-    # oracles in r2 — the hash row IS the stream/batch equivalence proof
-    "q_stream_join",
-    "q_stream_dedup",
-    "q_stream_sessions",
-    "q_stream_static_join",
-    "q_stream_upsert_apply",
-    "q_stream_stateful",
-    "q_pagerank",
-    "q_multimodal_framesample",
-    "q_kmeans_oracle",
-    "q_dedup_keep_best",
     "q_dataset_mixture",
+    "q_sequence_packing",
+    "q_stream_static_join",
+    "q_multimodal_features",
+    "q_minhash_dedup_oracle",  # oracle filter-order fix (raw-jaccard gate)
+    "q_embedding_quantize",  # mse -> mse_e12 integer lane (schema change)
+    "q_taxi_star_build",  # total_amount decimal -> double (schema change)
+    "q_taxi_star_deterministic",  # flagship Job-1 pipeline, now hash-checked
+    "q_ann_lsh_oracle",  # seed-replay LSH ANN twin
 )
 
+RECHECK_QUOTA = 4
+
+
+def _round_files() -> list[tuple[int, str]]:
+    out = []
+    for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
 
 def checked_names() -> set[str]:
-    return {n for names in ROUND_CHECKED.values() for n in names}
+    names: set[str] = set()
+    for _, p in _round_files():
+        try:
+            with open(p) as f:
+                names.update(json.load(f).keys())
+        except (OSError, json.JSONDecodeError):
+            continue
+    return names
+
+
+def _recheck_picks(checked: set[str], round_no: int) -> list[str]:
+    """Deterministic round-robin: rotate RECHECK_QUOTA previously-checked
+    queries back into the window, advancing with the round number."""
+    pool = sorted(checked)
+    if not pool:
+        return []
+    start = (round_no * RECHECK_QUOTA) % len(pool)
+    return [pool[(start + i) % len(pool)] for i in range(min(RECHECK_QUOTA, len(pool)))]
 
 
 def driver_order(queries: dict) -> dict:
-    """Reorder the registry: PINNED, then never-driver-checked (stable
-    order), then already-checked."""
+    """Reorder the registry: PINNED, recheck quota, never-driver-checked
+    (stable order), then already-checked."""
     seen = checked_names()
+    next_round = (max((n for n, _ in _round_files()), default=0)) + 1
     pinned = [n for n in PINNED if n in queries]
-    fresh = [n for n in queries if n not in seen and n not in pinned]
-    done = [n for n in queries if n in seen and n not in pinned]
-    return {n: queries[n] for n in (*pinned, *fresh, *done)}
+    recheck = [
+        n for n in _recheck_picks(seen, next_round)
+        if n in queries and n not in pinned
+    ]
+    head = set(pinned) | set(recheck)
+    fresh = [n for n in queries if n not in seen and n not in head]
+    done = [n for n in queries if n in seen and n not in head]
+    return {n: queries[n] for n in (*pinned, *recheck, *fresh, *done)}

@@ -1459,10 +1459,25 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing: pack documents as (media_id,
     payload binary, metadata), decode/featurize via Arrow-batched
     mapInPandas (deterministic fake decoder — see operators/multimodal.py).
+
+    The operator's contract stays array<double> (what a real decoder
+    emits), but the DECLARED query projects scalar columns only: the
+    driver's pandas canonicalizer cannot sort/hash list cells (the r2
+    ERR), so the array is folded to a deterministic md5 + its length.
     """
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("features", lambda v: v.cast("string"))
+            )
+        ).alias("features_md5"),
+    )
 
 def q_dedup_fuzzy_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs (xxhash64 banding → jaccard verify).
@@ -1628,10 +1643,14 @@ GROUP BY 1, 2
 def q_taxi_star_build(spark, sf_dir):
     """The flagship Job-1 pipeline on a synthetic raw month (FIXTURES.md
     A1 shape): rename → cast → dedup → filters → keys → band → final
-    26-column fact.  uuid PK → rows-only."""
+    26-column fact.  uuid PK → rows-only.  The decimal(10,2) total_amount
+    (the contract type, asserted in tests/test_star.py) is projected as
+    double at the declared-query boundary — the driver canonicalizes
+    rows-only outputs too, and its pandas lane treats Decimal as object.
+    The deterministic hash twin is q_taxi_star_deterministic."""
     raw = _taxi_fixture(spark)
     fact = star.build_fact(raw, "2021", "1")
-    return fact
+    return fact.withColumn("total_amount", F.col("total_amount").cast("double"))
 
 
 def q_warehouse_load_plan(spark, sf_dir):
@@ -1965,3 +1984,8 @@ from .queries_ext14 import ORACLE_EXT14, QUERIES_EXT14  # noqa: E402
 
 QUERIES.update(QUERIES_EXT14)
 ORACLE.update(ORACLE_EXT14)
+
+from .queries_ext15 import ORACLE_EXT15, QUERIES_EXT15  # noqa: E402
+
+QUERIES.update(QUERIES_EXT15)
+ORACLE.update(ORACLE_EXT15)

@@ -312,12 +312,21 @@ def q_contamination_check(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "source")
     flagged = corpus.join(hits, "doc_id", "left")
     n_cont = F.sum(F.coalesce("hit", F.lit(0)))
-    return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        n_cont.cast("long").alias("n_contaminated"),
-        F.round(
-            n_cont.cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("contaminated_share"),
+    # share as integer parts-per-million via true integer division: the
+    # one representation that is bit-identical across engines AND keeps
+    # an int64 lane end-to-end (a ROUND(double) here diverges at the
+    # last ULP between engines; a DuckDB SUM() is HUGEINT -> float64 in
+    # the driver's pandas canonicalizer)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_cont.cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated_ppm",
+            F.expr("CAST(n_contaminated * 1000000 DIV n_docs AS BIGINT)"),
+        )
     )
 
 
@@ -337,11 +346,10 @@ WITH sh AS (
   WHERE s.doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
 )
 SELECT d.source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_contaminated,
-       ROUND(CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         AS contaminated_share
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS contaminated_ppm
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 != 0
 GROUP BY 1
@@ -409,10 +417,13 @@ WITH flags AS (
         FROM documents)
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS pass_len,
-       SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS pass_wordlen,
-       SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS pass_stopword,
-       SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS pass_ttr
+       CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_wordlen,
+       CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_stopword,
+       CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_ttr
 FROM flags
 GROUP BY source
 """

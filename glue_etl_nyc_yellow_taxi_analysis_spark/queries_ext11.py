@@ -58,10 +58,10 @@ def q_python_datasource(spark, sf_dir):
 SQL_PYTHON_DATASOURCE = """
 SELECT CAST(seq % 8 AS INTEGER) AS device,
        COUNT(*) AS n,
-       SUM((seq * 1103515245 + 12345) % 1000) AS sum_reading,
+       CAST(SUM((seq * 1103515245 + 12345) % 1000) AS BIGINT) AS sum_reading,
        MIN((seq * 1103515245 + 12345) % 1000) AS min_reading,
        MAX((seq * 1103515245 + 12345) % 1000) AS max_reading,
-       SUM(seq) AS seq_checksum
+       CAST(SUM(seq) AS BIGINT) AS seq_checksum
 FROM (SELECT UNNEST(range(0, 10000)) AS seq)
 GROUP BY 1
 """
@@ -236,12 +236,14 @@ def q_observe_metrics(spark, sf_dir):
 
 SQL_OBSERVE_METRICS = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props,
-       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_props,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
        ROUND(MIN(value), 4) AS min_value,
        ROUND(MAX(value), 4) AS max_value,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         AS n_purchases
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
 FROM events
 """
 

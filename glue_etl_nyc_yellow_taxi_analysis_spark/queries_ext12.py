@@ -396,8 +396,8 @@ WITH dim AS (
 )
 SELECT category,
        COUNT(*) AS n_windows,
-       SUM(n_events) AS n_events,
-       SUM(sum_weight) AS sum_weight
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(sum_weight) AS BIGINT) AS sum_weight
 FROM windows
 GROUP BY category
 """

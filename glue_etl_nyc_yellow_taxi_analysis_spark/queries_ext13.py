@@ -93,14 +93,17 @@ WITH base AS (
     FROM banded a JOIN banded b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
 )
-SELECT id_a, id_b, jaccard_sim FROM (
+SELECT id_a, id_b, ROUND(jaccard_raw, 6) AS jaccard_sim FROM (
     SELECT id_a, id_b,
-           ROUND(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
-                      THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                           / len(list_distinct(list_concat(sh_a, sh_b)))
-                      ELSE 0.0 END, 6) AS jaccard_sim
+           CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+                THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sh_a, sh_b)))
+                ELSE 0.0 END AS jaccard_raw
     FROM cand)
-WHERE jaccard_sim >= {_MH_TAU}
+-- filter on the RAW jaccard, round only for output — matching
+-- dedup.minhash_dedup_pairs' order of operations (a pair with raw
+-- jaccard in [τ-5e-7, τ) must fail BOTH engines)
+WHERE jaccard_raw >= {_MH_TAU}
 """
 
 QUERIES_EXT13["q_minhash_dedup_oracle"] = q_minhash_dedup_oracle

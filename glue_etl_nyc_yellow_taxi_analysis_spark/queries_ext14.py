@@ -50,6 +50,8 @@ def q_boilerplate_ratio(spark, sf_dir):
     flagged = sh.join(df_counts, "s").select(
         "doc_id", (F.col("df") >= _BP_DF).alias("is_bp")
     )
+    # ratio as integer ppm (true integer division): bit-identical across
+    # engines and immune to the driver's HUGEINT->float64 pandas lane
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -57,8 +59,8 @@ def q_boilerplate_ratio(spark, sf_dir):
             F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_boiler"),
         )
         .withColumn(
-            "boiler_ratio",
-            F.round(F.col("n_boiler") / F.col("n_shingles"), 6),
+            "boiler_ppm",
+            F.expr("CAST(n_boiler * 1000000 DIV n_shingles AS BIGINT)"),
         )
     )
 
@@ -74,9 +76,10 @@ WITH sh AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS n_boiler,
-       ROUND(CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS boiler_ratio
+       CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS boiler_ppm
 FROM sh JOIN dfc USING (s)
 GROUP BY doc_id
 """
@@ -139,22 +142,34 @@ def q_embedding_quantize(spark, sf_dir):
             F.transform("cells", lambda c: c.getField("hi")).alias("his"),
         )
     )
+    # NB: Spark's floor() yields BIGINT and `BIGINT / 255.0` takes the
+    # DECIMAL division path (255.0 parses as a decimal literal), which
+    # rounds differently from the double lane DuckDB uses — the CAST to
+    # DOUBLE keeps every op IEEE-identical across engines
     per_dim_sqerr = (
         "transform(sequence(0, size(embedding) - 1), i -> "
         " POW(CAST(element_at(embedding, i + 1) AS DOUBLE)"
-        "  - (element_at(los, i + 1) + floor((CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        "  - (element_at(los, i + 1) + CAST(floor((CAST(element_at(embedding, i + 1) AS DOUBLE)"
         "       - element_at(los, i + 1)) / (element_at(his, i + 1) - element_at(los, i + 1))"
-        "       * 255.0 + 0.5) / 255.0 * (element_at(his, i + 1) - element_at(los, i + 1))), 2))"
+        "       * 255.0 + 0.5) AS DOUBLE) / 255.0 * (element_at(his, i + 1) - element_at(los, i + 1))), 2))"
     )
+    # mse as a scaled integer (1e12 lane): floor(x*1e12 + 0.5) is the same
+    # IEEE op sequence in both engines — bit-exact — where ROUND(double, 8)
+    # ties on decimal halves differ between Spark (HALF_UP on the decimal
+    # repr) and DuckDB (caught by the strict gate: 8.05e-7 rounded to
+    # 8.1e-7 vs 8e-7)
     return (
         emb.crossJoin(F.broadcast(bounds))
         .select(
             "vec_id",
-            F.round(
+            F.floor(
                 F.expr(f"aggregate({per_dim_sqerr}, 0.0D, (acc, x) -> acc + x)")
-                / F.size("embedding"),
-                8,
-            ).alias("mse"),
+                / F.size("embedding")
+                * F.lit(1e12)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mse_e12"),
         )
     )
 
@@ -174,12 +189,12 @@ WITH bounds AS (
   FROM bounds
 )
 SELECT vec_id,
-       ROUND(list_sum(list_transform(range(0, len(embedding)), i ->
+       CAST(floor(list_sum(list_transform(range(0, len(embedding)), i ->
            POW(CAST(embedding[i + 1] AS DOUBLE)
                - (los[i + 1] + floor((CAST(embedding[i + 1] AS DOUBLE) - los[i + 1])
                      / (his[i + 1] - los[i + 1]) * 255.0 + 0.5)
                    / 255.0 * (his[i + 1] - los[i + 1])), 2)))
-           / len(embedding), 8) AS mse
+           / len(embedding) * 1e12 + 0.5) AS BIGINT) AS mse_e12
 FROM embeddings, b
 """
 
@@ -250,9 +265,11 @@ def q_sequence_packing(spark, sf_dir):
         "doc_id", text.token_count("text").cast("long").alias("n_tokens")
     )
     cum = global_running_sum(with_counts, "doc_id", "n_tokens", out_col="cum_tokens")
+    # true integer division (not floor of a double quotient): exact on
+    # both engines at any corpus size
     packs = cum.withColumn(
         "pack_id",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_BUDGET).cast("long"),
+        F.expr(f"CAST((cum_tokens - n_tokens) DIV {_PACK_BUDGET} AS BIGINT)"),
     )
     return packs.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -272,9 +289,9 @@ WITH counted AS (
              AS cum_tokens
   FROM counted
 )
-SELECT CAST(floor((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+SELECT CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM cum
@@ -488,19 +505,22 @@ def q_dataset_mixture(spark, sf_dir):
     tot = per_source.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k")
     )
+    # shares/multipliers as scaled integers (ppm / milli) via true
+    # integer division: bit-identical across engines, int64 end-to-end
+    # (ROUND(double) + DuckDB HUGEINT sums both hash-fail at the driver)
     return (
         per_source.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("t"), 6).alias("natural_share"),
-            F.round(
-                F.least(
-                    (F.col("t") / F.col("k")) / F.col("n_tokens"), F.lit(5.0)
-                ),
-                6,
-            ).alias("epoch_multiplier"),
+            F.expr("CAST(n_tokens * 1000000 DIV t AS BIGINT)").alias(
+                "natural_share_ppm"
+            ),
+            F.least(
+                F.expr("CAST(t * 1000 DIV (k * n_tokens) AS BIGINT)"),
+                F.lit(5000).cast("long"),
+            ).alias("epoch_multiplier_milli"),
         )
     )
 
@@ -514,10 +534,10 @@ WITH per_source AS (
 ), tot AS (
   SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM per_source
 )
-SELECT source, n_docs, n_tokens,
-       ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS natural_share,
-       ROUND(least((CAST(t AS DOUBLE) / k) / n_tokens, 5.0), 6)
-           AS epoch_multiplier
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * 1000000 // t AS BIGINT) AS natural_share_ppm,
+       CAST(least(t * 1000 // (k * n_tokens), 5000) AS BIGINT)
+           AS epoch_multiplier_milli
 FROM per_source, tot
 """
 

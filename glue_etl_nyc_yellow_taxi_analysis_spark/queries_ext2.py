@@ -166,8 +166,9 @@ staged AS (
               AS INTEGER) AS s3
   FROM per_user
 )
-SELECT SUM(s1) AS n_view, SUM(s2) AS n_view_click,
-       SUM(s3) AS n_view_click_purchase,
+SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_view_click,
+       CAST(SUM(s3) AS BIGINT) AS n_view_click_purchase,
        ROUND(CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0), 4) AS cr_click,
        ROUND(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0), 4) AS cr_purchase
 FROM staged

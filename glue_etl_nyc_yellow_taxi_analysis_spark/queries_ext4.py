@@ -157,7 +157,7 @@ per_instant AS (
   SELECT event_type, at, SUM(delta) AS delta FROM deltas GROUP BY 1, 2
 )
 SELECT event_type,
-       MAX(concurrent) AS max_concurrent
+       CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
 FROM (
   SELECT event_type,
          SUM(delta) OVER (PARTITION BY event_type ORDER BY at
@@ -536,7 +536,7 @@ WITH spans AS (
   FROM events
 )
 SELECT user_id,
-       SUM(dt) AS observed_us,
+       CAST(SUM(dt) AS BIGINT) AS observed_us,
        ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
          AS twa_value
 FROM spans

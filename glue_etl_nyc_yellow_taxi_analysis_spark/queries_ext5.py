@@ -71,7 +71,7 @@ def q_text_roundtrip(spark, sf_dir):
 
 
 SQL_TEXT_ROUNDTRIP = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
@@ -114,7 +114,8 @@ def q_csv_roundtrip(spark, sf_dir):
 
 
 SQL_CSV_ROUNDTRIP = """
-SELECT source, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT lang) AS n_langs,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents

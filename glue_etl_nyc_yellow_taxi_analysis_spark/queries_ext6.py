@@ -208,8 +208,8 @@ def q_schema_evolution(spark, sf_dir):
 
 SQL_SCHEMA_EVOLUTION = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
-         AS n_null,
+       CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
        CAST(SUM(CASE WHEN event_type NOT IN ('click', 'view')
                 THEN CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2)
                           AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_v2

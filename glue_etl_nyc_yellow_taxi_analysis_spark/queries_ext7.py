@@ -210,10 +210,10 @@ WITH h AS (
 )
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       SUM(((CAST(ascii(substr(hh, 1, 1)) AS BIGINT) * 256
-             + ascii(substr(hh, 2, 1))) * 256
-            + ascii(substr(hh, 3, 1))) * 256
-           + ascii(substr(hh, 4, 1))) AS checksum
+       CAST(SUM(((CAST(ascii(substr(hh, 1, 1)) AS BIGINT) * 256
+                  + ascii(substr(hh, 2, 1))) * 256
+                 + ascii(substr(hh, 3, 1))) * 256
+                + ascii(substr(hh, 4, 1))) AS BIGINT) AS checksum
 FROM h
 GROUP BY o_orderpriority
 """

@@ -103,7 +103,8 @@ WITH per_cust AS (
 )
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
-       SUM(CASE WHEN cum_before < seg_total * 0.8 THEN 1 ELSE 0 END) AS n_top80,
+       CAST(SUM(CASE WHEN cum_before < seg_total * 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top80,
        ROUND(CAST(SUM(CASE WHEN cum_before < seg_total * 0.8 THEN rev ELSE 0 END)
                   AS DOUBLE) / CAST(MAX(seg_total) AS DOUBLE), 6) AS top80_share
 FROM flagged
@@ -404,7 +405,8 @@ WITH a AS (
               ELSE 'unchanged' END AS change_type
   FROM fa FULL OUTER JOIN fb ON fa.o_orderkey = fb.o_orderkey
 )
-SELECT change_type, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+SELECT change_type, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM typed GROUP BY change_type
 """
 

@@ -114,24 +114,29 @@ WITH li_c AS (
   FROM lineitem
 )
 SELECT 'lineitem->orders' AS relationship, COUNT(*) AS n_child,
-       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans,
-       COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN c.l_orderkey END), 0)
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN c.l_orderkey END),
+                     0) AS BIGINT)
          AS orphan_key_sum
 FROM li_c c LEFT JOIN orders o ON c.l_orderkey = o.o_orderkey
 UNION ALL
 SELECT 'lineitem->part', COUNT(*),
-       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END),
-       COALESCE(SUM(CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END), 0)
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END),
+                     0) AS BIGINT)
 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 UNION ALL
 SELECT 'lineitem->supplier', COUNT(*),
-       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
-       COALESCE(SUM(CASE WHEN s.s_suppkey IS NULL THEN l.l_suppkey END), 0)
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN s.s_suppkey IS NULL THEN l.l_suppkey END),
+                     0) AS BIGINT)
 FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
 UNION ALL
 SELECT 'orders->customer', COUNT(*),
-       SUM(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END),
-       COALESCE(SUM(CASE WHEN cu.c_custkey IS NULL THEN o.o_custkey END), 0)
+       CAST(SUM(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN cu.c_custkey IS NULL THEN o.o_custkey END),
+                     0) AS BIGINT)
 FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
 """
 
@@ -667,7 +672,7 @@ WITH c1 AS (
   SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS i FROM c2
 )
 SELECT 'lineitem.l_partkey' AS key_col, COUNT(*) AS n_keys,
-       SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
        ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
          AS top1_share,
        ROUND(2.0 * CAST(SUM(i * cnt) AS DOUBLE)
@@ -676,7 +681,7 @@ SELECT 'lineitem.l_partkey' AS key_col, COUNT(*) AS n_keys,
              6) AS gini
 FROM r1
 UNION ALL
-SELECT 'orders.o_custkey', COUNT(*), SUM(cnt), MAX(cnt),
+SELECT 'orders.o_custkey', COUNT(*), CAST(SUM(cnt) AS BIGINT), MAX(cnt),
        ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6),
        ROUND(2.0 * CAST(SUM(i * cnt) AS DOUBLE)
              / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
@@ -827,7 +832,7 @@ WITH RECURSIVE op AS (
 ), best AS (
   SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
 )
-SELECT hop, COUNT(*) AS n_nodes, SUM(node) AS node_checksum
+SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_checksum
 FROM best GROUP BY hop
 """
 

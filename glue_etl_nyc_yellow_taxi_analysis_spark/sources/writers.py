@@ -66,11 +66,58 @@ class JdbcWarehouse(Warehouse):
         self.url = url
         self.properties = dict(properties or {})
 
+    @staticmethod
+    def dialect(url: str) -> str:
+        if url.startswith("jdbc:postgresql:"):
+            return "postgresql"
+        if url.startswith("jdbc:derby:"):
+            return "derby"
+        return "generic"
+
+    def catalog_probe_sql(self, table: str, schema: str = "public") -> str | None:
+        """Dialect-gated existence probe, shipped to the DB as a
+        subquery-as-table (S6 JDBC query pushdown).
+
+        On Postgres this is the reference's EXACT probe
+        (``etl-glue-load-to-postgres.py:62-66``): SELECT tablename FROM
+        pg_catalog.pg_tables filtered on schemaname/tablename.  On Derby
+        (the in-sandbox executor) the equivalent catalog is
+        ``SYS.SYSTABLES``.  ``None`` → unknown dialect, caller falls back
+        to the universal zero-row probe.
+        """
+        if any(c in table + schema for c in "'\";"):
+            raise ValueError(f"suspicious identifier: {table!r}/{schema!r}")
+        d = self.dialect(self.url)
+        if d == "postgresql":
+            return (
+                "(SELECT tablename FROM pg_catalog.pg_tables "
+                f"WHERE schemaname = '{schema}' AND tablename = '{table}')"
+            )
+        if d == "derby":
+            # Spark's write.jdbc ships unquoted identifiers to Derby, which
+            # normalizes them to uppercase in SYS.SYSTABLES
+            return (
+                "(SELECT TABLENAME FROM SYS.SYSTABLES "
+                f"WHERE TABLETYPE = 'T' AND TABLENAME = '{table.upper()}')"
+            )
+        return None
+
     def table_exists(self, table: str) -> bool:
-        # zero-row probe instead of a catalog query: works on any DBMS
-        # (Postgres like the reference, Derby in tests, ...) — information
+        probe_sql = self.catalog_probe_sql(table)
+        if probe_sql is not None:
+            # the reference's probe shape: catalog subquery pushed down,
+            # then a count() action (PG:62-67, S6+A1)
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", f"{probe_sql} probe_t")
+            )
+            for k, v in self.properties.items():
+                reader = reader.option(k, v)
+            return reader.load().count() > 0
+        # unknown dialect: zero-row probe — works on any DBMS (information
         # schema layouts differ, but SELECT-WHERE-1=0 is universal and the
-        # schema fetch reads no rows
+        # schema fetch reads no rows)
         probe = (
             self.spark.read.format("jdbc")
             .option("url", self.url)

@@ -109,7 +109,7 @@ def test_contamination_counts_and_shares_consistent(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == non_bench
     for r in rows:
         assert 0 <= r.n_contaminated <= r.n_docs
-        assert abs(r.contaminated_share - r.n_contaminated / r.n_docs) < 1e-6
+        assert r.contaminated_ppm == r.n_contaminated * 1_000_000 // r.n_docs
 
 
 def test_contamination_broadcasts_benchmark_side(spark, sf_dir):

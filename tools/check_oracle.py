@@ -31,9 +31,12 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
-        return f"{v:.6f}" if v == v else "nan"
+        # BIT-EXACT: the external driver hashes exact values, so any
+        # last-ULP divergence between Spark and DuckDB must fail HERE.
+        # (A 6-decimal collapse here let 5 ULP bugs through in r1+r2.)
+        return repr(v) if v == v else "nan"
     if isinstance(v, Decimal):
-        return f"{float(v):.6f}"
+        return str(v)
     if isinstance(v, dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
@@ -41,6 +44,55 @@ def norm_cell(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def pandas_kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind class that decides how the
+    external driver's canonicalizer will stringify values: integers,
+    floats and bools hash differently even when values agree (53 vs
+    53.0 vs True)."""
+    k = getattr(dtype, "kind", "O")
+    return {"u": "i"}.get(k, k)
+
+
+def spark_pandas_kinds(schema, rows, cols):
+    """Predict the pandas dtype kind the driver's toPandas() yields per
+    column: integral Spark types -> 'i' ('f' when the column actually
+    holds a null, matching Arrow's null promotion), float/double -> 'f',
+    boolean -> 'b', everything else -> 'O' (not kind-checked)."""
+    from pyspark.sql import types as _T
+
+    kinds = {}
+    for idx, f in enumerate(schema.fields):
+        t = f.dataType
+        if isinstance(t, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)):
+            has_null = any(r[idx] is None for r in rows)
+            kinds[cols[idx]] = "f" if has_null else "i"
+        elif isinstance(t, (_T.FloatType, _T.DoubleType)):
+            kinds[cols[idx]] = "f"
+        elif isinstance(t, _T.BooleanType):
+            has_null = any(r[idx] is None for r in rows)
+            kinds[cols[idx]] = "O" if has_null else "b"
+        else:
+            kinds[cols[idx]] = "O"
+    return kinds
+
+
+def dtype_kind_mismatches(spark_kinds, duck_pdf):
+    """The driver canonicalizes Spark via toPandas() and the oracle via
+    duckdb .df(); a numeric-kind mismatch between the two frames (e.g.
+    DuckDB SUM(BIGINT) -> HUGEINT -> float64 vs Spark int64) hash-fails
+    at the driver even with identical values (53 vs 53.0).  Temporal /
+    object columns are excluded (their value hash is compared anyway)."""
+    bad = []
+    for c, ks in spark_kinds.items():
+        if c not in duck_pdf.columns:
+            continue
+        kd = pandas_kind(duck_pdf[c].dtype)
+        numeric = {"i", "f", "b"}
+        if (ks in numeric or kd in numeric) and ks != kd:
+            bad.append(f"{c}: spark={ks} oracle={kd}")
+    return bad
 
 
 def value_hash(cols, rows):
@@ -85,23 +137,24 @@ def main():
         # Driver-hazard lint: the external driver canonicalizes via pandas
         # (toPandas vs duckdb.df()), where list/map/struct cells are
         # unhashable in sort_values and Decimal-vs-float64 dtypes hash
-        # differently even when values agree.  Any oracle-bearing query
-        # must emit only scalar, non-decimal output columns.
-        if ORACLE.get(name) is not None:
-            from pyspark.sql import types as _T
+        # differently even when values agree.  The driver canonicalizes
+        # EVERY query's output — including rows-only ones (r2:
+        # q_multimodal_features crashed its canonicalizer), so the lint
+        # applies to every declared query.
+        from pyspark.sql import types as _T
 
-            hazards = [
-                f.name
-                for f in df.schema.fields
-                if isinstance(
-                    f.dataType,
-                    (_T.DecimalType, _T.ArrayType, _T.MapType, _T.StructType),
-                )
-            ]
-            if hazards:
-                print(f"FAIL  {name}: driver-hazard output dtypes on {hazards}")
-                failures.append(name)
-                continue
+        hazards = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (_T.DecimalType, _T.ArrayType, _T.MapType, _T.StructType),
+            )
+        ]
+        if hazards:
+            print(f"FAIL  {name}: driver-hazard output dtypes on {hazards}")
+            failures.append(name)
+            continue
         took = time.time() - t0
         sql = ORACLE.get(name)
         if sql is None:
@@ -113,8 +166,16 @@ def main():
             res = con.execute(sql)
             o_cols = [d[0] for d in res.description]
             o_rows = res.fetchall()
+            o_pdf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        kind_bad = dtype_kind_mismatches(
+            spark_pandas_kinds(df.schema, rows, cols), o_pdf
+        )
+        if kind_bad:
+            print(f"FAIL  {name}: driver dtype-kind mismatch: {kind_bad}")
             failures.append(name)
             continue
         ok_n = len(rows) == len(o_rows)
