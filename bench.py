@@ -132,9 +132,12 @@ HEADLINE = [
     "q_sequence_packing",
     "q_winnow_fingerprints",
     "q_multimodal_framesample",
-    # round-3 batch: flagship star pipeline + LSH oracle lane
+    # round-3 batch: flagship star pipeline + LSH oracle lane + curation
     "q_taxi_star_deterministic",
     "q_ann_lsh_oracle",
+    "q_multimodal_resize",
+    "q_dedup_cross_source",
+    "q_doc_logprob",
 ]
 
 

@@ -44,6 +44,9 @@ PINNED: tuple[str, ...] = (
     "q_taxi_star_build",  # total_amount decimal -> double (schema change)
     "q_taxi_star_deterministic",  # flagship Job-1 pipeline, now hash-checked
     "q_ann_lsh_oracle",  # seed-replay LSH ANN twin
+    "q_multimodal_resize",  # r3: resize plumbing, SQL-replayed byte-exact
+    "q_dedup_cross_source",  # r3: cross-source duplication matrix
+    "q_doc_logprob",  # r3: unigram-LM quality score
 )
 
 RECHECK_QUOTA = 4

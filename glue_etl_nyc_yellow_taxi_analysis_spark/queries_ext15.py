@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .plans import star
-from .queries import _t, _taxi_fixture
+from .queries import TOKS_SQL, _t, _taxi_fixture
 
 QUERIES_EXT15 = {}
 ORACLE_EXT15 = {}
@@ -283,3 +283,168 @@ WHERE rank <= 10
 
 QUERIES_EXT15["q_ann_lsh_oracle"] = q_ann_lsh_oracle
 ORACLE_EXT15["q_ann_lsh_oracle"] = SQL_ANN_LSH_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize plumbing — mapInPandas, oracle-checked
+# --------------------------------------------------------------------------
+
+_RS_W, _RS_H = 64, 32  # target "thumbnail": keep = w*h//64 = 32 bytes
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing over binary payloads (operators/multimodal
+    .resize_images): Arrow-batched mapInPandas re-emitting a
+    deterministically downsized payload + updated dimension metadata —
+    the PIL/libvips contract with a byte-slicer standing in for the
+    codec.  Like q_multimodal_framesample, the slicer is bytes-exact, so
+    the whole Python path (batching, slicing, metadata stamping) is
+    value-hashed against a SQL replay; outputs are scalar (md5 + length),
+    never the raw binary, for the driver's canonicalizer."""
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_images(media, width=_RS_W, height=_RS_H)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT doc_id AS media_id,
+       {_RS_W} AS width,
+       {_RS_H} AS height,
+       CAST(least(octet_length(encode(text)),
+                  greatest(1, least(octet_length(encode(text)),
+                                    {_RS_W * _RS_H // 64}))) AS INTEGER)
+           AS n_bytes,
+       md5(substring(text, 1,
+                     greatest(1, least(octet_length(encode(text)),
+                                       {_RS_W * _RS_H // 64})))) AS payload_md5
+FROM documents
+"""
+
+QUERIES_EXT15["q_multimodal_resize"] = q_multimodal_resize
+ORACLE_EXT15["q_multimodal_resize"] = SQL_MULTIMODAL_RESIZE
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix — the curation report after dedup
+# --------------------------------------------------------------------------
+
+_XS_PREFIX = 5
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many template-duplicate document pairs (same md5 of the first 5
+    normalized tokens — the shared-header/boilerplate key; exact-content
+    fingerprints have zero collisions in this corpus) span them, and
+    over how many distinct clusters — the report that tells a curation
+    run WHERE its duplication comes from (mirror sites, cross-dump
+    overlap) before it picks per-source dedup policy.  One fingerprint
+    shuffle + a fingerprint-keyed self-join whose groups are duplicate
+    clusters (tiny by construction), then a pair-key rollup — no
+    all-pairs stage at any scale."""
+    from .operators import text
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.slice(text.tokens("text"), 1, _XS_PREFIX))
+        ).alias("fp"),
+        "source",
+        "doc_id",
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(b, "fp").filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        pairs.select(
+            "fp",
+            F.least("a.source", "b.source").alias("src_a"),
+            F.greatest("a.source", "b.source").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("fp").alias("n_clusters"),
+        )
+    )
+
+
+SQL_DEDUP_CROSS_SOURCE = f"""
+WITH fp AS (
+  SELECT md5(array_to_string(list_slice({TOKS_SQL.format(c='text')}, 1,
+                                        {_XS_PREFIX}), ' ')) AS fp,
+         source, doc_id
+  FROM documents
+)
+SELECT least(a.source, b.source) AS src_a,
+       greatest(a.source, b.source) AS src_b,
+       COUNT(*) AS n_dup_pairs,
+       COUNT(DISTINCT a.fp) AS n_clusters
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES_EXT15["q_dedup_cross_source"] = q_dedup_cross_source
+ORACLE_EXT15["q_dedup_cross_source"] = SQL_DEDUP_CROSS_SOURCE
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM document score — perplexity-proxy quality filtering
+# --------------------------------------------------------------------------
+
+def q_doc_logprob(spark, sf_dir):
+    """Unigram language-model document score: mean log2 P(token) under
+    the corpus unigram distribution — the perplexity-proxy quality
+    signal (very low = gibberish / OCR noise, very high = boilerplate).
+    mean_lp = Σ c_doc·log2(c_corpus) / n_doc − log2(N): every log is of
+    an integer count (the q_token_entropy determinism pattern), the
+    corpus vocabulary is a broadcast-sized join, and both groupBys key
+    on doc_id/token so the shuffles stay narrow at any corpus size."""
+    from .operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    total = toks.count()  # scalar action: log2(N) literal on both sides
+    doc_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        doc_counts.join(corpus, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log2("cc")) / F.sum("c")
+                - F.log2(F.lit(total).cast("double")),
+                4,
+            ).alias("mean_logprob")
+        )
+    )
+
+
+def _sql_doc_logprob() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL.format(c='text')}) AS tok FROM documents
+), corpus AS (
+  SELECT tok, COUNT(*) AS cc FROM tok GROUP BY tok
+), doc_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       ROUND(SUM(c * LOG2(cc)) / SUM(c)
+             - LOG2((SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)), 4)
+           AS mean_logprob
+FROM doc_counts JOIN corpus USING (tok)
+GROUP BY doc_id
+"""
+
+
+QUERIES_EXT15["q_doc_logprob"] = q_doc_logprob
+ORACLE_EXT15["q_doc_logprob"] = _sql_doc_logprob()
