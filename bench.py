@@ -138,6 +138,9 @@ HEADLINE = [
     "q_multimodal_resize",
     "q_dedup_cross_source",
     "q_doc_logprob",
+    "q_semdedup",
+    "q_line_dedup",
+    "q_bpe_merge_train",
 ]
 
 

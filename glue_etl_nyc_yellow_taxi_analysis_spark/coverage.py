@@ -47,6 +47,9 @@ PINNED: tuple[str, ...] = (
     "q_multimodal_resize",  # r3: resize plumbing, SQL-replayed byte-exact
     "q_dedup_cross_source",  # r3: cross-source duplication matrix
     "q_doc_logprob",  # r3: unigram-LM quality score
+    "q_semdedup",  # r3: SemDeDup cluster-bounded semantic dedup
+    "q_line_dedup",  # r3: C4-style segment removal + reconstruction
+    "q_bpe_merge_train",  # r3: iterative BPE merge loop, chained-CTE oracle
 )
 
 RECHECK_QUOTA = 4

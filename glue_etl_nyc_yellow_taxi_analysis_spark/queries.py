@@ -1989,3 +1989,8 @@ from .queries_ext15 import ORACLE_EXT15, QUERIES_EXT15  # noqa: E402
 
 QUERIES.update(QUERIES_EXT15)
 ORACLE.update(ORACLE_EXT15)
+
+from .queries_ext16 import ORACLE_EXT16, QUERIES_EXT16  # noqa: E402
+
+QUERIES.update(QUERIES_EXT16)
+ORACLE.update(ORACLE_EXT16)

@@ -1,0 +1,337 @@
+"""Extended inventory XVI — round-3 curation operators.
+
+Three LLM-data-pipeline operators the round-2 inventory did not yet cover,
+each with a full DuckDB oracle:
+
+- ``q_semdedup`` — SemDeDup-style semantic deduplication (Abbas et al.
+  2023): coarse-quantize embeddings against deterministic cluster
+  representatives, then prune any vector that is cosine-similar to a
+  lower-id member of its cluster.  The candidate stage is cluster-bounded
+  (never all-pairs), which is the property that makes SemDeDup run on
+  100 TB corpora.
+- ``q_line_dedup`` — C4-style repeated-segment removal WITH document
+  reconstruction: segment every document, drop segments whose
+  document-frequency exceeds a threshold (shared boilerplate), and
+  reassemble the surviving text in order.  This is the *transform* stage
+  that `q_boilerplate_ratio` (diagnostic) feeds.
+- ``q_bpe_merge_train`` — the BPE tokenizer-training loop itself: three
+  iterations of count-adjacent-pairs → pick argmax merge → apply the merge
+  to the (vocab-bounded) word table.  `q_bpe_pair_counts` measured one
+  pass; this trains actual merges, with the whole 3-iteration loop
+  replayed by a chained-CTE oracle (the q_kmeans_oracle pattern).
+
+Reference anchor: the reference's star-schema build has no text surface
+(`glue_job_scripts/etl-glue-nyc-yellow-data-model.py` is pure relational);
+these extend the engine along the BASELINE.json north-star exactly like
+queries_ext13/14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import similarity, text
+from .queries import _COSINE_SQL, TOKS_SQL, _t
+
+QUERIES_EXT16 = {}
+ORACLE_EXT16 = {}
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — cluster-bounded semantic dedup over embeddings
+# --------------------------------------------------------------------------
+
+_SD_TAU = 0.2  # corpus-calibrated: within-cluster cosine tops out ~0.47
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup: (1) deterministic cluster representatives
+    (lowest-vec_id member per label — the q_ann_ivf_oracle convention, no
+    float-mean ambiguity), (2) assign every vector to its nearest
+    representative by rounded cosine (the coarse-quantization step — k
+    broadcast rows, one narrow shuffle), (3) within each assigned cluster,
+    prune any vector whose rounded cosine to a LOWER-id cluster member is
+    >= tau, keeping the lowest such partner as ``dup_of``.
+
+    The prune rule is single-pass pairwise (a pruned vector can still
+    prune its own successors) — deterministic and iteration-free, which is
+    what makes the operator one cluster-keyed self-join instead of a
+    fixpoint loop.  All-integer output; candidate generation is bounded by
+    cluster size, never all-pairs.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    reps = (
+        emb.groupBy("label")
+        .agg(F.min(F.struct("vec_id", "embedding")).alias("m"))
+        .select(F.col("label").alias("cluster"), F.col("m.embedding").alias("centroid"))
+    )
+    cos_rep = F.round(similarity.cosine(F.col("embedding"), F.col("centroid")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_rep"), F.col("cluster"))
+    assigned = (
+        emb.crossJoin(F.broadcast(reps))
+        .select("vec_id", "embedding", "cluster", cos_rep.alias("cos_rep"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = F.round(
+        similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    dups = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(pair_cos >= F.lit(_SD_TAU))
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_pruned"),
+            "dup_of",
+        )
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH reps AS (
+  SELECT label AS cluster, embedding AS centroid FROM (
+    SELECT label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings) WHERE rn = 1
+), assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, r.cluster,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COSINE_SQL.format(a='e.embedding', b='r.centroid')} DESC,
+                        r.cluster) AS rn
+    FROM embeddings e, reps r) WHERE rn = 1
+), dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= {_SD_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cluster,
+       CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_pruned,
+       d.dup_of
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+QUERIES_EXT16["q_semdedup"] = q_semdedup
+ORACLE_EXT16["q_semdedup"] = SQL_SEMDEDUP
+
+
+# --------------------------------------------------------------------------
+# C4-style line dedup — remove high-DF segments, reconstruct documents
+# --------------------------------------------------------------------------
+
+_LD_SEG = 2  # tokens per segment ("line" stand-in: the corpus has no \n)
+_LD_DF_MAX = 20  # keep segments appearing in <= 20 distinct docs
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style boilerplate-segment removal with document reconstruction:
+    split each doc into consecutive 2-token segments, compute each
+    segment's document frequency (one seg-keyed shuffle), drop segments
+    shared by more than ``_LD_DF_MAX`` distinct docs, and reassemble the
+    surviving text in original order.  Emits per-doc accounting plus the
+    md5 of the cleaned text (scalar output; the cleaned string itself can
+    be arbitrarily large).
+
+    Scale: segment DF is a keyed aggregate, the seg→df join is keyed (df
+    table bounded by distinct segments), and reconstruction is one
+    doc_id-keyed aggregate over struct(pos, seg) — order restored with
+    array_sort, never a window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(toks) / _LD_SEG).cast("int") - 1
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * _LD_SEG + 1, _LD_SEG)
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    df = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = segs.join(df, "seg").withColumn(
+        "kept", F.col("df") <= F.lit(_LD_DF_MAX)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), seg AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(list_slice(toks, i * {_LD_SEG} + 1,
+                                    i * {_LD_SEG} + {_LD_SEG}), ' ') AS seg
+  FROM t, range(0, 100) r(i)
+  WHERE i * {_LD_SEG} + 1 <= len(toks)
+), df AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN d.df > {_LD_DF_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       md5(COALESCE(string_agg(s.seg, ' ' ORDER BY s.pos)
+                        FILTER (WHERE d.df <= {_LD_DF_MAX}), '')) AS clean_md5
+FROM seg s JOIN df d USING (seg)
+GROUP BY s.doc_id
+"""
+
+QUERIES_EXT16["q_line_dedup"] = q_line_dedup
+ORACLE_EXT16["q_line_dedup"] = SQL_LINE_DEDUP
+
+
+# --------------------------------------------------------------------------
+# BPE merge training loop — 3 iterations, chained-CTE oracle
+# --------------------------------------------------------------------------
+
+_BPE_ITERS = 3
+
+# Merge application convention (identical on both engines): surround the
+# spaced form with sentinels, string-replace ' l r ' -> ' lr ' TWICE
+# (plain replace is non-overlapping left-to-right, so alternating
+# occurrences need a second pass), trim.  Documented deviation from
+# strict greedy BPE: a same-symbol run of length >= 4 can pair as
+# (1,2)(3,4) vs this convention's (1,2),(skip),(3,4) second-pass pairing —
+# impossible here (no symbol repeats 4x within a word in [a-z] word
+# vocab) and deterministic everywhere.
+
+
+def _spaced(col):
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _pair_counts(words):
+    """Adjacent-symbol pair counts weighted by word frequency; one
+    pair-keyed shuffle over the vocab-bounded word table."""
+    syms = F.split(F.col("spaced"), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(syms) - 2),
+        lambda j: F.struct(
+            F.element_at(syms, j + 1).alias("l"),
+            F.element_at(syms, j + 2).alias("r"),
+        ),
+    )
+    return (
+        words.filter(F.size(syms) >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def q_bpe_merge_train(spark, sf_dir):
+    """BPE tokenizer training, the real loop: start from the corpus word
+    table (word -> frequency, vocab-bounded — the standard BPE trainer
+    input), split words into spaced symbol sequences, then for each of 3
+    iterations count adjacent symbol pairs (weighted by word frequency),
+    pick the argmax pair (count desc, then lexicographic l, r), and apply
+    the merge to every word via the double-replace convention.  Emits the
+    learned merge table (iteration, left/right symbol, pair count).
+
+    The per-iteration argmax is a 1-row driver action (bounded: 3 scalar
+    rows total) whose literals feed the next iteration's plan — the same
+    bounded-collect pattern as the k-means trainer.  Each iteration is
+    one pair-keyed shuffle over the vocab table; at 100 TB the word table
+    is still vocab-sized, so the loop cost is independent of corpus rows
+    after the first tokenize pass."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(text.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("spaced", _spaced(F.col("word")))
+    )
+    merges = []
+    for it in range(1, _BPE_ITERS + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.col("l"), F.col("r"))
+            .first()
+        )
+        merges.append((it, best["l"], best["r"], best["cnt"]))
+        pat = F.lit(f" {best['l']} {best['r']} ")
+        rep = F.lit(f" {best['l']}{best['r']} ")
+        sent = F.concat(F.lit(" "), F.col("spaced"), F.lit(" "))
+        words = words.withColumn(
+            "spaced", F.trim(F.replace(F.replace(sent, pat, rep), pat, rep))
+        )
+    return spark.createDataFrame(
+        merges, "it int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _sql_bpe_merge_train() -> str:
+    """Chained-CTE replay of the whole 3-iteration trainer: w0 is the
+    word table, p{{i}} the pair counts, b{{i}} the argmax merge, w{{i}} the
+    merged vocabulary (1-row cross join applies the literals)."""
+    parts = [
+        f"""
+WITH w0 AS (
+  SELECT word, COUNT(*) AS freq,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS spaced
+  FROM (SELECT unnest({TOKS_SQL.format(c='text')}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, _BPE_ITERS + 1):
+        parts.append(f"""
+, p{i} AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(spaced, ' ') AS syms FROM w{i - 1}),
+       range(1, 100) t(j)
+  WHERE j + 1 <= len(syms)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+), w{i} AS (
+  SELECT word, freq,
+         trim(replace(replace(' ' || spaced || ' ',
+                              ' ' || b.l || ' ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' '),
+                      ' ' || b.l || ' ' || b.r || ' ',
+                      ' ' || b.l || b.r || ' ')) AS spaced
+  FROM w{i - 1}, b{i} b
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS it, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_ITERS + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+QUERIES_EXT16["q_bpe_merge_train"] = q_bpe_merge_train
+ORACLE_EXT16["q_bpe_merge_train"] = _sql_bpe_merge_train()

@@ -1,0 +1,69 @@
+"""Round-3 curation operators (queries_ext16): behavioral assertions
+beyond the oracle hash — semantic invariants the SQL replay alone would
+not explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+
+def test_semdedup_prune_invariants(spark, sf_dir):
+    rows = QUERIES["q_semdedup"](spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n  # every vector gets a verdict
+    by_id = {r.vec_id: r for r in rows}
+    pruned = [r for r in rows if r.is_pruned == 1]
+    kept = [r for r in rows if r.is_pruned == 0]
+    assert pruned and kept  # tau is corpus-calibrated: both sides non-empty
+    for r in pruned:
+        # dup_of is an earlier member of the same assigned cluster
+        assert r.dup_of is not None and r.dup_of < r.vec_id
+        assert by_id[r.dup_of].cluster == r.cluster
+    assert all(r.dup_of is None for r in kept)
+    # the lowest-id member of any cluster can never be pruned
+    lowest = {}
+    for r in rows:
+        lowest.setdefault(r.cluster, r.vec_id)
+        lowest[r.cluster] = min(lowest[r.cluster], r.vec_id)
+    assert all(by_id[v].is_pruned == 0 for v in lowest.values())
+
+
+def test_line_dedup_accounting(spark, sf_dir):
+    out = QUERIES["q_line_dedup"](spark, sf_dir)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()
+    assert all(0 <= r.n_removed <= r.n_segments for r in rows)
+    # threshold is corpus-calibrated: some docs lose segments, none loses
+    # everything AND the removal is non-trivial overall
+    assert any(r.n_removed > 0 for r in rows)
+    assert any(r.n_removed == 0 or r.n_removed < r.n_segments for r in rows)
+    # a doc with nothing removed reconstructs its own normalized text
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import text
+
+    clean = {r.doc_id: r.clean_md5 for r in rows if r.n_removed == 0}
+    if clean:
+        orig = {
+            r.doc_id: r.h
+            for r in docs.filter(F.col("doc_id").isin(*clean))
+            .select("doc_id", F.md5(text.normalized("text")).alias("h"))
+            .collect()
+        }
+        assert orig == clean
+
+
+def test_bpe_merge_train_monotone_and_applied(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_bpe_merge_train"](spark, sf_dir).collect(),
+        key=lambda r: r.it,
+    )
+    assert [r.it for r in rows] == [1, 2, 3]
+    assert all(r.pair_count > 0 for r in rows)
+    assert all(len(r.left_sym) >= 1 and len(r.right_sym) >= 1 for r in rows)
+    # a merged symbol never re-wins as the identical pair (it was fused)
+    assert len({(r.left_sym, r.right_sym) for r in rows}) == 3
+    # iteration-1 pair is the corpus argmax over raw characters: both
+    # symbols are single characters
+    assert len(rows[0].left_sym) == 1 and len(rows[0].right_sym) == 1
