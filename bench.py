@@ -141,6 +141,8 @@ HEADLINE = [
     "q_semdedup",
     "q_line_dedup",
     "q_bpe_merge_train",
+    "q_bpe_apply",
+    "q_quality_classifier",
 ]
 
 

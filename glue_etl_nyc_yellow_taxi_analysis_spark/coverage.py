@@ -50,6 +50,8 @@ PINNED: tuple[str, ...] = (
     "q_semdedup",  # r3: SemDeDup cluster-bounded semantic dedup
     "q_line_dedup",  # r3: C4-style segment removal + reconstruction
     "q_bpe_merge_train",  # r3: iterative BPE merge loop, chained-CTE oracle
+    "q_bpe_apply",  # r3: tokenizer apply — per-source compression accounting
+    "q_quality_classifier",  # r3: integer-lane linear quality model
 )
 
 RECHECK_QUOTA = 4

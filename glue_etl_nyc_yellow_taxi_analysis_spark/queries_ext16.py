@@ -73,7 +73,12 @@ def q_semdedup(spark, sf_dir):
         .select("vec_id", "embedding", "cluster", cos_rep.alias("cos_rep"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
+        # nrm is hoisted per VECTOR so the O(pairs) stage folds one dot
+        # instead of dot+2 norms — the divisor sqrt(Σa²)·sqrt(Σb²) is the
+        # exact same expression tree as the inline cosine, so the doubles
+        # (and the oracle hash) are bit-identical
+        .select("vec_id", "embedding", "cluster",
+                similarity.l2_norm(F.col("embedding")).alias("nrm"))
         # the assignment table feeds THREE consumers (both self-join sides
         # + the verdict projection); without materialization Spark re-runs
         # the k×N cosine cross join per consumer (measured 18 exchanges /
@@ -84,7 +89,11 @@ def q_semdedup(spark, sf_dir):
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = F.round(
-        similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        F.try_divide(
+            similarity.dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
+        6,
     )
     dups = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
@@ -111,7 +120,12 @@ WITH reps AS (
            row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
     FROM embeddings) WHERE rn = 1
 ), assigned AS (
-  SELECT vec_id, embedding, cluster FROM (
+  -- nrm hoisted per vector (same expression tree as the inline cosine
+  -- denominator, so the pair-stage doubles are bit-identical)
+  SELECT vec_id, embedding, cluster,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM (
     SELECT e.vec_id, e.embedding, r.cluster,
            row_number() OVER (
                PARTITION BY e.vec_id
@@ -122,7 +136,9 @@ WITH reps AS (
   SELECT b.vec_id, MIN(a.vec_id) AS dup_of
   FROM assigned a JOIN assigned b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= {_SD_TAU}
+  WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (a.nrm * b.nrm), 6) >= {_SD_TAU}
   GROUP BY b.vec_id
 )
 SELECT s.vec_id, s.cluster,
@@ -259,27 +275,20 @@ def _pair_counts(words):
     )
 
 
-def q_bpe_merge_train(spark, sf_dir):
-    """BPE tokenizer training, the real loop: start from the corpus word
-    table (word -> frequency, vocab-bounded — the standard BPE trainer
-    input), split words into spaced symbol sequences, then for each of 3
-    iterations count adjacent symbol pairs (weighted by word frequency),
-    pick the argmax pair (count desc, then lexicographic l, r), and apply
-    the merge to every word via the double-replace convention.  Emits the
-    learned merge table (iteration, left/right symbol, pair count).
-
-    The per-iteration argmax is a 1-row driver action (bounded: 3 scalar
-    rows total) whose literals feed the next iteration's plan — the same
-    bounded-collect pattern as the k-means trainer.  Each iteration is
-    one pair-keyed shuffle over the vocab table; at 100 TB the word table
-    is still vocab-sized, so the loop cost is independent of corpus rows
-    after the first tokenize pass."""
+def _bpe_train(spark, sf_dir):
+    """Shared trainer: returns (words_after_all_merges, merges list).
+    Each iteration's argmax is a 1-row bounded collect whose literals
+    feed the next iteration's plan (the k-means trainer pattern)."""
     docs = _t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(text.tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("spaced", _spaced(F.col("word")))
+        # vocab-bounded table consumed by 3 argmax actions + the final
+        # plan: checkpoint so the corpus tokenize pass runs ONCE, not
+        # once per iteration (measured 10.7s -> ~2s for q_bpe_apply)
+        .localCheckpoint()
     )
     merges = []
     for it in range(1, _BPE_ITERS + 1):
@@ -295,15 +304,36 @@ def q_bpe_merge_train(spark, sf_dir):
         words = words.withColumn(
             "spaced", F.trim(F.replace(F.replace(sent, pat, rep), pat, rep))
         )
+    return words, merges
+
+
+def q_bpe_merge_train(spark, sf_dir):
+    """BPE tokenizer training, the real loop: start from the corpus word
+    table (word -> frequency, vocab-bounded — the standard BPE trainer
+    input), split words into spaced symbol sequences, then for each of 3
+    iterations count adjacent symbol pairs (weighted by word frequency),
+    pick the argmax pair (count desc, then lexicographic l, r), and apply
+    the merge to every word via the double-replace convention.  Emits the
+    learned merge table (iteration, left/right symbol, pair count).
+
+    The per-iteration argmax is a 1-row driver action (bounded: 3 scalar
+    rows total) whose literals feed the next iteration's plan — the same
+    bounded-collect pattern as the k-means trainer.  Each iteration is
+    one pair-keyed shuffle over the vocab table; at 100 TB the word table
+    is still vocab-sized, so the loop cost is independent of corpus rows
+    after the first tokenize pass."""
+    _, merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "it int, left_sym string, right_sym string, pair_count bigint"
     )
 
 
-def _sql_bpe_merge_train() -> str:
+def _sql_bpe_chain() -> str:
     """Chained-CTE replay of the whole 3-iteration trainer: w0 is the
     word table, p{{i}} the pair counts, b{{i}} the argmax merge, w{{i}} the
-    merged vocabulary (1-row cross join applies the literals)."""
+    merged vocabulary (1-row cross join applies the literals).  Shared by
+    the trainer oracle (selects from b1..bN) and the apply oracle
+    (aggregates over wN)."""
     parts = [
         f"""
 WITH w0 AS (
@@ -332,12 +362,133 @@ WITH w0 AS (
                       ' ' || b.l || b.r || ' ')) AS spaced
   FROM w{i - 1}, b{i} b
 )""")
+    return "".join(parts)
+
+
+def _sql_bpe_merge_train() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {i} AS it, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b{i}"
         for i in range(1, _BPE_ITERS + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _sql_bpe_chain() + "\n" + sel
 
 
 QUERIES_EXT16["q_bpe_merge_train"] = q_bpe_merge_train
 ORACLE_EXT16["q_bpe_merge_train"] = _sql_bpe_merge_train()
+
+
+# --------------------------------------------------------------------------
+# BPE apply — encode the corpus with the learned merges, per-source stats
+# --------------------------------------------------------------------------
+
+def q_bpe_apply(spark, sf_dir):
+    """Tokenizer APPLY: encode every document with the merges learned by
+    q_bpe_merge_train and report per-source compression accounting —
+    words, characters, symbols before (chars) vs after the merge table.
+    The encode itself is a broadcast join of the corpus against the
+    vocab-bounded word→encoding table (the standard production shape: a
+    trained tokenizer is a lookup, not a re-derivation), then one
+    source-keyed aggregate.  All-integer output."""
+    words, _ = _bpe_train(spark, sf_dir)
+    enc = words.select(
+        "word", F.size(F.split(F.col("spaced"), " ")).alias("n_sym")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(text.tokens("text")).alias("word"))
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sym").alias("n_symbols"),
+        )
+    )
+
+
+def _sql_bpe_apply() -> str:
+    return _sql_bpe_chain() + f"""
+, enc AS (
+  SELECT word, len(string_split(spaced, ' ')) AS n_sym FROM w{_BPE_ITERS}
+), tok AS (
+  SELECT source, unnest({TOKS_SQL.format(c='text')}) AS word FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+FROM tok JOIN enc USING (word)
+GROUP BY source
+"""
+
+
+QUERIES_EXT16["q_bpe_apply"] = q_bpe_apply
+ORACLE_EXT16["q_bpe_apply"] = _sql_bpe_apply()
+
+
+# --------------------------------------------------------------------------
+# Linear quality classifier — integer-lane logit, the fasttext stand-in
+# --------------------------------------------------------------------------
+
+_QC_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, the fasttext-classifier stand-in:
+    a linear model over per-doc features (token count, stopword count,
+    type count) with fixed trained weights, thresholded at logit 0.
+    The logit is computed in CENTI-units so the whole score path is
+    integer arithmetic — bit-identical on any engine, any partitioning:
+    logit_centi = -300 + 2*n_tok + 25*n_stop + 8*n_types.  One scan,
+    every feature from one tokens() projection; verdicts join back to
+    nothing (pure map after the per-doc feature aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    sw = F.array(*[F.lit(s) for s in _QC_STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(
+            "n_stop"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    logit = (
+        F.lit(-300)
+        + 2 * F.col("n_tok")
+        + 25 * F.col("n_stop")
+        + 8 * F.col("n_types")
+    )
+    return feats.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_stop",
+        "n_types",
+        logit.cast("bigint").alias("logit_centi"),
+        F.when(logit > 0, 1).otherwise(0).alias("keep"),
+    )
+
+
+_QC_SW_SQL = "[" + ", ".join(f"'{s}'" for s in _QC_STOPWORDS) + "]"
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tok,
+         len(list_filter(toks, x -> list_contains({_QC_SW_SQL}, x))) AS n_stop,
+         len(list_distinct(toks)) AS n_types
+  FROM (SELECT doc_id, source, {TOKS_SQL.format(c='text')} AS toks
+        FROM documents)
+)
+SELECT doc_id, source, n_tok, n_stop, n_types,
+       CAST(-300 + 2 * n_tok + 25 * n_stop + 8 * n_types AS BIGINT)
+           AS logit_centi,
+       CASE WHEN -300 + 2 * n_tok + 25 * n_stop + 8 * n_types > 0
+            THEN 1 ELSE 0 END AS keep
+FROM f
+"""
+
+QUERIES_EXT16["q_quality_classifier"] = q_quality_classifier
+ORACLE_EXT16["q_quality_classifier"] = SQL_QUALITY_CLASSIFIER

@@ -67,3 +67,26 @@ def test_bpe_merge_train_monotone_and_applied(spark, sf_dir):
     # iteration-1 pair is the corpus argmax over raw characters: both
     # symbols are single characters
     assert len(rows[0].left_sym) == 1 and len(rows[0].right_sym) == 1
+
+
+def test_bpe_apply_compression_accounting(spark, sf_dir):
+    rows = QUERIES["q_bpe_apply"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # merges only ever fuse symbols: chars >= symbols >= words
+        assert r.n_chars >= r.n_symbols >= r.n_words
+    # the three learned merges must actually fire somewhere
+    assert any(r.n_symbols < r.n_chars for r in rows)
+
+
+def test_quality_classifier_logit_lane(spark, sf_dir):
+    rows = QUERIES["q_quality_classifier"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert r.logit_centi == -300 + 2 * r.n_tok + 25 * r.n_stop + 8 * r.n_types
+        assert r.keep == (1 if r.logit_centi > 0 else 0)
+        assert r.n_stop <= r.n_tok and r.n_types <= r.n_tok
+    # weights are corpus-calibrated: both verdicts occur
+    keeps = {r.keep for r in rows}
+    assert keeps == {0, 1}
