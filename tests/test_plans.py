@@ -156,3 +156,36 @@ def test_winnow_staged_single_hash_projection(spark, sf_dir):
     # position (the O(n²) inline form)
     plan = _plan(QUERIES["q_winnow_fingerprints"](spark, sf_dir))
     assert plan.count("md5") <= 2, plan.count("md5")
+
+
+def test_semdedup_assignment_materialized_once(spark, sf_dir):
+    # the k×N assignment cross join must be checkpointed: the final plan
+    # reads the materialized RDD (Scan ExistingRDD), never re-running the
+    # BroadcastNestedLoopJoin per consumer (measured 18 exchanges → 4)
+    plan = _plan(QUERIES["q_semdedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # both self-join sides
+
+
+def test_line_dedup_no_window(spark, sf_dir):
+    # document reconstruction is a keyed aggregate over struct(pos, seg)
+    # with array_sort — a Window here would mean a per-doc sort task
+    plan = _plan(QUERIES["q_line_dedup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_apply_broadcasts_encoding(spark, sf_dir):
+    # the trained word→encoding table is vocab-bounded: the corpus join
+    # must broadcast it, never shuffle the exploded token stream
+    plan = _plan(QUERIES["q_bpe_apply"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_single_scan_no_python(spark, sf_dir):
+    # one scan of documents (formatted explain lists the node in the tree
+    # AND the numbered details section), all features from JVM expressions
+    plan = _plan(QUERIES["q_quality_classifier"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
