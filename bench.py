@@ -143,6 +143,8 @@ HEADLINE = [
     "q_bpe_merge_train",
     "q_bpe_apply",
     "q_quality_classifier",
+    "q_kanonymity",
+    "q_stream_quality_filter",
 ]
 
 

@@ -52,6 +52,8 @@ PINNED: tuple[str, ...] = (
     "q_bpe_merge_train",  # r3: iterative BPE merge loop, chained-CTE oracle
     "q_bpe_apply",  # r3: tokenizer apply — per-source compression accounting
     "q_quality_classifier",  # r3: integer-lane linear quality model
+    "q_kanonymity",  # r3: k-anonymity audit + generalization ladder
+    "q_stream_quality_filter",  # r3: curation inside Structured Streaming
 )
 
 RECHECK_QUOTA = 4

@@ -1994,3 +1994,8 @@ from .queries_ext16 import ORACLE_EXT16, QUERIES_EXT16  # noqa: E402
 
 QUERIES.update(QUERIES_EXT16)
 ORACLE.update(ORACLE_EXT16)
+
+from .queries_ext17 import ORACLE_EXT17, QUERIES_EXT17  # noqa: E402
+
+QUERIES.update(QUERIES_EXT17)
+ORACLE.update(ORACLE_EXT17)
