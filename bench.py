@@ -145,6 +145,13 @@ HEADLINE = [
     "q_quality_classifier",
     "q_kanonymity",
     "q_stream_quality_filter",
+    # round-3 third-pass batch: split/containment/PCA/compaction/calibration
+    "q_train_split",
+    "q_containment_dedup",
+    "q_pca_power",
+    "q_compaction_plan",
+    "q_quality_calibration",
+    "q_doc_ppl_bigram",
 ]
 
 

@@ -54,6 +54,12 @@ PINNED: tuple[str, ...] = (
     "q_quality_classifier",  # r3: integer-lane linear quality model
     "q_kanonymity",  # r3: k-anonymity audit + generalization ladder
     "q_stream_quality_filter",  # r3: curation inside Structured Streaming
+    "q_train_split",  # r3: deterministic train/val/test carve + audit
+    "q_containment_dedup",  # r3: directed quote/excerpt containment pairs
+    "q_pca_power",  # r3: exact-lane power iteration, chained-CTE oracle
+    "q_compaction_plan",  # r3: small-file compaction planning
+    "q_quality_calibration",  # r3: logit-band calibration vs gold labels
+    "q_doc_ppl_bigram",  # r3: bigram-LM doc scoring, decimal-summed logs
 )
 
 RECHECK_QUOTA = 4

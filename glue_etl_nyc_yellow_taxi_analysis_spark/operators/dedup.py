@@ -156,6 +156,71 @@ def minhash_dedup_pairs(
     return verified
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    tau_ppm: int = 300_000,
+    lane: str = "md5",
+) -> DataFrame:
+    """Directed shingle-containment pairs: |A∩B| / |A| ≥ τ.
+
+    Jaccard under-scores asymmetric duplication — a short document quoted
+    whole inside a long one has low Jaccard but containment ≈ 1.  This is
+    the signal quote/excerpt dedup uses (and the reason dedup toolkits
+    carry containment next to resemblance; Broder's resemblance/containment
+    pair).  Candidates come from the SAME MinHash-LSH banding as
+    ``minhash_dedup_pairs`` (minima of uniform hashes estimate containment
+    well when sizes are comparable; banding recall is shared), then each
+    undirected candidate emits BOTH directions and is verified exactly:
+    containment_ppm = inter · 1e6 div |src| — integer lane, bit-identical
+    in any engine.
+
+    Scale: identical posture to minhash_dedup_pairs — banded candidate
+    generation (never all-pairs), shuffle keyed on band hashes, exact
+    verification bounded to bucket collisions; the direction explode only
+    doubles the (small) verified candidate set.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, lane).cache()
+    cands = minhash_lsh_candidates(sigs, num_hashes, bands, lane)
+    sh = sigs.select("id", "shingles")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    both = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("inter", inter)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src_id"),
+                        F.col("id_b").alias("dst_id"),
+                        F.size("sh_a").alias("n_src"),
+                        F.col("inter").alias("inter"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src_id"),
+                        F.col("id_a").alias("dst_id"),
+                        F.size("sh_b").alias("n_src"),
+                        F.col("inter").alias("inter"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    cont = F.expr("inter * 1000000 div n_src")
+    return (
+        both.filter(F.col("n_src") > 0)
+        .withColumn("containment_ppm", cont.cast("bigint"))
+        .filter(F.col("containment_ppm") >= tau_ppm)
+        .select("src_id", "dst_id", "n_src", "inter", "containment_ppm")
+    )
+
+
 # --------------------------------------------------------------- simhash ----
 _SIMHASH_EXPR = """
 aggregate(

@@ -495,3 +495,78 @@ def kmeans_train_exact(
         cents.join(stats, "cluster")
         .select("cluster", "n_points", norm.alias("centroid_norm"), "inertia")
     )
+
+
+def pca_power_exact(
+    embeddings: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    power iteration — the dimensionality-reduction / whitening front door
+    of an embedding pipeline — on the exact lane, fully SQL-replayable.
+
+    Each iteration is the two-pass matrix-free product v' = Xᵀ(Xv):
+    pass 1 computes t_i = ⟨x_i, v⟩ per row (fixed-order fold, per-row
+    double math — IEEE-identical in any engine), pass 2 aggregates
+    s_d = Σ t_i·x_i[d] per dimension.  That SUM is the one order-dependent
+    float accumulation in distributed PCA, so — exactly like
+    ``kmeans_train_exact`` — each term routes through DECIMAL(27,18)
+    (exact, order-free) and returns to double once per (iteration, dim).
+    The d-vector then collapses to a single sorted array row and is
+    normalized with per-row double ops.  Nothing ever materializes the
+    d×d covariance: cost per iteration is two narrow shuffles keyed on
+    dim (d cells per row), identical at 500 rows or 100 TB.
+
+    Init is the all-ones vector (deterministic; not orthogonal to the top
+    eigenvector of a nonnegative-diagonal Gram matrix in practice), sign
+    is therefore deterministic too.  ``localCheckpoint`` flattens lineage
+    per iteration.  Returns one row per dimension:
+    (dim, loading_e9 BIGINT, eigval_e6 BIGINT) — loadings of the unit
+    top direction and the Rayleigh-quotient eigenvalue estimate
+    ‖X v_{last}‖² (both scaled-integer outputs, floor(x·10^k + 0.5)).
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("x"),
+    )
+    dims = len(emb.select("x").first()[0])
+    vdf = emb.sparkSession.range(1).select(
+        F.array(*[F.lit(1.0) for _ in range(dims)]).alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with("x", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    norm2 = None
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(vdf)).withColumn("t", dot)
+        cells = scored.select("t", F.posexplode("x").alias("dim", "xi"))
+        s = cells.groupBy("dim").agg(
+            F.sum((F.col("t") * F.col("xi")).cast("decimal(27,18)"))
+            .cast("double")
+            .alias("s")
+        )
+        arr = (
+            s.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("cells"))
+            .select(F.transform("cells", lambda c: c.getField("s")).alias("sv"))
+        )
+        norm2 = F.aggregate(
+            F.transform("sv", lambda e: e * e), F.lit(0.0), lambda acc, t: acc + t
+        )
+        vdf = arr.select(
+            F.transform("sv", lambda e: e / F.sqrt(norm2)).alias("v"),
+            norm2.alias("norm2"),
+        ).localCheckpoint()
+    # ‖X v_{k-1}‖ = the power-iteration eigenvalue estimate for the
+    # uncentered Gram matrix (v_{k-1} is unit by construction)
+    out = vdf.select(
+        F.posexplode("v").alias("dim", "loading"),
+        F.sqrt("norm2").alias("eigval"),
+    )
+    return out.select(
+        "dim",
+        F.floor(F.col("loading") * 1e9 + F.lit(0.5)).cast("bigint").alias("loading_e9"),
+        F.floor(F.col("eigval") * 1e6 + F.lit(0.5)).cast("bigint").alias("eigval_e6"),
+    )

@@ -1999,3 +1999,8 @@ from .queries_ext17 import ORACLE_EXT17, QUERIES_EXT17  # noqa: E402
 
 QUERIES.update(QUERIES_EXT17)
 ORACLE.update(ORACLE_EXT17)
+
+from .queries_ext18 import ORACLE_EXT18, QUERIES_EXT18  # noqa: E402
+
+QUERIES.update(QUERIES_EXT18)
+ORACLE.update(ORACLE_EXT18)

@@ -189,3 +189,52 @@ def test_quality_classifier_single_scan_no_python(spark, sf_dir):
     plan = _plan(QUERIES["q_quality_classifier"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_train_split_single_pass_no_python(spark, sf_dir):
+    # the md5 carve is a pure map over one scan — JVM expressions only
+    plan = _plan(QUERIES["q_train_split"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_banded_never_cartesian(spark, sf_dir):
+    # candidates come from the band-bucket equi-join: a cartesian here
+    # would be the all-pairs blowup the LSH banding exists to avoid
+    plan = _plan(QUERIES["q_containment_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_power_jvm_side_no_covariance(spark, sf_dir):
+    # matrix-free v' = X^T(Xv): the only join is the broadcast of the
+    # one-row direction vector; nothing Python, no d x d materialization
+    plan = _plan(QUERIES["q_pca_power"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_plan_one_shuffle(spark, sf_dir):
+    # planner = one scan + one keyed aggregate: a single exchange
+    plan = _plan(QUERIES["q_compaction_plan"](spark, sf_dir))
+    assert plan.count("+- Exchange") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_calibration_no_rank_window(spark, sf_dir):
+    # bands are by VALUE (floor(logit/100)), never ntile/rank — a global
+    # rank window would serialize the corpus through one task
+    plan = _plan(QUERIES["q_quality_calibration"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_ppl_bigram_keyed_shuffles_only(spark, sf_dir):
+    # corpus counts and the per-doc fold shuffle on bigram/doc keys; no
+    # window, no Python, no cartesian
+    plan = _plan(QUERIES["q_doc_ppl_bigram"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
