@@ -152,6 +152,12 @@ HEADLINE = [
     "q_compaction_plan",
     "q_quality_calibration",
     "q_doc_ppl_bigram",
+    # round-3 fourth-pass batch: shuffle/shard, dedup eval, embedding
+    # health, PMI association
+    "q_global_shuffle",
+    "q_dedup_recall",
+    "q_embedding_dim_stats",
+    "q_pmi_bigrams",
 ]
 
 

@@ -60,6 +60,10 @@ PINNED: tuple[str, ...] = (
     "q_compaction_plan",  # r3: small-file compaction planning
     "q_quality_calibration",  # r3: logit-band calibration vs gold labels
     "q_doc_ppl_bigram",  # r3: bigram-LM doc scoring, decimal-summed logs
+    "q_global_shuffle",  # r3: deterministic shard shuffle + order checksum
+    "q_dedup_recall",  # r3: LSH recall/precision vs exact ground truth
+    "q_embedding_dim_stats",  # r3: per-dim embedding health profile
+    "q_pmi_bigrams",  # r3: PMI association, log2-of-integers lane
 )
 
 RECHECK_QUOTA = 4

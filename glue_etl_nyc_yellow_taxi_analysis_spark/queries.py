@@ -2004,3 +2004,8 @@ from .queries_ext18 import ORACLE_EXT18, QUERIES_EXT18  # noqa: E402
 
 QUERIES.update(QUERIES_EXT18)
 ORACLE.update(ORACLE_EXT18)
+
+from .queries_ext19 import ORACLE_EXT19, QUERIES_EXT19  # noqa: E402
+
+QUERIES.update(QUERIES_EXT19)
+ORACLE.update(ORACLE_EXT19)

@@ -238,3 +238,47 @@ def test_doc_ppl_bigram_keyed_shuffles_only(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_global_shuffle_window_partitioned_by_shard(spark, sf_dir):
+    # the permutation window must be PARTITIONED (parallel across shards)
+    # — a global ORDER BY / single-partition window would serialize the
+    # whole corpus through one task at scale
+    plan = _plan(QUERIES["q_global_shuffle"](spark, sf_dir))
+    assert "Window" in plan
+    # a single-partition window materializes as Exchange SinglePartition
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_recall_no_cartesian_no_python(spark, sf_dir):
+    # ground truth joins on the source block, candidates on band hashes —
+    # every join keyed; the only cross joins are the three 1-row count
+    # scalars folded into the output row
+    plan = _plan(QUERIES["q_dedup_recall"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_embedding_dim_stats_single_keyed_shuffle(spark, sf_dir):
+    # one explode, one aggregate on the dim key: exactly one exchange
+    # hashpartitioning(dim) and nothing else moves data
+    plan = _plan(QUERIES["q_embedding_dim_stats"](spark, sf_dir))
+    # tree section: the input spread (round-robin) plus ONE keyed agg
+    # exchange — partial aggregation runs map-side before it
+    tree = plan.split("(1)")[0]
+    assert tree.count("Exchange") <= 2
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_bigrams_broadcast_total_keyed_margins(spark, sf_dir):
+    # the corpus total joins via broadcast (1 row); margins join keyed on
+    # w1/w2 — no single-partition exchange, no window, no python
+    plan = _plan(QUERIES["q_pmi_bigrams"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
