@@ -158,6 +158,11 @@ HEADLINE = [
     "q_dedup_recall",
     "q_embedding_dim_stats",
     "q_pmi_bigrams",
+    # round-3 fifth-pass batch: skew planning, dedup telemetry, corpus laws
+    "q_salt_plan",
+    "q_dup_graph_degree",
+    "q_zipf_fit",
+    "q_corpus_drift_js",
 ]
 
 

@@ -64,6 +64,10 @@ PINNED: tuple[str, ...] = (
     "q_dedup_recall",  # r3: LSH recall/precision vs exact ground truth
     "q_embedding_dim_stats",  # r3: per-dim embedding health profile
     "q_pmi_bigrams",  # r3: PMI association, log2-of-integers lane
+    "q_salt_plan",  # r3: adaptive skew-salting plan
+    "q_dup_graph_degree",  # r3: near-dup graph degree histogram
+    "q_zipf_fit",  # r3: Zipf-law regression, decimal-routed sums
+    "q_corpus_drift_js",  # r3: Jensen-Shannon corpus drift, integer logs
 )
 
 RECHECK_QUOTA = 4

@@ -2009,3 +2009,8 @@ from .queries_ext19 import ORACLE_EXT19, QUERIES_EXT19  # noqa: E402
 
 QUERIES.update(QUERIES_EXT19)
 ORACLE.update(ORACLE_EXT19)
+
+from .queries_ext20 import ORACLE_EXT20, QUERIES_EXT20  # noqa: E402
+
+QUERIES.update(QUERIES_EXT20)
+ORACLE.update(ORACLE_EXT20)

@@ -133,21 +133,33 @@ def q_dedup_recall(spark, sf_dir):
         F.col("doc_id").alias("id"),
         "source",
         dedup.shingles("text", _MH_N).alias("sh"),
-    )
-    raw_j = (
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-        .cast("double")
-        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    )
-    truth = (
-        base.alias("a")
+    ).cache()
+    # Ground truth via the shingle INVERTED INDEX, not a block cross join:
+    # only co-shingled pairs can reach jaccard ≥ τ, and |A∩B| is a count
+    # over shared shingle keys — no per-pair array intersect ever runs.
+    # (The DuckDB oracle states the same truth set declaratively; results
+    # are identical because a pair with no shared shingle has jaccard 0.)
+    ex = base.select("id", "source", F.explode("sh").alias("s"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    co = (
+        ex.alias("a")
         .join(
-            base.alias("b"),
-            (F.col("a.source") == F.col("b.source"))
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))) > 0)
-        .filter(raw_j >= _MH_TAU)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        co.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= _MH_TAU
+        )
         .agg(F.count(F.lit(1)).alias("n_truth"))
     )
     sigs = dedup.minhash_signatures(

@@ -282,3 +282,33 @@ def test_pmi_bigrams_broadcast_total_keyed_margins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salt_plan_single_agg_broadcast_total(spark, sf_dir):
+    plan = _plan(QUERIES["q_salt_plan"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_graph_degree_no_python_no_window(spark, sf_dir):
+    plan = _plan(QUERIES["q_dup_graph_degree"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_fit_topk_never_full_sort(spark, sf_dir):
+    # the top-256 carve must compile to TakeOrderedAndProject; the only
+    # window then runs over those 256 rows
+    plan = _plan(QUERIES["q_zipf_fit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_drift_keyed_agg_broadcast_totals(spark, sf_dir):
+    # token-keyed pivot aggregate + broadcast single-row totals; no
+    # window, no python, no cartesian of data-sized inputs
+    plan = _plan(QUERIES["q_corpus_drift_js"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
