@@ -163,6 +163,7 @@ HEADLINE = [
     "q_dup_graph_degree",
     "q_zipf_fit",
     "q_corpus_drift_js",
+    "q_dedup_incremental",
 ]
 
 

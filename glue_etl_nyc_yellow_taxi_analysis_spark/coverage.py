@@ -68,6 +68,7 @@ PINNED: tuple[str, ...] = (
     "q_dup_graph_degree",  # r3: near-dup graph degree histogram
     "q_zipf_fit",  # r3: Zipf-law regression, decimal-routed sums
     "q_corpus_drift_js",  # r3: Jensen-Shannon corpus drift, integer logs
+    "q_dedup_incremental",  # r3: new-batch-vs-base asymmetric LSH probe
 )
 
 RECHECK_QUOTA = 4

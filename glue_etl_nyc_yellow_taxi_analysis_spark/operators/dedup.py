@@ -83,6 +83,29 @@ def minhash_signatures(
     return spread(df).select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
 
 
+def banded_keys(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8, lane: str = "xxhash64"
+) -> DataFrame:
+    """Explode signatures to LSH band keys: (id, band_idx, band_hash).
+
+    The shared banding stage of the self-join (minhash_lsh_candidates) and
+    the asymmetric probe (incremental new-batch-vs-base dedup)."""
+    rows_per_band = num_hashes // bands
+
+    def band_key(b):
+        els = [F.col("minhash_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if lane == "md5":
+            return F.md5(F.concat_ws("|", *els))
+        return F.xxhash64(*els)
+
+    return sigs.select(
+        "id",
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, num_hashes: int = 32, bands: int = 8, lane: str = "xxhash64"
 ) -> DataFrame:
@@ -92,20 +115,7 @@ def minhash_lsh_candidates(
     shuffle key is the band hash — collision lists are short by design, so
     the join never degenerates to a cross join.  Pairs deduped across bands.
     """
-    rows_per_band = num_hashes // bands
-
-    def band_key(b):
-        els = [F.col("minhash_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if lane == "md5":
-            return F.md5(F.concat_ws("|", *els))
-        return F.xxhash64(*els)
-
-    banded = sigs.select(
-        "id",
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    banded = banded_keys(sigs, num_hashes, bands, lane)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -364,3 +364,149 @@ FROM folded
 
 QUERIES_EXT20["q_corpus_drift_js"] = q_corpus_drift_js
 ORACLE_EXT20["q_corpus_drift_js"] = _sql_corpus_drift_js()
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup: new batch probed against the base index
+# --------------------------------------------------------------------------
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of an arriving batch against the existing
+    corpus: new docs (doc_id ≡ 0 mod 7 — the day's arrivals) probe the
+    base's LSH band index ASYMMETRICALLY — band keys of the batch join
+    band keys of the base, never base×base — so a continuously growing
+    100 TB corpus re-checks only the new slice against a precomputed
+    index, the only affordable shape for rolling ingestion.  Verification
+    is exact and integer-only: a candidate is a duplicate iff
+    2·|A∩B| ≥ |A∪B| (τ=0.5 without any division), and the reported
+    similarity is the floor-ppm lane.  Output: one row per new doc with
+    its dup verdict, lowest matching base id (deterministic) and best
+    similarity — the admission decision a curation pipeline applies."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, num_hashes=_MH_K, shingle_n=_MH_N, lane="md5"
+    ).cache()
+    is_new = F.pmod(F.col("id"), F.lit(7)) == 0
+    bands_all = dedup.banded_keys(sigs, _MH_K, _MH_BANDS, "md5")
+    new_b = bands_all.filter(F.pmod(F.col("id"), F.lit(7)) == 0)
+    base_b = bands_all.filter(F.pmod(F.col("id"), F.lit(7)) != 0)
+    cand = (
+        new_b.alias("n")
+        .join(
+            base_b.alias("b"),
+            (F.col("n.band_idx") == F.col("b.band_idx"))
+            & (F.col("n.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("b.id").alias("base_id")
+        )
+        .distinct()
+    )
+    sh = sigs.select("id", "shingles")
+    ver = (
+        cand.join(
+            sh.withColumnsRenamed({"id": "new_id", "shingles": "sh_n"}),
+            "new_id",
+        )
+        .join(
+            sh.withColumnsRenamed({"id": "base_id", "shingles": "sh_b"}),
+            "base_id",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect(F.col("sh_n"), F.col("sh_b"))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "uni",
+            (
+                F.size(F.col("sh_n")) + F.size(F.col("sh_b"))
+            ).cast("bigint")
+            - F.col("inter"),
+        )
+        .filter((F.col("uni") > 0) & (2 * F.col("inter") >= F.col("uni")))
+        .select(
+            "new_id",
+            "base_id",
+            F.expr("inter * 1000000 div uni").alias("jacc_ppm"),
+        )
+    )
+    summary = ver.groupBy("new_id").agg(
+        F.min("base_id").alias("match_id"),
+        F.max("jacc_ppm").alias("best_jacc_ppm"),
+    )
+    return (
+        sigs.filter(is_new)
+        .select(F.col("id").alias("new_id"))
+        .join(summary, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.when(F.col("match_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1)).alias("match_id"),
+            F.coalesce(F.col("best_jacc_ppm"), F.lit(0)).alias(
+                "best_jacc_ppm"
+            ),
+        )
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    from .queries_ext13 import (
+        _BAND_COLS_SQL,
+        _MINHASH_COLS_SQL,
+        _SHINGLES_SQL,
+    )
+    from .queries_ext13 import _BAND_UNION_SQL as _BU
+
+    return f"""
+WITH base AS (
+    SELECT doc_id AS id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), shs AS (
+    SELECT id, {_SHINGLES_SQL} AS sh FROM base
+), sigs AS (
+    SELECT id, sh,
+           {_MINHASH_COLS_SQL}
+    FROM shs
+), bands AS (
+    SELECT id, sh,
+           {_BAND_COLS_SQL}
+    FROM sigs
+), banded AS (
+    SELECT id, sh, band_idx, band_hash FROM (
+        {_BU}
+    )
+), cand AS (
+    SELECT DISTINCT n.id AS new_id, b.id AS base_id,
+           n.sh AS sh_n, b.sh AS sh_b
+    FROM banded n JOIN banded b
+      ON n.band_idx = b.band_idx AND n.band_hash = b.band_hash
+     AND n.id % 7 = 0 AND b.id % 7 <> 0
+), ver AS (
+    SELECT new_id, base_id, inter * 1000000 // uni AS jacc_ppm FROM (
+        SELECT new_id, base_id,
+               CAST(len(list_intersect(sh_n, sh_b)) AS BIGINT) AS inter,
+               CAST(len(sh_n) + len(sh_b)
+                    - len(list_intersect(sh_n, sh_b)) AS BIGINT) AS uni
+        FROM cand)
+    WHERE uni > 0 AND 2 * inter >= uni
+), summary AS (
+    SELECT new_id, MIN(base_id) AS match_id,
+           MAX(jacc_ppm) AS best_jacc_ppm
+    FROM ver GROUP BY new_id
+)
+SELECT s.id AS doc_id,
+       CAST(CASE WHEN m.match_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_dup,
+       COALESCE(m.match_id, -1) AS match_id,
+       COALESCE(m.best_jacc_ppm, 0) AS best_jacc_ppm
+FROM shs s LEFT JOIN summary m ON m.new_id = s.id
+WHERE s.id % 7 = 0
+"""
+
+
+QUERIES_EXT20["q_dedup_incremental"] = q_dedup_incremental
+ORACLE_EXT20["q_dedup_incremental"] = _sql_dedup_incremental()

@@ -86,3 +86,32 @@ def test_corpus_drift_js_bounds_and_totals(spark, sf_dir):
     assert row["vocab"] == len(vocab)
     # JS divergence in log2 is bounded [0, 1]
     assert 0 <= row["js_e9"] <= 1_000_000_000
+
+
+def test_dedup_incremental_verdicts_replay(spark, sf_dir):
+    """Every reported dup must be a genuine jaccard >= 0.5 pair, and the
+    output covers exactly the new-batch ids."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.dedup import (
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_ids = {
+        r["doc_id"] for r in docs.filter("doc_id % 7 = 0").select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in rows} == new_ids
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", shingles("text", 3).alias("sh")).collect()
+    }
+    for r in rows:
+        if r["is_dup"]:
+            a, b = sh[r["doc_id"]], sh[r["match_id"]]
+            inter, uni = len(a & b), len(a | b)
+            assert 2 * inter >= uni > 0
+            assert r["match_id"] % 7 != 0  # matches come from the base only
+            assert r["best_jacc_ppm"] >= inter * 1_000_000 // uni >= 500_000
+        else:
+            assert r["match_id"] == -1 and r["best_jacc_ppm"] == 0

@@ -312,3 +312,12 @@ def test_corpus_drift_keyed_agg_broadcast_totals(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_incremental_asymmetric_probe(spark, sf_dir):
+    # the batch probes the base index — keyed joins only, no window, no
+    # python; base x base pairs never form
+    plan = _plan(QUERIES["q_dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
