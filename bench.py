@@ -182,6 +182,11 @@ def main():
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # clean storage-memory slate per query: cache-bearing queries
+        # (minhash sigs, semdedup assignments) must not tax their
+        # successors' timings; a query's OWN first-run cache still warms
+        # its second run (best-of-2 stays meaningful)
+        spark.catalog.clearCache()
         runs = []
         for _ in range(2):  # best-of-2: shields the number from machine-load noise
             t0 = time.time()

@@ -69,6 +69,8 @@ PINNED: tuple[str, ...] = (
     "q_zipf_fit",  # r3: Zipf-law regression, decimal-routed sums
     "q_corpus_drift_js",  # r3: Jensen-Shannon corpus drift, integer logs
     "q_dedup_incremental",  # r3: new-batch-vs-base asymmetric LSH probe
+    "q_sql_ctas",  # S5 catalog-table scan — the last §2 row without a
+    # driver row (VERDICT r2 item 2)
 )
 
 RECHECK_QUOTA = 4
