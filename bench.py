@@ -164,6 +164,8 @@ HEADLINE = [
     "q_zipf_fit",
     "q_corpus_drift_js",
     "q_dedup_incremental",
+    # round-3 sixth-pass: exact-substring dedup with reconstruction
+    "q_substr_dedup",
 ]
 
 

@@ -71,6 +71,7 @@ PINNED: tuple[str, ...] = (
     "q_dedup_incremental",  # r3: new-batch-vs-base asymmetric LSH probe
     "q_sql_ctas",  # S5 catalog-table scan — the last §2 row without a
     # driver row (VERDICT r2 item 2)
+    "q_substr_dedup",  # r3: ExactSubstr repeated-span removal + rebuild
 )
 
 RECHECK_QUOTA = 4

@@ -2014,3 +2014,8 @@ from .queries_ext20 import ORACLE_EXT20, QUERIES_EXT20  # noqa: E402
 
 QUERIES.update(QUERIES_EXT20)
 ORACLE.update(ORACLE_EXT20)
+
+from .queries_ext21 import ORACLE_EXT21, QUERIES_EXT21  # noqa: E402
+
+QUERIES.update(QUERIES_EXT21)
+ORACLE.update(ORACLE_EXT21)

@@ -321,3 +321,12 @@ def test_dedup_incremental_asymmetric_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substr_dedup_keyed_shuffles_no_python(spark, sf_dir):
+    # span count on the 16-byte hash key, fold-back on doc_id — keyed
+    # shuffles only; reconstruction is JVM higher-order functions
+    plan = _plan(QUERIES["q_substr_dedup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
