@@ -166,6 +166,9 @@ HEADLINE = [
     "q_dedup_incremental",
     # round-3 sixth-pass: exact-substring dedup with reconstruction
     "q_substr_dedup",
+    # round-3 seventh-pass: tokenizer coverage + Heaps' law
+    "q_tokenizer_oov",
+    "q_heaps_fit",
 ]
 
 

@@ -72,6 +72,8 @@ PINNED: tuple[str, ...] = (
     "q_sql_ctas",  # S5 catalog-table scan — the last §2 row without a
     # driver row (VERDICT r2 item 2)
     "q_substr_dedup",  # r3: ExactSubstr repeated-span removal + rebuild
+    "q_tokenizer_oov",  # r3: per-source OOV rate vs corpus top-V vocab
+    "q_heaps_fit",  # r3: Heaps'-law vocabulary-growth regression
 )
 
 RECHECK_QUOTA = 4

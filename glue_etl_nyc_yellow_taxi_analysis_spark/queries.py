@@ -2019,3 +2019,8 @@ from .queries_ext21 import ORACLE_EXT21, QUERIES_EXT21  # noqa: E402
 
 QUERIES.update(QUERIES_EXT21)
 ORACLE.update(ORACLE_EXT21)
+
+from .queries_ext22 import ORACLE_EXT22, QUERIES_EXT22  # noqa: E402
+
+QUERIES.update(QUERIES_EXT22)
+ORACLE.update(ORACLE_EXT22)

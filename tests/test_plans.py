@@ -330,3 +330,21 @@ def test_substr_dedup_keyed_shuffles_no_python(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenizer_oov_broadcast_vocab(spark, sf_dir):
+    # the top-V carve is TakeOrderedAndProject; membership joins broadcast
+    # against the token stream — the stream never reshuffles for lookup
+    plan = _plan(QUERIES["q_tokenizer_oov"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heaps_fit_bounded_window(spark, sf_dir):
+    # the cumulative window runs over ten bucket rows (bounded by
+    # construction); the corpus-sized work is two keyed aggregates
+    plan = _plan(QUERIES["q_heaps_fit"](spark, sf_dir))
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
