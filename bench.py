@@ -169,6 +169,7 @@ HEADLINE = [
     # round-3 seventh-pass: tokenizer coverage + Heaps' law
     "q_tokenizer_oov",
     "q_heaps_fit",
+    "q_ann_recall_oracle",
 ]
 
 

@@ -74,6 +74,7 @@ PINNED: tuple[str, ...] = (
     "q_substr_dedup",  # r3: ExactSubstr repeated-span removal + rebuild
     "q_tokenizer_oov",  # r3: per-source OOV rate vs corpus top-V vocab
     "q_heaps_fit",  # r3: Heaps'-law vocabulary-growth regression
+    "q_ann_recall_oracle",  # r3: ANN recall dial, both sides oracle-exact
 )
 
 RECHECK_QUOTA = 4

@@ -192,15 +192,12 @@ def _md5_plane(t: int, i: int, dim: int) -> list[float]:
     ]
 
 
-def q_ann_lsh_oracle(spark, sf_dir):
-    """Multi-table random-hyperplane LSH ANN on the md5-plane lane: the
-    same signature → bucket-join → dedup → exact-cosine → top-k pipeline
-    as q_similarity_ann_lsh (operators/similarity.lsh_ann_topk), with
-    hyperplanes derived from a counter hash instead of numpy RNG, so every
-    stage — sign bits, packed signatures, candidate set, ranking — is
-    replicated by the SQL oracle.  Signatures here are literal JVM
-    expressions (the sequential-fold dot), keeping the engine-side op
-    order identical to the oracle's list_sum fold."""
+def lsh_ann_topk_md5(spark, sf_dir, tables: int = _LSH_TABLES,
+                     planes: int = _LSH_PLANES):
+    """Parameterizable md5-plane LSH ANN pipeline (see q_ann_lsh_oracle).
+    The (tables, planes) pair sets the s-curve: more tables/fewer planes
+    raises recall (the production 16×4 shape), fewer tables/more planes
+    tightens precision (the 4×8 evidence shape)."""
     from .operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -208,9 +205,9 @@ def q_ann_lsh_oracle(spark, sf_dir):
         *[
             similarity.hyperplane_signature(
                 F.col("embedding"),
-                [_md5_plane(t, i, _LSH_DIM) for i in range(_LSH_PLANES)],
+                [_md5_plane(t, i, _LSH_DIM) for i in range(planes)],
             )
-            for t in range(_LSH_TABLES)
+            for t in range(tables)
         ]
     )
     data = emb.select(
@@ -242,9 +239,24 @@ def q_ann_lsh_oracle(spark, sf_dir):
     )
 
 
+def q_ann_lsh_oracle(spark, sf_dir):
+    """Multi-table random-hyperplane LSH ANN on the md5-plane lane: the
+    same signature → bucket-join → dedup → exact-cosine → top-k pipeline
+    as q_similarity_ann_lsh (operators/similarity.lsh_ann_topk), with
+    hyperplanes derived from a counter hash instead of numpy RNG, so every
+    stage — sign bits, packed signatures, candidate set, ranking — is
+    replicated by the SQL oracle.  Signatures here are literal JVM
+    expressions (the sequential-fold dot), keeping the engine-side op
+    order identical to the oracle's list_sum fold."""
+    return lsh_ann_topk_md5(spark, sf_dir, _LSH_TABLES, _LSH_PLANES)
+
+
 from .queries import _COSINE_SQL  # noqa: E402
 
-SQL_ANN_LSH_ORACLE = f"""
+
+def sql_ann_lsh_md5(tables: int = _LSH_TABLES, planes: int = _LSH_PLANES) -> str:
+    """SQL twin of lsh_ann_topk_md5 at the same (tables, planes)."""
+    return f"""
 WITH planes AS (
   SELECT t, i,
          list_transform(range(0, {_LSH_DIM}), d ->
@@ -253,7 +265,7 @@ WITH planes AS (
                                        || CAST(d AS VARCHAR)), 1, 8))::BIGINT
                    % 2001) - 1000 AS DOUBLE)
              / CAST(1000 AS DOUBLE)) AS p
-  FROM range(0, {_LSH_TABLES}) tt(t), range(0, {_LSH_PLANES}) ii(i)
+  FROM range(0, {tables}) tt(t), range(0, {planes}) ii(i)
 ), sigs AS (
   SELECT e.vec_id, pl.t,
          CAST(SUM(CASE WHEN list_sum(list_transform(range(0, {_LSH_DIM}), d ->
@@ -280,6 +292,9 @@ SELECT query_id, vec_id, cosine_sim, rank FROM (
     FROM scored)
 WHERE rank <= 10
 """
+
+
+SQL_ANN_LSH_ORACLE = sql_ann_lsh_md5(_LSH_TABLES, _LSH_PLANES)
 
 QUERIES_EXT15["q_ann_lsh_oracle"] = q_ann_lsh_oracle
 ORACLE_EXT15["q_ann_lsh_oracle"] = SQL_ANN_LSH_ORACLE

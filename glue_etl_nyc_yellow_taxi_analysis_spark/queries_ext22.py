@@ -220,3 +220,138 @@ FROM s
 
 QUERIES_EXT22["q_heaps_fit"] = q_heaps_fit
 ORACLE_EXT22["q_heaps_fit"] = _sql_heaps_fit()
+
+
+# --------------------------------------------------------------------------
+# ANN recall — oracle-checked twin of q_ann_recall on the seed-replay lane
+# --------------------------------------------------------------------------
+
+_AR_TABLES, _AR_PLANES = 16, 4  # the production q_ann_recall shape:
+# many tables / few planes -> the high-recall end of the s-curve
+
+
+def q_ann_recall_oracle(spark, sf_dir):
+    """Recall@10 of the md5-plane LSH ANN against the exact brute-force
+    top-10 — q_ann_recall's quality dial with BOTH sides on proven
+    oracle-exact lanes (q_similarity_topk and the parameterized
+    lsh_ann_topk_md5 at the production 16-table × 4-plane shape), so the
+    measurement itself is value-hash verified end-to-end: membership
+    intersection of two top-k sets, integer ppm.  At scale both inputs
+    are per-query top-k rows, so the recall join is measurement-priced."""
+    from pyspark.sql import Window
+
+    from .operators import similarity
+    from .queries_ext15 import _LSH_DIM, _md5_plane
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    # signature stage DATA-DRIVEN: planes are broadcast rows, the dot is
+    # one sequential fold per (vector, plane) pair — at 16 tables the
+    # literal-expression form costs seconds of whole-stage-codegen
+    # compilation per run (4096 terms), while this stays O(1) plan size
+    # at ANY table count and matches the oracle's list_sum fold order.
+    planes_df = spark.createDataFrame(
+        [
+            (t, i, _md5_plane(t, i, _LSH_DIM))
+            for t in range(_AR_TABLES)
+            for i in range(_AR_PLANES)
+        ],
+        "t int, i int, p array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("p"), lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sigs = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(planes_df))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(
+                F.when(dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sig")
+        )
+    )
+    qs = sigs.join(
+        queries.select(F.col("query_id").alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("query_id"), "t", "sig")
+    cand = (
+        sigs.join(F.broadcast(qs), ["t", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            emb.select(F.col("vec_id"), F.col("embedding").alias("__evec")),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id", F.col("embedding").alias("__qvec")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(similarity.cosine(F.col("__evec"), F.col("__qvec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("vec_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr("n_hits * 1000000 div 10").alias("recall_ppm"),
+        )
+    )
+
+
+def _sql_ann_recall_oracle() -> str:
+    from .queries import SQL_SIMILARITY_TOPK
+    from .queries_ext15 import sql_ann_lsh_md5
+
+    return f"""
+WITH exact AS (
+  {SQL_SIMILARITY_TOPK}
+), approx AS (
+  {sql_ann_lsh_md5(_AR_TABLES, _AR_PLANES)}
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000000 // 10 AS recall_ppm
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES_EXT22["q_ann_recall_oracle"] = q_ann_recall_oracle
+ORACLE_EXT22["q_ann_recall_oracle"] = _sql_ann_recall_oracle()

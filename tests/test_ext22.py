@@ -78,3 +78,13 @@ def test_heaps_fit_matches_python_replay(spark, sf_dir):
     assert row["log2k_e6"] == math.floor(intercept * 1e6 + 0.5)
     # vocabulary grows sublinearly: 0 < beta < 1 on any text-like corpus
     assert 0 < row["beta_e6"] < 1_000_000
+
+
+def test_ann_recall_oracle_bounds_and_consistency(spark, sf_dir):
+    rows = QUERIES["q_ann_recall_oracle"](spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // 10
+    # 16 tables x 4 planes should find most true neighbors
+    assert sum(r["n_hits"] for r in rows) >= 15

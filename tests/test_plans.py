@@ -348,3 +348,12 @@ def test_heaps_fit_bounded_window(spark, sf_dir):
     plan = _plan(QUERIES["q_heaps_fit"](spark, sf_dir))
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_recall_oracle_broadcast_planes(spark, sf_dir):
+    # the signature stage joins BROADCAST plane rows (plan size O(1) in
+    # table count — the 4096-term literal form costs seconds of codegen);
+    # candidates and scoring join keyed/broadcast, python-free
+    plan = _plan(QUERIES["q_ann_recall_oracle"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
