@@ -170,6 +170,9 @@ HEADLINE = [
     "q_tokenizer_oov",
     "q_heaps_fit",
     "q_ann_recall_oracle",
+    # round-3 eighth-pass: objective construction + dataset card
+    "q_span_mask_plan",
+    "q_dataset_card",
 ]
 
 

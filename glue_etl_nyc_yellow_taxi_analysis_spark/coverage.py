@@ -75,6 +75,8 @@ PINNED: tuple[str, ...] = (
     "q_tokenizer_oov",  # r3: per-source OOV rate vs corpus top-V vocab
     "q_heaps_fit",  # r3: Heaps'-law vocabulary-growth regression
     "q_ann_recall_oracle",  # r3: ANN recall dial, both sides oracle-exact
+    "q_span_mask_plan",  # r3: deterministic T5 span-corruption plan
+    "q_dataset_card",  # r3: one-row corpus release card
 )
 
 RECHECK_QUOTA = 4

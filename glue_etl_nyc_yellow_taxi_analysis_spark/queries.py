@@ -2024,3 +2024,8 @@ from .queries_ext22 import ORACLE_EXT22, QUERIES_EXT22  # noqa: E402
 
 QUERIES.update(QUERIES_EXT22)
 ORACLE.update(ORACLE_EXT22)
+
+from .queries_ext23 import ORACLE_EXT23, QUERIES_EXT23  # noqa: E402
+
+QUERIES.update(QUERIES_EXT23)
+ORACLE.update(ORACLE_EXT23)

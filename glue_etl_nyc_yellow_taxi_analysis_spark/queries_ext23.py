@@ -1,0 +1,228 @@
+"""Extended inventory XXIII — objective construction + dataset card.
+
+Round-3 eighth pass:
+
+- ``q_span_mask_plan`` — deterministic T5-style span-corruption plan:
+  md5-derived span starts (~5% of positions) widened to length-3 spans
+  (~15% token mask rate), the corrupted text materialized with a
+  sentinel.  The whole operator is a PURE MAP — zero shuffles, zero
+  joins — so it rides the scan stage of whatever pipeline feeds the
+  trainer; reproducible across runs/engines/partitionings because the
+  randomness is a counter hash, never an RNG.
+- ``q_dataset_card`` — the one-row release card a curated corpus ships
+  with: scale (docs/tokens/chars), diversity (vocab, sources,
+  languages), shape (length percentiles via exact integer sort-merge),
+  and integrity (exact-dup rate in ppm).  Aggregates compose from
+  single-pass keyed reductions; every number is an exact integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import text
+from .queries import TOKS_SQL, _t
+
+QUERIES_EXT23 = {}
+ORACLE_EXT23 = {}
+
+
+# --------------------------------------------------------------------------
+# Deterministic span-corruption (masking) plan
+# --------------------------------------------------------------------------
+
+_SM_MOD = 20  # ~1/20 positions start a span
+_SM_LEN = 3  # span length -> ~15% mask rate
+
+
+def q_span_mask_plan(spark, sf_dir):
+    """T5-style span-corruption plan, fully deterministic: position p of
+    doc d starts a span iff md5(d|p) mod 20 = 0; spans extend 3 tokens
+    (clipped at the doc end) and merge by union.  Outputs per doc: span
+    and masked-token counts, the achieved mask rate (ppm), and the md5 of
+    the corrupted sequence (masked positions replaced by the <X>
+    sentinel) — the trainer-input contract, value-verifiable without
+    shipping the text.  A pure map over the scan: no shuffle, no join,
+    no RNG state; the plan composes with any downstream pipeline at zero
+    coordination cost."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", text.tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    pos_seq = F.when(
+        F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        pos_seq,
+        lambda p: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("doc_id").cast("string"), p.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _SM_MOD
+            == 0
+        ),
+    )
+    with_starts = base.withColumn("starts", starts)
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"),
+                lambda s: F.sequence(
+                    s, F.least(s + F.lit(_SM_LEN - 1), F.col("n") - 1)
+                ),
+            )
+        )
+    )
+    with_cov = with_starts.withColumn("covered", covered)
+    corrupted = F.transform(
+        F.when(F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda p: F.when(
+            F.array_contains(F.col("covered"), p), F.lit("<X>")
+        ).otherwise(F.element_at(F.col("toks"), p + 1)),
+    )
+    return with_cov.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("starts").cast("bigint").alias("n_spans"),
+        F.size("covered").cast("bigint").alias("n_masked"),
+        F.when(F.col("n") > 0, F.expr("size(covered) * 1000000 div n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mask_ppm"),
+        F.md5(F.concat_ws(" ", corrupted)).alias("corrupted_hash"),
+    )
+
+
+SQL_SPAN_MASK_PLAN = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base
+), st AS (
+  SELECT doc_id, toks, n,
+         list_filter(range(0, n), p ->
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                 || CAST(p AS VARCHAR)), 1, 8))::BIGINT
+             % {_SM_MOD} = 0) AS starts
+  FROM sized
+), cov AS (
+  SELECT doc_id, toks, n, starts,
+         list_distinct(flatten(list_transform(starts, s ->
+             range(s, least(s + {_SM_LEN - 1}, n - 1) + 1)))) AS covered
+  FROM st
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(starts) AS BIGINT) AS n_spans,
+       CAST(len(covered) AS BIGINT) AS n_masked,
+       CASE WHEN n > 0
+            THEN CAST(len(covered) AS BIGINT) * 1000000 // n
+            ELSE 0 END AS mask_ppm,
+       md5(COALESCE(array_to_string(list_transform(range(0, n), p ->
+           CASE WHEN list_contains(covered, p) THEN '<X>'
+                ELSE toks[p + 1] END), ' '), '')) AS corrupted_hash
+FROM cov
+"""
+
+QUERIES_EXT23["q_span_mask_plan"] = q_span_mask_plan
+ORACLE_EXT23["q_span_mask_plan"] = SQL_SPAN_MASK_PLAN
+
+
+# --------------------------------------------------------------------------
+# Dataset release card
+# --------------------------------------------------------------------------
+
+def q_dataset_card(spark, sf_dir):
+    """The one-row dataset card a corpus release ships with: scale
+    (docs, tokens, chars), diversity (distinct sources, languages,
+    vocabulary), shape (median token length via exact percentile on
+    integers), and integrity (exact-duplicate rate, ppm of docs whose
+    md5(text) repeats).  Each facet is one single-pass reduction
+    (token explode, text-hash groupBy, doc-level aggregate) folded
+    together with broadcast one-row joins — no facet rescans another's
+    shuffle.  Every reported number is an exact integer."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang", "n_chars"
+    )
+    docs = d.withColumn("n_toks", F.size(text.tokens("text")))
+    card_docs = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        # floor BEFORE the int cast: Spark's int cast truncates but
+        # DuckDB's rounds — floor is identical in both engines
+        F.expr("CAST(floor(percentile(n_toks, 0.5)) AS BIGINT)").alias(
+            "median_doc_tokens"
+        ),
+    )
+    vocab = d.select(F.explode(text.tokens("text")).alias("t")).agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    dups = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        card_docs.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_sources",
+            "n_langs",
+            "vocab",
+            "median_doc_tokens",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_ppm"),
+        )
+    )
+
+
+SQL_DATASET_CARD = f"""
+WITH docs AS (
+  SELECT doc_id, text, source, lang, n_chars,
+         len({TOKS_SQL.format(c='text')}) AS n_toks
+  FROM documents
+), card AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(floor(median(n_toks)) AS BIGINT) AS median_doc_tokens
+  FROM docs
+), v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab FROM (
+    SELECT unnest({TOKS_SQL.format(c='text')}) AS t FROM documents)
+), dup AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+             AS n_dup_docs
+  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY h)
+)
+SELECT n_docs, n_tokens, n_chars, n_sources, n_langs, vocab,
+       median_doc_tokens, n_dup_docs,
+       n_dup_docs * 1000000 // n_docs AS dup_ppm
+FROM card, v, dup
+"""
+
+QUERIES_EXT23["q_dataset_card"] = q_dataset_card
+ORACLE_EXT23["q_dataset_card"] = SQL_DATASET_CARD

@@ -1,0 +1,80 @@
+"""Behavioral tests for the round-3 eighth-pass batch (queries_ext23)."""
+
+import hashlib
+from collections import Counter
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+
+def test_span_mask_plan_matches_python_replay(spark, sf_dir):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_lists = {
+        r["doc_id"]: list(r["toks"])
+        for r in docs.select("doc_id", t.tokens("text").alias("toks")).collect()
+    }
+    rows = QUERIES["q_span_mask_plan"](spark, sf_dir).collect()
+    assert len(rows) == len(tok_lists)
+    masked_any = 0
+    for r in rows:
+        toks = tok_lists[r["doc_id"]]
+        n = len(toks)
+        starts = [
+            p
+            for p in range(n)
+            if int(
+                hashlib.md5(f"{r['doc_id']}|{p}".encode()).hexdigest()[:8], 16
+            )
+            % 20
+            == 0
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, min(s + 2, n - 1) + 1))
+        corrupted = [
+            "<X>" if p in covered else toks[p] for p in range(n)
+        ]
+        assert r["n_tokens"] == n
+        assert r["n_spans"] == len(starts)
+        assert r["n_masked"] == len(covered)
+        assert r["mask_ppm"] == (len(covered) * 1_000_000 // n if n else 0)
+        assert (
+            r["corrupted_hash"]
+            == hashlib.md5(" ".join(corrupted).encode()).hexdigest()
+        )
+        masked_any += len(covered) > 0
+    # ~5% start rate: a short doc can draw zero spans, but the bulk of
+    # the corpus must actually mask
+    assert masked_any > len(rows) * 0.8
+
+
+def test_dataset_card_matches_python_replay(spark, sf_dir):
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = docs.select(
+        "doc_id", "text", "source", "lang", "n_chars", t.tokens("text").alias("toks")
+    ).collect()
+    row = QUERIES["q_dataset_card"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == len(recs)
+    assert row["n_chars"] == sum(r["n_chars"] for r in recs)
+    assert row["n_tokens"] == sum(len(r["toks"]) for r in recs)
+    assert row["n_sources"] == len({r["source"] for r in recs})
+    assert row["n_langs"] == len({r["lang"] for r in recs})
+    vocab = set()
+    for r in recs:
+        vocab.update(r["toks"])
+    assert row["vocab"] == len(vocab)
+    lens = sorted(len(r["toks"]) for r in recs)
+    m = len(lens)
+    median = (
+        lens[m // 2]
+        if m % 2
+        else (lens[m // 2 - 1] + lens[m // 2]) / 2
+    )
+    assert row["median_doc_tokens"] == int(median // 1)
+    texts = Counter(r["text"] for r in recs)
+    n_dup = sum(c for c in texts.values() if c > 1)
+    assert row["n_dup_docs"] == n_dup
+    assert row["dup_ppm"] == n_dup * 1_000_000 // len(recs)

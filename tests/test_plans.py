@@ -357,3 +357,22 @@ def test_ann_recall_oracle_broadcast_planes(spark, sf_dir):
     plan = _plan(QUERIES["q_ann_recall_oracle"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_mask_plan_pure_map_no_shuffle(spark, sf_dir):
+    # objective construction rides the scan: no exchange beyond the input
+    # spread, no join, no window, no python
+    plan = _plan(QUERIES["q_span_mask_plan"](spark, sf_dir))
+    tree = plan.split("(1)")[0]
+    assert tree.count("Exchange") <= 1  # the spread() round-robin only
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dataset_card_broadcast_facets(spark, sf_dir):
+    # three single-pass reductions folded with broadcast one-row joins
+    plan = _plan(QUERIES["q_dataset_card"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
