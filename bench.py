@@ -173,6 +173,7 @@ HEADLINE = [
     # round-3 eighth-pass: objective construction + dataset card
     "q_span_mask_plan",
     "q_dataset_card",
+    "q_audio_energy_windows",
 ]
 
 

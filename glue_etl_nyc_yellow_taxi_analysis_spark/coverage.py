@@ -77,6 +77,7 @@ PINNED: tuple[str, ...] = (
     "q_ann_recall_oracle",  # r3: ANN recall dial, both sides oracle-exact
     "q_span_mask_plan",  # r3: deterministic T5 span-corruption plan
     "q_dataset_card",  # r3: one-row corpus release card
+    "q_audio_energy_windows",  # r3: audio-leg energy windowing, numpy lane
 )
 
 RECHECK_QUOTA = 4

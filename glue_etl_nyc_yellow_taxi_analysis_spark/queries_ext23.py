@@ -226,3 +226,56 @@ FROM card, v, dup
 
 QUERIES_EXT23["q_dataset_card"] = q_dataset_card
 ORACLE_EXT23["q_dataset_card"] = SQL_DATASET_CARD
+
+
+# --------------------------------------------------------------------------
+# Audio-energy windowing — the audio leg of the multimodal family
+# --------------------------------------------------------------------------
+
+_AE_WIN = 64
+
+
+def q_audio_energy_windows(spark, sf_dir):
+    """Windowed energy profile over audio-shaped binary payloads
+    (operators/multimodal.audio_energy_windows): Arrow-batched
+    mapInPandas folds each 64-byte window to its energy with numpy —
+    the silence-detection primitive of an audio curation stack.  Unlike
+    the codec stubs, the window arithmetic is REAL, so the whole Python
+    lane (batching, numpy fold, first-max argmax) is value-hashed
+    against a SQL replay over the same bytes.  Payloads are the utf-8
+    document bytes (documents_as_media — ASCII, so byte i = char i,
+    the equivalence the resize oracle already pins)."""
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.audio_energy_windows(media, window_bytes=_AE_WIN)
+
+
+SQL_AUDIO_ENERGY_WINDOWS = f"""
+WITH sized AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), prof AS (
+  SELECT media_id, n_bytes,
+         list_transform(
+             range(0, CAST(ceil(n_bytes / {_AE_WIN}.0) AS INTEGER)),
+             w -> list_sum(list_transform(
+                      range(w * {_AE_WIN} + 1,
+                            least((w + 1) * {_AE_WIN}, n_bytes) + 1),
+                      i -> ascii(substr(text, i, 1))))) AS energies
+  FROM sized
+)
+SELECT media_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+       CAST(len(energies) AS INTEGER) AS n_windows,
+       CAST(COALESCE(list_max(energies), 0) AS BIGINT) AS peak_energy,
+       CAST(CASE WHEN len(energies) > 0
+                 THEN list_position(energies, list_max(energies)) - 1
+                 ELSE 0 END AS INTEGER) AS peak_window,
+       md5(COALESCE(array_to_string(energies, ','), '')) AS energy_md5
+FROM prof
+"""
+
+QUERIES_EXT23["q_audio_energy_windows"] = q_audio_energy_windows
+ORACLE_EXT23["q_audio_energy_windows"] = SQL_AUDIO_ENERGY_WINDOWS

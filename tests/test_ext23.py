@@ -78,3 +78,27 @@ def test_dataset_card_matches_python_replay(spark, sf_dir):
     n_dup = sum(c for c in texts.values() if c > 1)
     assert row["n_dup_docs"] == n_dup
     assert row["dup_ppm"] == n_dup * 1_000_000 // len(recs)
+
+
+def test_audio_energy_windows_matches_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = QUERIES["q_audio_energy_windows"](spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    for r in rows[:100]:
+        data = texts[r["media_id"]].encode()
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n_win = -(-len(arr) // 64) if len(arr) else 0
+        energies = [int(arr[w * 64 : (w + 1) * 64].sum()) for w in range(n_win)]
+        assert r["n_bytes"] == len(arr)
+        assert r["n_windows"] == n_win
+        assert r["peak_energy"] == (max(energies) if energies else 0)
+        assert r["peak_window"] == (
+            energies.index(max(energies)) if energies else 0
+        )
+        assert (
+            r["energy_md5"]
+            == hashlib.md5(",".join(map(str, energies)).encode()).hexdigest()
+        )
