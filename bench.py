@@ -174,6 +174,7 @@ HEADLINE = [
     "q_span_mask_plan",
     "q_dataset_card",
     "q_audio_energy_windows",
+    "q_image_blockhash_neardup",
 ]
 
 

@@ -78,6 +78,7 @@ PINNED: tuple[str, ...] = (
     "q_span_mask_plan",  # r3: deterministic T5 span-corruption plan
     "q_dataset_card",  # r3: one-row corpus release card
     "q_audio_energy_windows",  # r3: audio-leg energy windowing, numpy lane
+    "q_image_blockhash_neardup",  # r3: image-leg blockhash near-dup pairs
 )
 
 RECHECK_QUOTA = 4

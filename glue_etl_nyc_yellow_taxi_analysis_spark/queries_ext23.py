@@ -279,3 +279,161 @@ FROM prof
 
 QUERIES_EXT23["q_audio_energy_windows"] = q_audio_energy_windows
 ORACLE_EXT23["q_audio_energy_windows"] = SQL_AUDIO_ENERGY_WINDOWS
+
+
+# --------------------------------------------------------------------------
+# Image near-dup via blockhash — multimodal × dedup bridge
+# --------------------------------------------------------------------------
+
+_BH_BLOCKS = 60  # 60-bit signature (blockhash / aHash family) — 60, not
+# 64: bit 63 would wrap Spark's BIGINT negative while DuckDB's list_sum
+# widens to HUGEINT (the SimHash-lane lesson)
+_BH_BANDS = 4  # 15-bit bands for candidate blocking
+_BH_MAX_HAMMING = 15  # tuned to the synthetic corpus (token near-dups
+# give moderate byte-profile similarity: banded candidates measure
+# min=12, mean=19.6 of 60 bits at sf0.001); real imagery with aHash
+# conventionally uses <= 6 of 64
+
+
+def q_image_blockhash_neardup(spark, sf_dir):
+    """Perceptual-hash-style near-dup pairs over image-shaped payloads:
+    the blockhash/aHash recipe — split the payload into 60 blocks, set
+    bit b iff block b's byte-sum is above the payload mean (integer form
+    ``block_sum · 60 ≥ total_sum``: division-free), band the 60-bit
+    signature into 4×15 bits for candidate blocking, and verify
+    candidates with ``bit_count(xor) ≤ 15`` — the image leg of the dedup
+    stack, identical plan shape to SimHash banding, all JVM expressions.
+    Byte arithmetic is REAL (the codec stub only stands in for decode):
+    per-payload char codes are STAGED into a projected column once, then
+    every block sum folds over the bound array — the winnowing O(n²)
+    lesson applied to pixels.  Output pairs carry both signatures and
+    the Hamming distance, all integers."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "transform(sequence(1, length(text)), i -> "
+            "ascii(substring(text, i, 1)))"
+        ).alias("codes"),
+    ).withColumn("n", F.size("codes"))
+    # PROPORTIONAL block boundaries (floor(b·n/60) .. floor((b+1)·n/60)):
+    # every block is populated for n ≥ 60, so the bit pattern tracks
+    # CONTENT — fixed-width blocks leave trailing empties and the hash
+    # degenerates to a length measure.  The above-mean test cross-
+    # multiplies (block_sum·n ≥ total·width): division-free, exact.
+    sums = staged.select(
+        "media_id",
+        "n",
+        F.expr(
+            f"transform(sequence(0, {_BH_BLOCKS - 1}), b -> struct("
+            f"aggregate(slice(codes, (b * n) div {_BH_BLOCKS} + 1, "
+            f"((b + 1) * n) div {_BH_BLOCKS} - (b * n) div {_BH_BLOCKS}), "
+            "0L, (acc, x) -> acc + x) AS s, "
+            f"((b + 1) * n) div {_BH_BLOCKS} - (b * n) div {_BH_BLOCKS} AS w))"
+        ).alias("blocks"),
+    )
+    sig = sums.select(
+        "media_id",
+        F.expr(
+            f"aggregate(sequence(0, {_BH_BLOCKS - 1}), 0L, (acc, b) -> "
+            "acc + CASE WHEN blocks[b].w > 0 AND blocks[b].s * n >= "
+            "aggregate(blocks, 0L, (a, x) -> a + x.s) * blocks[b].w "
+            "THEN shiftleft(1L, b) ELSE 0L END)"
+        ).alias("h"),
+    )
+    band = sig.select(
+        "media_id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"CAST((h >> {15 * b}) & 32767 AS BIGINT)")
+                    for b in range(_BH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    # materialize before the self-join: whole-stage codegen would
+    # otherwise re-derive the full per-byte fold PER JOINED ROW (the
+    # semdedup checkpoint lesson — measured as a hang at sf0.001)
+    band = band.localCheckpoint()
+    a, b = band.alias("a"), band.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.expr("h_a").bitwiseXOR(F.expr("h_b")))
+    ).filter(F.col("hamming") <= _BH_MAX_HAMMING)
+
+
+def _sql_image_blockhash() -> str:
+    bands = ",\n           ".join(
+        f"CAST((h >> {15 * b}) & 32767 AS BIGINT) AS band{b}"
+        for b in range(_BH_BANDS)
+    )
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT media_id, h, {b} AS band_idx, band{b} AS band_key FROM bands"
+        for b in range(_BH_BANDS)
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1))) AS codes,
+         length(text) AS n
+  FROM documents
+), sums AS (
+  SELECT media_id, n,
+         list_transform(range(0, {_BH_BLOCKS}), b ->
+             CAST(COALESCE(list_sum(list_slice(codes,
+                 (b * n) // {_BH_BLOCKS} + 1,
+                 ((b + 1) * n) // {_BH_BLOCKS})), 0) AS BIGINT)) AS bsums,
+         list_transform(range(0, {_BH_BLOCKS}), b ->
+             ((b + 1) * n) // {_BH_BLOCKS} - (b * n) // {_BH_BLOCKS})
+             AS widths
+  FROM staged
+), sig AS (
+  SELECT media_id,
+         CAST(COALESCE(list_sum(list_transform(range(0, {_BH_BLOCKS}), b ->
+             CASE WHEN widths[b + 1] > 0 AND bsums[b + 1] * n >=
+                  CAST(COALESCE(list_sum(bsums), 0) AS BIGINT)
+                      * widths[b + 1]
+                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
+             END)), 0) AS BIGINT) AS h
+  FROM sums
+), bands AS (
+  SELECT media_id, h,
+           {bands}
+  FROM sig
+), banded AS (
+  SELECT media_id, h, band_idx, band_key FROM (
+        {band_union}
+  )
+), pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.h AS h_a, b.h AS h_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, h_a, h_b,
+       CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(h_a, h_b)) <= {_BH_MAX_HAMMING}
+"""
+
+
+QUERIES_EXT23["q_image_blockhash_neardup"] = q_image_blockhash_neardup
+ORACLE_EXT23["q_image_blockhash_neardup"] = _sql_image_blockhash()

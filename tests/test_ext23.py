@@ -102,3 +102,45 @@ def test_audio_energy_windows_matches_numpy_replay(spark, sf_dir):
             r["energy_md5"]
             == hashlib.md5(",".join(map(str, energies)).encode()).hexdigest()
         )
+
+
+def test_image_blockhash_matches_python_replay(spark, sf_dir):
+    """Replay the blockhash signature + banding + Hamming verify in
+    pure python over the raw bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def blockhash(text):
+        codes = [ord(c) for c in text]
+        n = len(codes)
+        total = sum(codes)
+        h = 0
+        for b in range(60):
+            s, e = b * n // 60, (b + 1) * n // 60
+            w = e - s
+            if w > 0 and sum(codes[s:e]) * n >= total * w:
+                h |= 1 << b
+        return h
+    hashes = {d: blockhash(t) for d, t in texts.items()}
+    # expected pairs: banded candidates (any 15-bit band equal), hamming<=15
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d, h in hashes.items():
+        for b in range(4):
+            buckets[(b, (h >> (15 * b)) & 32767)].append(d)
+    expect = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, c = ids[i], ids[j]
+                if bin(hashes[a] ^ hashes[c]).count("1") <= 15:
+                    expect.add((a, c))
+    rows = QUERIES["q_image_blockhash_neardup"](spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["h_a"] == hashes[r["id_a"]]
+        assert r["h_b"] == hashes[r["id_b"]]
+        assert r["hamming"] == bin(r["h_a"] ^ r["h_b"]).count("1")

@@ -376,3 +376,12 @@ def test_dataset_card_broadcast_facets(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_image_blockhash_materializes_before_self_join(spark, sf_dir):
+    # the banded table must be a materialized RDD before the self-join —
+    # codegen would otherwise re-derive the full per-byte fold per joined
+    # row (measured as a hang at sf0.001)
+    plan = _plan(QUERIES["q_image_blockhash_neardup"](spark, sf_dir))
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
