@@ -175,6 +175,7 @@ HEADLINE = [
     "q_dataset_card",
     "q_audio_energy_windows",
     "q_image_blockhash_neardup",
+    "q_video_scene_cut",
 ]
 
 

@@ -437,3 +437,85 @@ WHERE bit_count(xor(h_a, h_b)) <= {_BH_MAX_HAMMING}
 
 QUERIES_EXT23["q_image_blockhash_neardup"] = q_image_blockhash_neardup
 ORACLE_EXT23["q_image_blockhash_neardup"] = _sql_image_blockhash()
+
+
+# --------------------------------------------------------------------------
+# Video scene-cut detection — the video leg beyond frame sampling
+# --------------------------------------------------------------------------
+
+_SC_FRAME = 128  # bytes per "frame" at test scale
+
+
+def q_video_scene_cut(spark, sf_dir):
+    """Scene-cut detection over video-shaped payloads: reduce each
+    128-byte frame to its energy, then flag a cut wherever the
+    frame-to-frame energy delta exceeds ~20% of the local level —
+    integer cross-multiplied (10·|Δ| > e_i + e_{i−1}: division-free,
+    engine-exact) — the shot-segmentation primitive a video curation
+    stack runs before per-shot sampling (q_multimodal_framesample).
+    Pure JVM map: char codes staged once per payload, frame energies and
+    the cut scan are folds over the bound arrays; no shuffle, no join,
+    no Python.  Output: (media_id, n_frames, n_cuts, first_cut,
+    cut_hash) — scalars only."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "transform(sequence(1, length(text)), i -> "
+            "ascii(substring(text, i, 1)))"
+        ).alias("codes"),
+    ).withColumn("n", F.size("codes"))
+    energies = F.expr(
+        f"transform(sequence(0, CAST(ceil(n / {_SC_FRAME}.0) AS INT) - 1), "
+        f"f -> aggregate(slice(codes, f * {_SC_FRAME} + 1, {_SC_FRAME}), "
+        "0L, (acc, x) -> acc + x))"
+    )
+    sized = staged.filter(F.col("n") > 0).withColumn("e", energies)
+    # guard the single-frame case: Spark's sequence(1, 0) DESCENDS
+    # (yielding out-of-range indices under ANSI), it is not empty
+    cuts = F.expr(
+        "CASE WHEN size(e) > 1 THEN filter(sequence(1, size(e) - 1), i -> "
+        "abs(e[i] - e[i - 1]) * 10 > e[i] + e[i - 1]) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    return sized.withColumn("cuts", cuts).select(
+        "media_id",
+        F.size("e").cast("bigint").alias("n_frames"),
+        F.size("cuts").cast("bigint").alias("n_cuts"),
+        F.coalesce(F.expr("try_element_at(cuts, 1)"), F.lit(-1))
+        .cast("bigint")
+        .alias("first_cut"),
+        F.md5(F.concat_ws(",", F.col("cuts"))).alias("cut_hash"),
+    )
+
+
+SQL_VIDEO_SCENE_CUT = f"""
+WITH staged AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1))) AS codes,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) > 0
+), en AS (
+  SELECT media_id,
+         list_transform(range(0, CAST(ceil(n / {_SC_FRAME}.0) AS INT)),
+             f -> CAST(COALESCE(list_sum(list_slice(codes,
+                      f * {_SC_FRAME} + 1, (f + 1) * {_SC_FRAME})), 0)
+                  AS BIGINT)) AS e
+  FROM staged
+), cut AS (
+  SELECT media_id, e,
+         list_filter(range(1, len(e)), i ->
+             abs(e[i + 1] - e[i]) * 10 > e[i + 1] + e[i]) AS cuts
+  FROM en
+)
+SELECT media_id, CAST(len(e) AS BIGINT) AS n_frames,
+       CAST(len(cuts) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(cuts[1], -1) AS BIGINT) AS first_cut,
+       md5(COALESCE(array_to_string(cuts, ','), '')) AS cut_hash
+FROM cut
+"""
+
+QUERIES_EXT23["q_video_scene_cut"] = q_video_scene_cut
+ORACLE_EXT23["q_video_scene_cut"] = SQL_VIDEO_SCENE_CUT

@@ -144,3 +144,27 @@ def test_image_blockhash_matches_python_replay(spark, sf_dir):
         assert r["h_a"] == hashes[r["id_a"]]
         assert r["h_b"] == hashes[r["id_b"]]
         assert r["hamming"] == bin(r["h_a"] ^ r["h_b"]).count("1")
+
+
+def test_video_scene_cut_matches_python_replay(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = QUERIES["q_video_scene_cut"](spark, sf_dir).collect()
+    assert len(rows) == sum(1 for t in texts.values() if len(t) > 0)
+    for r in rows[:150]:
+        codes = [ord(c) for c in texts[r["media_id"]]]
+        n = len(codes)
+        n_frames = -(-n // 128)
+        e = [sum(codes[f * 128 : (f + 1) * 128]) for f in range(n_frames)]
+        cuts = [
+            i
+            for i in range(1, n_frames)
+            if abs(e[i] - e[i - 1]) * 10 > e[i] + e[i - 1]
+        ]
+        assert r["n_frames"] == n_frames
+        assert r["n_cuts"] == len(cuts)
+        assert r["first_cut"] == (cuts[0] if cuts else -1)
+        assert (
+            r["cut_hash"]
+            == hashlib.md5(",".join(map(str, cuts)).encode()).hexdigest()
+        )

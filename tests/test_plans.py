@@ -385,3 +385,14 @@ def test_image_blockhash_materializes_before_self_join(spark, sf_dir):
     plan = _plan(QUERIES["q_image_blockhash_neardup"](spark, sf_dir))
     assert plan.count("Scan ExistingRDD") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_video_scene_cut_pure_map(spark, sf_dir):
+    # shot segmentation rides the scan: no join, no window; the only
+    # exchange is the input spread
+    plan = _plan(QUERIES["q_video_scene_cut"](spark, sf_dir))
+    tree = plan.split("(1)")[0]
+    assert tree.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
