@@ -176,6 +176,7 @@ HEADLINE = [
     "q_audio_energy_windows",
     "q_image_blockhash_neardup",
     "q_video_scene_cut",
+    "q_langid_confusion",
 ]
 
 

@@ -80,6 +80,7 @@ PINNED: tuple[str, ...] = (
     "q_audio_energy_windows",  # r3: audio-leg energy windowing, numpy lane
     "q_image_blockhash_neardup",  # r3: image-leg blockhash near-dup pairs
     "q_video_scene_cut",  # r3: video-leg shot segmentation, pure JVM map
+    "q_langid_confusion",  # r3: lang-ID confusion matrix eval harness
 )
 
 RECHECK_QUOTA = 4

@@ -519,3 +519,55 @@ FROM cut
 
 QUERIES_EXT23["q_video_scene_cut"] = q_video_scene_cut
 ORACLE_EXT23["q_video_scene_cut"] = SQL_VIDEO_SCENE_CUT
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — classifier eval harness
+# --------------------------------------------------------------------------
+
+def q_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the stopword-voting language identifier
+    against the labeled ``lang`` column — the classifier-eval harness
+    (q_dedup_recall's role, applied to lang-ID): per (true, predicted)
+    cell counts plus the cell's share of its true class in ppm, so
+    per-class recall reads off the diagonal.  The predictor is the
+    oracle-proven q_lang_id lane; eval adds one keyed aggregate and a
+    broadcast margin join — measurement-priced at any corpus size."""
+    from .operators import text as t
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = t.lang_id(docs).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_true"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000 div n_true").alias("share_of_true_ppm"),
+        )
+    )
+
+
+def _sql_langid_confusion() -> str:
+    from .queries import SQL_LANG_ID
+
+    return f"""
+WITH pred AS (
+  {SQL_LANG_ID}
+), cm AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, lang_pred
+), tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY lang
+)
+SELECT lang, lang_pred, n, n * 1000000 // n_true AS share_of_true_ppm
+FROM cm JOIN tot USING (lang)
+"""
+
+
+QUERIES_EXT23["q_langid_confusion"] = q_langid_confusion
+ORACLE_EXT23["q_langid_confusion"] = _sql_langid_confusion()

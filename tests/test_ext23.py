@@ -168,3 +168,23 @@ def test_video_scene_cut_matches_python_replay(spark, sf_dir):
             r["cut_hash"]
             == hashlib.md5(",".join(map(str, cuts)).encode()).hexdigest()
         )
+
+
+def test_langid_confusion_partitions_and_diagonal(spark, sf_dir):
+    rows = QUERIES["q_langid_confusion"](spark, sf_dir).collect()
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == total_docs
+    # per-true-class shares sum to ~1e6 (integer-floor loss only)
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+        n_true = sum(x["n"] for x in by_lang[r["lang"]])
+    for lang, cells in by_lang.items():
+        n_true = sum(c["n"] for c in cells)
+        for c in cells:
+            assert c["share_of_true_ppm"] == c["n"] * 1_000_000 // n_true
+    # the en stopword voter must beat chance on labeled en docs
+    en = {c["lang_pred"]: c["n"] for c in by_lang.get("en", [])}
+    assert en.get("en", 0) > sum(en.values()) // 2
