@@ -177,6 +177,7 @@ HEADLINE = [
     "q_image_blockhash_neardup",
     "q_video_scene_cut",
     "q_langid_confusion",
+    "q_embedding_outliers",
 ]
 
 

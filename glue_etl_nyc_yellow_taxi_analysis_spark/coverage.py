@@ -81,6 +81,7 @@ PINNED: tuple[str, ...] = (
     "q_image_blockhash_neardup",  # r3: image-leg blockhash near-dup pairs
     "q_video_scene_cut",  # r3: video-leg shot segmentation, pure JVM map
     "q_langid_confusion",  # r3: lang-ID confusion matrix eval harness
+    "q_embedding_outliers",  # r3: vector-norm z-band health profile
 )
 
 RECHECK_QUOTA = 4

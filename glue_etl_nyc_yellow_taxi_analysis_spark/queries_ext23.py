@@ -571,3 +571,85 @@ FROM cm JOIN tot USING (lang)
 
 QUERIES_EXT23["q_langid_confusion"] = q_langid_confusion
 ORACLE_EXT23["q_langid_confusion"] = _sql_langid_confusion()
+
+
+# --------------------------------------------------------------------------
+# Embedding-norm outlier bands — vector-level health
+# --------------------------------------------------------------------------
+
+def q_embedding_outliers(spark, sf_dir):
+    """Vector-level embedding health: squared norms on the exact e4
+    integer lane (the q_embedding_dim_stats scaling), corpus mean/var
+    computed from decimal-exact sums, and every vector binned into
+    half-sigma z-bands — (band, count, range) — the profile that
+    catches collapsed (z ≪ 0) or exploding vectors before they poison
+    ANN.  The z denominator is IEEE sqrt of a deterministic double, so
+    band edges are bit-identical in any engine; band occupancy is then
+    pure integer counting.  One explode-aggregate for norms, one
+    broadcast stats row, one keyed count."""
+    e = _t(spark, sf_dir, "embeddings")
+    n2 = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding, v -> "
+            "CAST(floor(CAST(v AS DOUBLE) * 1e4 + 0.5) AS BIGINT)), "
+            "0L, (acc, x) -> acc + x * x)"
+        ).alias("n2"),
+    )
+    stats = n2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n2").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("n2").cast("decimal(38,0)") * F.col("n2"))
+        ).alias("ss"),
+    )
+    z = (
+        (F.col("n2") - F.col("s").cast("double") / F.col("n"))
+        / F.sqrt(
+            (
+                F.col("n") * F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (F.col("n") * F.col("n"))
+        )
+    )
+    return (
+        n2.crossJoin(F.broadcast(stats))
+        .select("vec_id", "n2", F.floor(z * 2).cast("bigint").alias("z_band"))
+        .groupBy("z_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n2").alias("min_n2"),
+            F.max("n2").alias("max_n2"),
+        )
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH n2 AS (
+  SELECT vec_id,
+         CAST(COALESCE(list_sum(list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(v AS DOUBLE) * 1e4 + 0.5) AS BIGINT))), 0)
+          AS BIGINT) AS n2
+  FROM embeddings
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(n2 AS DECIMAL(38,0)) * n2) AS DECIMAL(38,0)) AS ss
+  FROM n2
+), banded AS (
+  SELECT vec_id, n2,
+         CAST(floor(((n2 - CAST(s AS DOUBLE) / n)
+              / sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                          * CAST(s AS DOUBLE)) / (n * n))) * 2) AS BIGINT)
+             AS z_band
+  FROM n2, stats
+)
+SELECT z_band, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(n2) AS min_n2, MAX(n2) AS max_n2
+FROM banded GROUP BY z_band
+"""
+
+QUERIES_EXT23["q_embedding_outliers"] = q_embedding_outliers
+ORACLE_EXT23["q_embedding_outliers"] = SQL_EMBEDDING_OUTLIERS

@@ -188,3 +188,26 @@ def test_langid_confusion_partitions_and_diagonal(spark, sf_dir):
     # the en stopword voter must beat chance on labeled en docs
     en = {c["lang_pred"]: c["n"] for c in by_lang.get("en", [])}
     assert en.get("en", 0) > sum(en.values()) // 2
+
+
+def test_embedding_outliers_matches_numpy_replay(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    tab = __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+        f"{sf_dir}/embeddings.parquet"
+    ).to_pydict()
+    mat = np.array(tab["embedding"], dtype=np.float32).astype(np.float64)
+    ve4 = np.floor(mat * 1e4 + 0.5).astype(np.int64)
+    n2 = (ve4 * ve4).sum(axis=1)
+    n = len(n2)
+    s, ss = int(n2.sum()), int((n2.astype(object) * n2.astype(object)).sum())
+    mean = s / n
+    var = (n * float(ss) - float(s) * float(s)) / (n * n)
+    from collections import Counter
+
+    bands = Counter(math.floor((v - mean) / math.sqrt(var) * 2) for v in n2)
+    rows = {r["z_band"]: r for r in QUERIES["q_embedding_outliers"](spark, sf_dir).collect()}
+    assert {b: r["n_vecs"] for b, r in rows.items()} == dict(bands)
+    assert sum(r["n_vecs"] for r in rows.values()) == n
