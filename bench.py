@@ -178,6 +178,7 @@ HEADLINE = [
     "q_video_scene_cut",
     "q_langid_confusion",
     "q_embedding_outliers",
+    "q_stream_dedup_incremental",
 ]
 
 

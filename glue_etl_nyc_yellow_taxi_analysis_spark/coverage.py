@@ -82,6 +82,7 @@ PINNED: tuple[str, ...] = (
     "q_video_scene_cut",  # r3: video-leg shot segmentation, pure JVM map
     "q_langid_confusion",  # r3: lang-ID confusion matrix eval harness
     "q_embedding_outliers",  # r3: vector-norm z-band health profile
+    "q_stream_dedup_incremental",  # r3: streaming admission-control dedup
 )
 
 RECHECK_QUOTA = 4

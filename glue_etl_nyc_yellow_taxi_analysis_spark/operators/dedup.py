@@ -44,8 +44,13 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     lane: str = "xxhash64",
+    spread_input: bool = True,
 ) -> DataFrame:
     """id → shingle set + minhash signature array (length ``num_hashes``).
+
+    ``spread_input=False`` skips the repartition — required for STREAMING
+    inputs (micro-batches are already parallel) and for callers that
+    manage partitioning themselves.
 
     Hash family (``lane="xxhash64"``, the throughput default):
     xxhash64(shingle, seed_i) — seeding via an extra hashed literal gives k
@@ -64,32 +69,56 @@ def minhash_signatures(
     oracle.  Same minima-of-uniform-hashes statistics.
     """
     sh = shingles(text_col, shingle_n).alias("shingles")
+
+    # Seeds MUST be closed over via a helper returning a ONE-parameter
+    # lambda.  The tempting `lambda s, i=i: ...` form has arity 2, and
+    # PySpark binds a two-parameter HOF lambda as (element, INDEX): the
+    # "seed" silently becomes the auto-named index Column — str(i) then
+    # hashes the column's repr (run-varying generated name: signatures
+    # were nondeterministic across runs and never matched the documented
+    # '<i>|shingle' family), and F.lit(i) degrades every seed to the
+    # element index (all k functions identical).  Verified-pair OUTPUTS
+    # still matched the oracle because exact-Jaccard verification is
+    # banding-insensitive at full recall — the bug surfaced only when
+    # two separately-built plans (stream probe vs static index) had to
+    # agree on band keys.
+    def _md5_fn(i: int):
+        seed = F.lit(f"{i}|")
+        return lambda s: F.md5(F.concat(seed, s))
+
+    def _xx_fn(i: int):
+        seed = F.lit(i)
+        return lambda s: F.xxhash64(s, seed)
+
     if lane == "md5":
         mh = [
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.md5(F.concat_ws("|", F.lit(str(i)), s)),
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), _md5_fn(i)))
             for i in range(num_hashes)
         ]
     else:
         mh = [
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(F.col("shingles"), _xx_fn(i)))
             for i in range(num_hashes)
         ]
     sig = F.array(*mh).alias("minhash_sig")
-    return spread(df).select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
+    base = spread(df) if spread_input else df
+    return base.select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
 
 
 def banded_keys(
-    sigs: DataFrame, num_hashes: int = 32, bands: int = 8, lane: str = "xxhash64"
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    lane: str = "xxhash64",
+    carry: tuple = (),
 ) -> DataFrame:
     """Explode signatures to LSH band keys: (id, band_idx, band_hash).
 
     The shared banding stage of the self-join (minhash_lsh_candidates) and
-    the asymmetric probe (incremental new-batch-vs-base dedup)."""
+    the asymmetric probe (incremental new-batch-vs-base dedup).  ``carry``
+    lists extra columns to keep alongside the keys (e.g. the shingle set
+    for in-stream verification, where a second join back to the source
+    would be a stream-stream join)."""
     rows_per_band = num_hashes // bands
 
     def band_key(b):
@@ -100,6 +129,7 @@ def banded_keys(
 
     return sigs.select(
         "id",
+        *carry,
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),

@@ -2029,3 +2029,8 @@ from .queries_ext23 import ORACLE_EXT23, QUERIES_EXT23  # noqa: E402
 
 QUERIES.update(QUERIES_EXT23)
 ORACLE.update(ORACLE_EXT23)
+
+from .queries_ext24 import ORACLE_EXT24, QUERIES_EXT24  # noqa: E402
+
+QUERIES.update(QUERIES_EXT24)
+ORACLE.update(ORACLE_EXT24)

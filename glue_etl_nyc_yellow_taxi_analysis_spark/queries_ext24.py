@@ -1,0 +1,127 @@
+"""Extended inventory XXIV — streaming incremental dedup.
+
+Round-3 capstone composition: the rolling-ingestion admission pipeline
+END-TO-END in Structured Streaming — arriving documents (a file-source
+stream) compute md5-lane MinHash signatures PER MICRO-BATCH, probe the
+STATIC base band index through a stream-static join (stateless: the
+static side broadcasts into every micro-batch, no watermark, no state
+store), verify candidates with division-free integer Jaccard in-stream,
+and drain verdict pairs through an append sink.  The post-drain summary
+reproduces q_dedup_incremental's batch output EXACTLY, so the whole
+streaming path shares that query's DuckDB oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .operators import dedup
+from .queries import _t
+from .queries_ext13 import _MH_BANDS, _MH_K, _MH_N
+from .queries_ext20 import _sql_dedup_incremental
+
+QUERIES_EXT24 = {}
+ORACLE_EXT24 = {}
+
+
+def q_stream_dedup_incremental(spark, sf_dir):
+    """Streaming admission control: the day's arrivals (doc_id ≡ 0
+    mod 7) flow through a file-source stream, signature + banding run
+    per micro-batch (stateless maps — ``spread_input=False``: batches
+    are already parallel), and the STATIC base band index joins in
+    (stream-static inner join: no watermark, no state).  Candidate
+    verification happens in-stream on the carried shingle sets (the
+    ``carry`` seam — joining back to the stream would be a
+    stream-stream join); cross-band duplicate pairs dedupe POST-drain
+    (an in-stream distinct would need state for exactly-once no
+    benefit).  The drained summary is byte-identical to
+    q_dedup_incremental, hence shares its oracle verbatim."""
+    from .streaming.ingest import stream_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base_sigs = dedup.minhash_signatures(
+        docs.filter("doc_id % 7 != 0"),
+        num_hashes=_MH_K,
+        shingle_n=_MH_N,
+        lane="md5",
+    )
+    base_bands = dedup.banded_keys(
+        base_sigs, _MH_K, _MH_BANDS, "md5", carry=("shingles",)
+    ).withColumnsRenamed(
+        {"id": "base_id", "shingles": "sh_b"}
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="sg_sdi_src_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    s_docs = (
+        stream_files(spark, src_dir, raw_schema)
+        .drop("__source_file")
+        .filter("doc_id % 7 = 0")
+    )
+    s_sigs = dedup.minhash_signatures(
+        s_docs, num_hashes=_MH_K, shingle_n=_MH_N, lane="md5",
+        spread_input=False,
+    )
+    s_bands = dedup.banded_keys(
+        s_sigs, _MH_K, _MH_BANDS, "md5", carry=("shingles",)
+    ).withColumnsRenamed({"id": "new_id", "shingles": "sh_n"})
+
+    joined = s_bands.join(base_bands, ["band_idx", "band_hash"])
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_b"))).cast(
+        "bigint"
+    )
+    ver = (
+        joined.withColumn("inter", inter)
+        .withColumn(
+            "uni",
+            (F.size("sh_n") + F.size("sh_b")).cast("bigint") - F.col("inter"),
+        )
+        .filter((F.col("uni") > 0) & (2 * F.col("inter") >= F.col("uni")))
+        .select(
+            "new_id",
+            "base_id",
+            F.expr("inter * 1000000 div uni").alias("jacc_ppm"),
+        )
+    )
+    sink = "sg_stream_dedup_incremental"
+    q = (
+        ver.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_sdi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    drained = spark.table(sink).dropDuplicates(["new_id", "base_id"])
+    summary = drained.groupBy("new_id").agg(
+        F.min("base_id").alias("match_id"),
+        F.max("jacc_ppm").alias("best_jacc_ppm"),
+    )
+    new_ids = docs.filter("doc_id % 7 = 0").select(
+        F.col("doc_id").alias("new_id")
+    )
+    return (
+        new_ids.join(summary, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.when(F.col("match_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1)).alias("match_id"),
+            F.coalesce(F.col("best_jacc_ppm"), F.lit(0)).alias(
+                "best_jacc_ppm"
+            ),
+        )
+    )
+
+
+QUERIES_EXT24["q_stream_dedup_incremental"] = q_stream_dedup_incremental
+# the streaming path reproduces the batch operator exactly — same oracle
+ORACLE_EXT24["q_stream_dedup_incremental"] = _sql_dedup_incremental()

@@ -173,3 +173,41 @@ def test_rep_centroids_deterministic(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
     reps = {r.cluster: r.centroid for r in similarity.rep_centroids(df).collect()}
     assert reps == {"a": [1.0, 0.0], "b": [0.0, 1.0]}
+
+
+def test_minhash_signature_matches_seed_family_replay(spark):
+    """The md5-lane signature must equal min(md5('<i>|' + shingle)) —
+    the documented, oracle-replicable family — and be identical across
+    separately built plans.  Regression: a two-parameter HOF lambda
+    (`lambda s, i=i`) binds i to the ELEMENT-INDEX column, so the seed
+    silently became the index column's run-varying repr and two plans
+    (e.g. a stream probe vs its static index) could never agree on band
+    keys."""
+    import hashlib
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    row = dedup.minhash_signatures(
+        df, num_hashes=4, shingle_n=3, lane="md5"
+    ).collect()[0]
+    expect = [
+        min(
+            hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+            for s in row["shingles"]
+        )
+        for i in range(4)
+    ]
+    assert list(row["minhash_sig"]) == expect
+    # a second, separately built plan must produce identical values
+    row2 = dedup.minhash_signatures(
+        df, num_hashes=4, shingle_n=3, lane="md5", spread_input=False
+    ).collect()[0]
+    assert list(row2["minhash_sig"]) == expect
+    # the xxhash lane: k seeds must be DISTINCT functions (the index-
+    # column bug collapsed them all to xxhash64(s, element_index))
+    rx = dedup.minhash_signatures(df, num_hashes=4, shingle_n=3).collect()[0]
+    assert len(set(rx["minhash_sig"])) > 1
