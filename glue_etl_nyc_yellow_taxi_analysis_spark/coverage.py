@@ -83,6 +83,7 @@ PINNED: tuple[str, ...] = (
     "q_langid_confusion",  # r3: lang-ID confusion matrix eval harness
     "q_embedding_outliers",  # r3: vector-norm z-band health profile
     "q_stream_dedup_incremental",  # r3: streaming admission-control dedup
+    "q_dedup_index_persist",  # r3: bucketed band index, shuffle-free probe
 )
 
 RECHECK_QUOTA = 4

@@ -125,3 +125,106 @@ def q_stream_dedup_incremental(spark, sf_dir):
 QUERIES_EXT24["q_stream_dedup_incremental"] = q_stream_dedup_incremental
 # the streaming path reproduces the batch operator exactly — same oracle
 ORACLE_EXT24["q_stream_dedup_incremental"] = _sql_dedup_incremental()
+
+
+def q_dedup_index_persist(spark, sf_dir):
+    """The persisted admission index: the base corpus's LSH band index
+    written as a BUCKETED catalog table (bucketBy(band_hash) — at 100 TB
+    the index is standing infrastructure, not a per-run recomputation),
+    then the day's batch probes it with a join on the bucket key: the
+    INDEX side reads shuffle-free (its layout already satisfies the
+    join's distribution), only the small probe side exchanges — the
+    deployment shape of q_dedup_incremental, and the concrete proof of
+    SCALE.md's "the probe join is shuffle-free on the base side" claim
+    (plan-contract-pinned).  Joining on band_hash alone (not band_idx)
+    is what makes the bucket layout sufficient; a cross-band md5
+    equality is an md5 collision — and any candidate it admitted would
+    still face exact-Jaccard verification.  Output and oracle are
+    q_dedup_incremental's, byte for byte.  Re-runnable: overwrite mode,
+    metastore + physical dir cleared first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from . import catalog
+
+    db = "sg_dedup_index"
+    catalog.ensure_database(spark, db)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {db}.band_index")
+    shutil.rmtree(f"{wh}/{db}.db/band_index", ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents")
+    base_sigs = dedup.minhash_signatures(
+        docs.filter("doc_id % 7 != 0"),
+        num_hashes=_MH_K,
+        shingle_n=_MH_N,
+        lane="md5",
+    )
+    base_bands = dedup.banded_keys(
+        base_sigs, _MH_K, _MH_BANDS, "md5", carry=("shingles",)
+    ).withColumnsRenamed({"id": "base_id", "shingles": "sh_b"})
+    catalog.save_bucketed_table(
+        base_bands.select("base_id", "band_hash", "sh_b"),
+        db,
+        "band_index",
+        ["band_hash"],
+        8,
+        ["band_hash"],
+    )
+    index = catalog.read_table(spark, db, "band_index")
+
+    new_sigs = dedup.minhash_signatures(
+        docs.filter("doc_id % 7 = 0"),
+        num_hashes=_MH_K,
+        shingle_n=_MH_N,
+        lane="md5",
+    )
+    probe = dedup.banded_keys(
+        new_sigs, _MH_K, _MH_BANDS, "md5", carry=("shingles",)
+    ).withColumnsRenamed({"id": "new_id", "shingles": "sh_n"}).select(
+        "new_id", "band_hash", "sh_n"
+    )
+    joined = probe.join(index, "band_hash")
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_b"))).cast(
+        "bigint"
+    )
+    ver = (
+        joined.withColumn("inter", inter)
+        .withColumn(
+            "uni",
+            (F.size("sh_n") + F.size("sh_b")).cast("bigint") - F.col("inter"),
+        )
+        .filter((F.col("uni") > 0) & (2 * F.col("inter") >= F.col("uni")))
+        .select(
+            "new_id",
+            "base_id",
+            F.expr("inter * 1000000 div uni").alias("jacc_ppm"),
+        )
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    summary = ver.groupBy("new_id").agg(
+        F.min("base_id").alias("match_id"),
+        F.max("jacc_ppm").alias("best_jacc_ppm"),
+    )
+    new_ids = docs.filter("doc_id % 7 = 0").select(
+        F.col("doc_id").alias("new_id")
+    )
+    return (
+        new_ids.join(summary, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.when(F.col("match_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1)).alias("match_id"),
+            F.coalesce(F.col("best_jacc_ppm"), F.lit(0)).alias(
+                "best_jacc_ppm"
+            ),
+        )
+    )
+
+
+QUERIES_EXT24["q_dedup_index_persist"] = q_dedup_index_persist
+# the persisted-index probe reproduces the batch operator — same oracle
+ORACLE_EXT24["q_dedup_index_persist"] = _sql_dedup_incremental()

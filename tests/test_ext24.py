@@ -25,3 +25,15 @@ def test_stream_dedup_incremental_rerunnable(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["q_stream_dedup_incremental"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["q_stream_dedup_incremental"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_dedup_index_persist_equals_batch(spark, sf_dir):
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    }
+    persisted = {
+        r["doc_id"]: tuple(r)
+        for r in QUERIES["q_dedup_index_persist"](spark, sf_dir).collect()
+    }
+    assert persisted == batch

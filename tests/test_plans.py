@@ -396,3 +396,11 @@ def test_video_scene_cut_pure_map(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_index_persist_bucketed_probe(spark, sf_dir):
+    # the persisted band index must read bucketed (shuffle-free on the
+    # index side) — only the small probe side exchanges
+    plan = _plan(QUERIES["q_dedup_index_persist"](spark, sf_dir))
+    assert "Bucketed: true" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
