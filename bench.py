@@ -179,6 +179,7 @@ HEADLINE = [
     "q_langid_confusion",
     "q_embedding_outliers",
     "q_stream_dedup_incremental",
+    "q_length_moments",
 ]
 
 

@@ -84,6 +84,7 @@ PINNED: tuple[str, ...] = (
     "q_embedding_outliers",  # r3: vector-norm z-band health profile
     "q_stream_dedup_incremental",  # r3: streaming admission-control dedup
     "q_dedup_index_persist",  # r3: bucketed band index, shuffle-free probe
+    "q_length_moments",  # r3: per-source skew/kurtosis, exact power sums
 )
 
 RECHECK_QUOTA = 4

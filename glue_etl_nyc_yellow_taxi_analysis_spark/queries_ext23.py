@@ -653,3 +653,86 @@ FROM banded GROUP BY z_band
 
 QUERIES_EXT23["q_embedding_outliers"] = q_embedding_outliers
 ORACLE_EXT23["q_embedding_outliers"] = SQL_EMBEDDING_OUTLIERS
+
+
+# --------------------------------------------------------------------------
+# Higher-moment length profile — per-source skewness/kurtosis
+# --------------------------------------------------------------------------
+
+def q_length_moments(spark, sf_dir):
+    """Per-source distribution shape of document lengths: mean, variance,
+    SKEWNESS and EXCESS KURTOSIS — the heavy-tail/anomaly detector for a
+    source's length profile (a bimodal or truncated source shows up in
+    g1/g2 long before eyeballing histograms).  Spark's builtin
+    skewness()/kurtosis() aggregate doubles and are partial-aggregation
+    order-sensitive, so this routes through EXACT integer power sums
+    (S1..S4 of n_chars — one keyed aggregate, map-side combined) and
+    derives the moments in fixed-order double arithmetic: deterministic
+    under any partitioning, identical in any engine.  m2^1.5 is written
+    m2·sqrt(m2) (IEEE sqrt is correctly rounded; pow is not)."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("bigint")
+    sums = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(x * x).cast("bigint").alias("s2"),
+        F.sum(x * x * x).cast("bigint").alias("s3"),
+        F.sum(x * x * x * x).cast("bigint").alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4 * mu * (F.col("s3").cast("double") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3
+    return sums.select(
+        "source",
+        "n",
+        F.floor(mu * 1e3 + F.lit(0.5)).cast("bigint").alias("mean_milli"),
+        F.floor(m2 * 1e3 + F.lit(0.5)).cast("bigint").alias("var_milli"),
+        F.floor(g1 * 1e6 + F.lit(0.5)).cast("bigint").alias("skew_e6"),
+        F.floor(g2 * 1e6 + F.lit(0.5)).cast("bigint").alias("kurt_e6"),
+    )
+
+
+SQL_LENGTH_MOMENTS = """
+WITH sums AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+         CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+         CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+  FROM documents GROUP BY source
+), m AS (
+  SELECT source, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM sums
+), c AS (
+  SELECT source, n, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+  FROM m
+)
+SELECT source, n,
+       CAST(floor(mu * 1e3 + 0.5) AS BIGINT) AS mean_milli,
+       CAST(floor(m2 * 1e3 + 0.5) AS BIGINT) AS var_milli,
+       CAST(floor((m3 / (m2 * sqrt(m2))) * 1e6 + 0.5) AS BIGINT) AS skew_e6,
+       CAST(floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) AS BIGINT) AS kurt_e6
+FROM c
+"""
+
+QUERIES_EXT23["q_length_moments"] = q_length_moments
+ORACLE_EXT23["q_length_moments"] = SQL_LENGTH_MOMENTS

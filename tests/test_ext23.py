@@ -211,3 +211,31 @@ def test_embedding_outliers_matches_numpy_replay(spark, sf_dir):
     rows = {r["z_band"]: r for r in QUERIES["q_embedding_outliers"](spark, sf_dir).collect()}
     assert {b: r["n_vecs"] for b, r in rows.items()} == dict(bands)
     assert sum(r["n_vecs"] for r in rows.values()) == n
+
+
+def test_length_moments_matches_scipy_style_replay(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_src = defaultdict(list)
+    for r in docs.select("source", "n_chars").collect():
+        by_src[r["source"]].append(r["n_chars"])
+    rows = {r["source"]: r for r in QUERIES["q_length_moments"](spark, sf_dir).collect()}
+    assert set(rows) == set(by_src)
+    for src, xs in by_src.items():
+        n = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        s3, s4 = sum(x**3 for x in xs), sum(x**4 for x in xs)
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+        m4 = (
+            s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+            - 3 * mu * mu * mu * mu
+        )
+        r = rows[src]
+        assert r["n"] == n
+        assert r["mean_milli"] == math.floor(mu * 1e3 + 0.5)
+        assert r["skew_e6"] == math.floor(m3 / (m2 * math.sqrt(m2)) * 1e6 + 0.5)
+        assert r["kurt_e6"] == math.floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5)
