@@ -418,14 +418,18 @@ def ngram_jaccard_pairs(
         shingles(text_col, n).alias("sh"),
     )
     a, b = base.alias("a"), base.alias("b")
+    # filter on the RAW jaccard, round only for output — the same order
+    # of operations as minhash_dedup_pairs and the recursive-CTE oracle
+    # (a pair with raw jaccard in [τ−5e-7, τ) must fail BOTH engines)
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard_sim"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("__raw_j"),
         )
-        .filter(F.col("jaccard_sim") >= threshold)
+        .filter(F.col("__raw_j") >= threshold)
+        .select("id_a", "id_b", F.round("__raw_j", 6).alias("jaccard_sim"))
     )
 
 

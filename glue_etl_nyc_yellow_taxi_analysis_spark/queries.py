@@ -654,14 +654,17 @@ WITH t AS (
                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
     FROM (SELECT doc_id, source, lang, {TOKS_SQL.format(c='text')} AS toks FROM documents)
 )
-SELECT id_a, id_b, jaccard_sim FROM (
+SELECT id_a, id_b, ROUND(raw_j, 6) AS jaccard_sim FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-                      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                           / len(list_distinct(list_concat(a.sh, b.sh)))
-                      ELSE 0.0 END, 6) AS jaccard_sim
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+                ELSE 0.0 END AS raw_j
     FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
-WHERE jaccard_sim >= 0.5
+-- filter on the RAW jaccard, round only for output (the
+-- minhash_dedup_pairs order of operations; boundary-consistent with
+-- the q_dedup_clusters recursive oracle)
+WHERE raw_j >= 0.5
 """
 
 
