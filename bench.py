@@ -180,6 +180,7 @@ HEADLINE = [
     "q_embedding_outliers",
     "q_stream_dedup_incremental",
     "q_length_moments",
+    "q_dedup_savings",
 ]
 
 

@@ -85,6 +85,7 @@ PINNED: tuple[str, ...] = (
     "q_stream_dedup_incremental",  # r3: streaming admission-control dedup
     "q_dedup_index_persist",  # r3: bucketed band index, shuffle-free probe
     "q_length_moments",  # r3: per-source skew/kurtosis, exact power sums
+    "q_dedup_savings",  # r3: per-band dedup savings report
 )
 
 RECHECK_QUOTA = 4

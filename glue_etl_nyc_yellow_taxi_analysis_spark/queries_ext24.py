@@ -228,3 +228,55 @@ def q_dedup_index_persist(spark, sf_dir):
 QUERIES_EXT24["q_dedup_index_persist"] = q_dedup_index_persist
 # the persisted-index probe reproduces the batch operator — same oracle
 ORACLE_EXT24["q_dedup_index_persist"] = _sql_dedup_incremental()
+
+
+def q_dedup_savings(spark, sf_dir):
+    """The dedup savings report — the deliverable a curation run ships:
+    per cluster-size band (1, 2, 3, 4, 5+), how many clusters exist, how
+    many documents a keep-lowest-id policy removes, and how many chars
+    that saves.  Composes the connected-components cluster table
+    (q_dedup_clusters — cluster_id IS the component's min doc id, so
+    "removed" is exactly doc_id ≠ cluster_id) with one broadcast-scale
+    keyed aggregate; every number is an exact integer."""
+    from .queries_ext import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id").select(
+        "cluster_id",
+        "n_chars",
+        F.least(F.col("cluster_size"), F.lit(5)).cast("bigint").alias("band"),
+        (F.col("doc_id") != F.col("cluster_id")).cast("int").alias("removed"),
+    )
+    return j.groupBy("band").agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("removed").cast("bigint").alias("docs_removed"),
+        F.sum(F.col("removed") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+def _sql_dedup_savings() -> str:
+    from .queries_ext import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH clusters AS (
+  {SQL_DEDUP_CLUSTERS}
+), j AS (
+  SELECT c.cluster_id, d.n_chars,
+         CAST(least(c.cluster_size, 5) AS BIGINT) AS band,
+         CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END AS removed
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT band, CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(removed) AS BIGINT) AS docs_removed,
+       CAST(SUM(removed * n_chars) AS BIGINT) AS chars_removed
+FROM j GROUP BY band
+"""
+
+
+QUERIES_EXT24["q_dedup_savings"] = q_dedup_savings
+ORACLE_EXT24["q_dedup_savings"] = _sql_dedup_savings()
