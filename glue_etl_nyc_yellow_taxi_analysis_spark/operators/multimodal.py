@@ -50,16 +50,26 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Decode + featurize binary payloads via Arrow-batched mapInPandas.
 
-    Output schema: (media_id long, n_bytes long, features array<double>).
-    The fake decoder hashes fixed-stride byte slices into FEATURE_DIM
-    deterministic doubles — same batch shape and schema a real decoder
-    (PIL/librosa/ffmpeg) would produce.
+    Output schema: (media_id long, n_bytes long, features array<double>,
+    feat_ppm array<bigint>).  The fake decoder hashes fixed-stride byte
+    slices into FEATURE_DIM deterministic doubles — same batch shape and
+    schema a real decoder (PIL/librosa/ffmpeg) would produce.
+
+    ``feat_ppm`` is the exact-integer twin of ``features``: per stride,
+    ``floor(sum/count * 1e6 + 0.5)`` evaluated in EXACTLY this IEEE op
+    order — the SQL oracle replays the same integer byte sums and the
+    same double ops, so the whole Python lane (Arrow batching, stride
+    slicing, the division) is value-hash verifiable with no
+    double→string rendering ambiguity anywhere.
     """
+    import math
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("n_bytes", T.LongType(), True),
             T.StructField("features", T.ArrayType(T.DoubleType()), True),
+            T.StructField("feat_ppm", T.ArrayType(T.LongType()), True),
         ]
     )
 
@@ -70,18 +80,35 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                     "real media decode requires image/audio libraries not "
                     "present in this environment; wire PIL/librosa here"
                 )
-            ids, sizes, feats = [], [], []
+            ids, sizes, feats, ppms = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 ids.append(mid)
                 sizes.append(len(data))
                 # deterministic fake features: mean byte value per stride
-                f = []
+                f, pp = [], []
                 for d in range(FEATURE_DIM):
                     sl = data[d::FEATURE_DIM]
-                    f.append(round(sum(sl) / len(sl), 6) if sl else 0.0)
+                    if sl:
+                        f.append(round(sum(sl) / len(sl), 6))
+                        # op order matters: (sum/count)*1e6 + 0.5, left to
+                        # right — the oracle mirrors it term for term
+                        pp.append(
+                            math.floor(sum(sl) / len(sl) * 1000000.0 + 0.5)
+                        )
+                    else:
+                        f.append(0.0)
+                        pp.append(0)
                 feats.append(f)
-            yield pd.DataFrame({"media_id": ids, "n_bytes": sizes, "features": feats})
+                ppms.append(pp)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": sizes,
+                    "features": feats,
+                    "feat_ppm": ppms,
+                }
+            )
 
     return df.select("media_id", "payload").mapInPandas(featurize, out_schema)
 

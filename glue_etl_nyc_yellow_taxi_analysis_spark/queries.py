@@ -1467,6 +1467,11 @@ def q_multimodal_features(spark, sf_dir):
     emits), but the DECLARED query projects scalar columns only: the
     driver's pandas canonicalizer cannot sort/hash list cells (the r2
     ERR), so the array is folded to a deterministic md5 + its length.
+    The hash rides the exact-integer ``feat_ppm`` lane (floor of
+    mean·1e6 + 0.5, identical IEEE op order in both engines), so the
+    SQL oracle replays the whole Arrow/mapInPandas path byte-exactly —
+    per-stride byte sums, counts, the division — with no double→string
+    rendering in the loop (VERDICT r3 item 2).
     """
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
@@ -1474,13 +1479,43 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id",
         "n_bytes",
-        F.size("features").alias("n_features"),
+        F.size("feat_ppm").alias("n_features"),
         F.md5(
             F.concat_ws(
-                ",", F.transform("features", lambda v: v.cast("string"))
+                ",", F.transform("feat_ppm", lambda v: v.cast("string"))
             )
         ).alias("features_md5"),
     )
+
+
+# SQL replay of the fake decoder: hex() the utf-8 payload once, then the
+# byte at 0-based position p is substr(hex, 2p+1, 2); per stride d the
+# byte positions are range(d, n, 8).  floor(sum/count*1e6+0.5) mirrors
+# the Python lane's IEEE op order exactly.
+FEATURE_DIM = multimodal.FEATURE_DIM
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), f AS (
+  SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+         list_transform(range(0, {FEATURE_DIM}), d ->
+           CASE WHEN n > d THEN
+             CAST(floor(
+               CAST(list_sum(list_transform(range(d, n, {FEATURE_DIM}), p ->
+                   ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT)) AS DOUBLE)
+               / len(range(d, n, {FEATURE_DIM})) * 1000000.0 + 0.5)
+             AS BIGINT)
+           ELSE 0 END) AS ppm
+  FROM b
+)
+SELECT media_id, n_bytes,
+       CAST(len(ppm) AS INTEGER) AS n_features,
+       md5(array_to_string(ppm, ',')) AS features_md5
+FROM f
+"""
 
 def q_dedup_fuzzy_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs (xxhash64 banding → jaccard verify).
@@ -1891,6 +1926,9 @@ ORACLE: dict[str, str] = {
     "q_partitioned_write_prune": SQL_PARTITIONED_WRITE_PRUNE,
     "q_warehouse_roundtrip": SQL_WAREHOUSE_ROUNDTRIP,
     "q_warehouse_load_plan": SQL_WAREHOUSE_LOAD_PLAN,
+    # r4: the Arrow/mapInPandas decode lane, byte-exact SQL replay on the
+    # integer feat_ppm fingerprint (VERDICT r3 item 2)
+    "q_multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 
 # the ad-hoc SQL layer's oracle is the very same dialect-neutral string

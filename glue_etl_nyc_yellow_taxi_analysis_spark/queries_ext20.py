@@ -287,12 +287,16 @@ def q_corpus_drift_js(spark, sf_dir):
     a_nb = F.col("a").cast("double") * F.col("n_b")
     b_na = F.col("b").cast("double") * F.col("n_a")
     s = a_nb + b_na
+    # Guard on the PRODUCT being positive (a>0 AND n_b>0), not just the
+    # count: a degenerate split (every token on one side) would feed
+    # log2(0), where Spark yields NULL but DuckDB yields -inf-in-DECIMAL
+    # (an error) — the engines must agree on the corner.
     term_a = F.when(
-        F.col("a") > 0,
+        (F.col("a") > 0) & (F.col("n_b") > 0),
         F.col("a").cast("double") * (F.lit(1.0) + F.log2(a_nb) - F.log2(s)),
     ).otherwise(F.lit(0.0))
     term_b = F.when(
-        F.col("b") > 0,
+        (F.col("b") > 0) & (F.col("n_a") > 0),
         F.col("b").cast("double") * (F.lit(1.0) + F.log2(b_na) - F.log2(s)),
     ).otherwise(F.lit(0.0))
     folded = j.groupBy("n_a", "n_b", "vocab").agg(
@@ -320,7 +324,7 @@ def q_corpus_drift_js(spark, sf_dir):
 def _sql_corpus_drift_js() -> str:
     da = _PCA_DEC18.format(
         v=(
-            "CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * "
+            "CASE WHEN a > 0 AND n_b > 0 THEN CAST(a AS DOUBLE) * "
             "(1.0 + log2(CAST(a AS DOUBLE) * n_b) "
             "- log2(CAST(a AS DOUBLE) * n_b + CAST(b AS DOUBLE) * n_a)) "
             "ELSE 0.0 END"
@@ -328,7 +332,7 @@ def _sql_corpus_drift_js() -> str:
     )
     db = _PCA_DEC18.format(
         v=(
-            "CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * "
+            "CASE WHEN b > 0 AND n_a > 0 THEN CAST(b AS DOUBLE) * "
             "(1.0 + log2(CAST(b AS DOUBLE) * n_a) "
             "- log2(CAST(a AS DOUBLE) * n_b + CAST(b AS DOUBLE) * n_a)) "
             "ELSE 0.0 END"

@@ -97,7 +97,10 @@ def q_span_mask_plan(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_tokens"),
         F.size("starts").cast("bigint").alias("n_spans"),
         F.size("covered").cast("bigint").alias("n_masked"),
-        F.when(F.col("n") > 0, F.expr("size(covered) * 1000000 div n"))
+        F.when(
+            F.col("n") > 0,
+            F.expr("CAST(size(covered) AS BIGINT) * 1000000 div n"),
+        )
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("mask_ppm"),

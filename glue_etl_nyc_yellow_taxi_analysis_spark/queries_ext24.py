@@ -14,6 +14,7 @@ streaming path shares that query's DuckDB oracle verbatim.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -88,15 +89,27 @@ def q_stream_dedup_incremental(spark, sf_dir):
         )
     )
     sink = "sg_stream_dedup_incremental"
-    q = (
-        ver.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_sdi_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    ckpt_dir = tempfile.mkdtemp(prefix="sg_sdi_ckpt_")
+    try:
+        q = (
+            ver.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination(timeout) returns False on timeout — a partial
+        # drain would silently under-report duplicates, so fall back to an
+        # unbounded wait rather than read an incomplete sink.
+        if not q.awaitTermination(120):
+            q.awaitTermination()
+    finally:
+        # memory-sink rows live in the driver after the drain; the source
+        # symlink dir and checkpoint are per-invocation scratch (leaked
+        # across bench/oracle reruns otherwise).
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     drained = spark.table(sink).dropDuplicates(["new_id", "base_id"])
     summary = drained.groupBy("new_id").agg(
