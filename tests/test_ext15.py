@@ -24,9 +24,17 @@ def test_taxi_star_deterministic_contract(spark, sf_dir):
 
 def test_taxi_star_deterministic_matches_uuid_lane(spark, sf_dir):
     # the deterministic projection must agree with the full fact build
-    # (minus trip_id) — same pipeline, one column narrower
+    # (minus trip_id) — same pipeline, one column narrower.  The uuid
+    # variant is undeclared (it could never hash-match), so THIS test is
+    # its correctness evidence: row-identical modulo trip_id, and the
+    # uuid PK itself is unique per row.
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import q_taxi_star_build
+
     det = QUERIES["q_taxi_star_deterministic"](spark, sf_dir)
-    full = QUERIES["q_taxi_star_build"](spark, sf_dir).drop("trip_id")
+    full_with_pk = q_taxi_star_build(spark, sf_dir)
+    n = full_with_pk.count()
+    assert full_with_pk.select("trip_id").distinct().count() == n
+    full = full_with_pk.drop("trip_id")
     cast_cols = [
         c for c, t in det.dtypes if t == "double"
     ]

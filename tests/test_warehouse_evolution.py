@@ -58,3 +58,30 @@ def test_connected_components_chain_and_singleton_clique(spark):
     )
     got = {r.u: r.label for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_sublinear_rounds(spark):
+    # a 64-node path is the adversarial case for min-label propagation
+    # (diameter 63 → 63 rounds); large-star/small-star must collapse it
+    # in O(log² n) — pin the bound so a regression back to propagation
+    # (or a broken convergence probe) fails loudly
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    rounds: list[int] = []
+    got = {
+        r.u: r.label
+        for r in connected_components(edges, rounds_out=rounds).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert rounds[0] <= 10, f"expected O(log^2 n) rounds, got {rounds[0]}"
+
+
+def test_connected_components_two_components_and_reversed_ids(spark):
+    # min-label must win regardless of edge orientation or insertion order
+    edges = spark.createDataFrame(
+        [(9, 3), (3, 7), (20, 25), (25, 21), (21, 20)], "src long, dst long"
+    )
+    got = {r.u: r.label for r in connected_components(edges).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20, 25: 20}
