@@ -20,6 +20,7 @@ import argparse
 from ..paths import year_month_from_path
 from ..plans.star import run_monthly_build
 from ..session import get_spark
+from .notify import JobNotifier, jsonl_sink, run_with_notification, stderr_sink
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -30,23 +31,46 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--month", default=None, help="processed_month (default: from filename)")
     p.add_argument("--zone-csv", default=None, help="taxi zone lookup CSV path")
     p.add_argument("--warehouse-dir", default=None, help="spark warehouse dir")
+    p.add_argument(
+        "--notify-jsonl",
+        default=None,
+        help="append a SUCCEEDED/FAILED terminal-state payload here "
+        "(the SNS-email leg of the reference's EventBridge rule)",
+    )
     args = p.parse_args(argv)
 
     year, month = args.year, args.month
     if year is None or month is None:
         year, month = year_month_from_path(args.source)
 
-    spark = get_spark(app_name="build-star", warehouse_dir=args.warehouse_dir, hive=True)
-    run_monthly_build(
-        spark,
-        raw_path=args.source,
-        database=args.database,
-        processed_year=year,
-        processed_month=month,
-        zone_csv_path=args.zone_csv,
+    notifier = JobNotifier([stderr_sink])
+    if args.notify_jsonl:
+        notifier.add(jsonl_sink(args.notify_jsonl))
+
+    def _run() -> dict:
+        spark = get_spark(
+            app_name="build-star", warehouse_dir=args.warehouse_dir, hive=True
+        )
+        run_monthly_build(
+            spark,
+            raw_path=args.source,
+            database=args.database,
+            processed_year=year,
+            processed_month=month,
+            zone_csv_path=args.zone_csv,
+        )
+        n = spark.table(f"{args.database}.fact_uber_trips").count()
+        print(
+            f"fact_uber_trips: {n} rows (database={args.database}, month={year}-{month})"
+        )
+        return {"fact_rows": n}
+
+    run_with_notification(
+        "build-star",
+        _run,
+        notifier,
+        detail={"database": args.database, "year": year, "month": month},
     )
-    n = spark.table(f"{args.database}.fact_uber_trips").count()
-    print(f"fact_uber_trips: {n} rows (database={args.database}, month={year}-{month})")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ import argparse
 from ..plans.warehouse import load_star_to_warehouse
 from ..session import get_spark
 from ..sources.writers import JdbcWarehouse, ParquetWarehouse
+from .notify import JobNotifier, jsonl_sink, run_with_notification, stderr_sink
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -33,19 +34,40 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--jdbc-driver", default="org.postgresql.Driver")
     p.add_argument("--warehouse-path", default="./warehouse")
     p.add_argument("--warehouse-dir", default=None, help="spark warehouse dir")
+    p.add_argument(
+        "--notify-jsonl",
+        default=None,
+        help="append a SUCCEEDED/FAILED terminal-state payload here "
+        "(the SNS-email leg of the reference's EventBridge rule)",
+    )
     args = p.parse_args(argv)
 
-    spark = get_spark(app_name="load-warehouse", warehouse_dir=args.warehouse_dir, hive=True)
-    if args.jdbc_url:
-        props = {"driver": args.jdbc_driver}
-        if args.jdbc_user:
-            props.update(user=args.jdbc_user, password=args.jdbc_password or "")
-        wh = JdbcWarehouse(spark, args.jdbc_url, props)
-    else:
-        wh = ParquetWarehouse(args.warehouse_path)
-    actions = load_star_to_warehouse(spark, wh, args.database, args.year, args.month)
-    for table, action in sorted(actions.items()):
-        print(f"{table}: {action}")
+    notifier = JobNotifier([stderr_sink])
+    if args.notify_jsonl:
+        notifier.add(jsonl_sink(args.notify_jsonl))
+
+    def _run() -> dict:
+        spark = get_spark(
+            app_name="load-warehouse", warehouse_dir=args.warehouse_dir, hive=True
+        )
+        if args.jdbc_url:
+            props = {"driver": args.jdbc_driver}
+            if args.jdbc_user:
+                props.update(user=args.jdbc_user, password=args.jdbc_password or "")
+            wh = JdbcWarehouse(spark, args.jdbc_url, props)
+        else:
+            wh = ParquetWarehouse(args.warehouse_path)
+        actions = load_star_to_warehouse(spark, wh, args.database, args.year, args.month)
+        for table, action in sorted(actions.items()):
+            print(f"{table}: {action}")
+        return {k: str(v) for k, v in sorted(actions.items())}
+
+    run_with_notification(
+        "load-warehouse",
+        _run,
+        notifier,
+        detail={"database": args.database, "year": args.year, "month": args.month},
+    )
 
 
 if __name__ == "__main__":
