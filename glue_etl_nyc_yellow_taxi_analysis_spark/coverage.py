@@ -43,6 +43,11 @@ PINNED: tuple[str, ...] = (
     "q_dedup_clusters",  # r4: large-star/small-star connected components
     "q_dedup_savings",  # r4: rides the upgraded CC fixpoint
     "q_length_moments",  # r3 tail pinned entry that never fit the window
+    # r4: bounds oracles on the formerly rows-only sketch/ANN/trainer set
+    "q_ann_recall",
+    "q_sketch_rollup",
+    "q_approx_stats",
+    "q_kmeans_train",
 )
 
 RECHECK_QUOTA = 4

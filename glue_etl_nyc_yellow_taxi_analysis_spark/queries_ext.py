@@ -1017,26 +1017,48 @@ def q_kmeans_train(spark, sf_dir):
     """Lloyd's k-means over the embeddings table (the IVF coarse-quantizer
     trainer, operators/similarity.kmeans_train): deterministic smallest-id
     init, broadcast-centroid assignment passes, (cluster × dim)-cell
-    re-average shuffles, fixpoint detection.  Iterative — not SQL-
-    expressible; rows-only check (cluster count, sizes sum to corpus)."""
+    re-average shuffles, fixpoint detection.
+
+    BOUNDS oracle (VERDICT r3 item 7): the float-mean centroids carry
+    shuffle-order fp jitter, so the declared output is the training
+    invariants — all k clusters survive (smallest-id init on the
+    near-uniform embeddings never empties one; measured k=8 at
+    sf0.001/0.01/0.1), the cluster sizes partition the corpus exactly,
+    and every centroid norm is positive and ≤ the max point norm (a mean
+    of points cannot leave their norm ball).  The bit-replicable trainer
+    twin is q_kmeans_oracle (decimal-sum lane, chained-CTE replay)."""
     from .operators.similarity import kmeans_train
 
     emb = _t(spark, sf_dir, "embeddings")
     out = kmeans_train(emb, k=8, max_iter=5)
-    return out.select(
-        "cluster",
-        "n_points",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.transform("centroid", lambda x: x * x),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-            ),
-            4,
-        ).alias("centroid_norm"),
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
+    stats = out.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_points").alias("total_points"),
+        F.min(norm("centroid")).alias("min_cnorm"),
+        F.max(norm("centroid")).alias("max_cnorm"),
+    )
+    pnorm = emb.select(norm(F.col("embedding").cast("array<double>")).alias("pn")).agg(
+        F.max("pn").alias("max_pnorm")
+    )
+    return stats.crossJoin(F.broadcast(pnorm)).select(
+        "n_clusters",
+        "total_points",
+        (
+            (F.col("min_cnorm") > 0)
+            & (F.col("max_cnorm") <= F.col("max_pnorm") * (1 + 1e-6))
+        ).alias("norms_ok"),
+    )
+
+
+SQL_KMEANS_TRAIN_BOUNDS = """
+SELECT CAST(8 AS BIGINT) AS n_clusters,
+       COUNT(*) AS total_points,
+       TRUE AS norms_ok
+FROM embeddings
+"""
 
 
 def q_stream_join(spark, sf_dir):
@@ -1080,6 +1102,7 @@ def q_stream_join(spark, sf_dir):
 
 
 QUERIES_EXT["q_kmeans_train"] = q_kmeans_train
+ORACLE_EXT["q_kmeans_train"] = SQL_KMEANS_TRAIN_BOUNDS
 QUERIES_EXT["q_stream_join"] = q_stream_join
 
 # stream-stream interval join drains deterministically under availableNow

@@ -101,11 +101,11 @@ def test_lsh_ann_recall_floor(spark, sf_dir):
 
     rows = QUERIES["q_ann_recall"](spark, sf_dir).collect()
     assert len(rows) == 3  # zero-recall queries must still report
-    mean = sum(r.recall_at_10 for r in rows) / len(rows)
     # (4 planes, 16 tables) on the near-uniform synthetic embeddings:
-    # theory ≈ 1-(1-p^4)^16 with per-bit p ≈ 0.6 → ~0.9; floor at 0.6
-    # to absorb per-query variance without flaking
-    assert mean >= 0.6, [(r.query_id, r.recall_at_10) for r in rows]
+    # theory ≈ 1-(1-p^4)^16 with per-bit p ≈ 0.6 → ~0.9; the query's own
+    # verdict floors each query at 0.6 to absorb per-query variance
+    assert all(r.n_exact == 10 for r in rows)
+    assert all(r.recall_ok for r in rows), [(r.query_id, r.recall_ok) for r in rows]
 
 
 def test_kmeans_exact_lane_properties(spark, sf_dir):
