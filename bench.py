@@ -4,12 +4,20 @@ sf0.1), local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
 Execution is forced with the noop sink (full pipeline runs, nothing
 collected to the driver) so timings measure the engine, not result transfer.
+
+``--repeat N`` (default 3) runs each query N times and reports the
+per-query MEDIAN, with the min and the relative spread ((max-min)/min)
+recorded alongside in BENCH_full.json — the box's documented ambient-load
+swing is 2-4x on disjoint subsets per run, so a regression is only real
+when it exceeds the recorded noise band (VERDICT r3 item 9).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -185,6 +193,14 @@ HEADLINE = [
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--repeat", type=int, default=3,
+        help="runs per query; the reported number is the MEDIAN run",
+    )
+    args = ap.parse_args()
+    repeat = max(args.repeat, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
@@ -196,20 +212,22 @@ def main():
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         # clean storage-memory slate per query: cache-bearing queries
         # (minhash sigs, semdedup assignments) must not tax their
         # successors' timings; a query's OWN first-run cache still warms
-        # its second run (best-of-2 stays meaningful)
+        # its later runs (the median stays meaningful)
         spark.catalog.clearCache()
         runs = []
-        for _ in range(2):  # best-of-2: shields the number from machine-load noise
+        for _ in range(repeat):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(statistics.median(runs), 3)
+        mins[name] = round(min(runs), 3)
         # run-to-run spread: (max-min)/min — regressions are only real when
         # they exceed the recorded noise band of the same machine/run
         spreads[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 3)
@@ -219,7 +237,9 @@ def main():
         "metric": "headline-suite wall-clock, noop sink, local mode",
         "value": total,
         "unit": "sec",
+        "stat": f"median of {repeat}",
         "queries": timings,
+        "min": mins,
         "spread": spreads,
         "sf": float(sf),
     }
@@ -237,6 +257,7 @@ def main():
                 "metric": "headline-suite wall-clock, noop sink, local mode",
                 "value": total,
                 "unit": "sec",
+                "stat": f"median of {repeat}",
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "queries": worst,
