@@ -189,6 +189,8 @@ HEADLINE = [
     "q_stream_dedup_incremental",
     "q_length_moments",
     "q_dedup_savings",
+    # round-4 batch: hybrid retrieval
+    "q_hybrid_retrieval",
 ]
 
 

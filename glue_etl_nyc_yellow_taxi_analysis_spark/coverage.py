@@ -48,6 +48,7 @@ PINNED: tuple[str, ...] = (
     "q_sketch_rollup",
     "q_approx_stats",
     "q_kmeans_train",
+    "q_hybrid_retrieval",  # r4: new RRF fusion query (registry tail)
 )
 
 RECHECK_QUOTA = 4

@@ -2111,3 +2111,8 @@ from .queries_ext24 import ORACLE_EXT24, QUERIES_EXT24  # noqa: E402
 
 QUERIES.update(QUERIES_EXT24)
 ORACLE.update(ORACLE_EXT24)
+
+from .queries_ext25 import ORACLE_EXT25, QUERIES_EXT25  # noqa: E402
+
+QUERIES.update(QUERIES_EXT25)
+ORACLE.update(ORACLE_EXT25)

@@ -153,15 +153,16 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def q_bm25_search(spark, sf_dir):
-    """BM25 top-15 documents for a fixed 3-term query.  tf/dl come from
+def bm25_scores(d, terms=_BM25_TERMS):
+    """BM25 per-doc scores for a fixed term set → (doc_id, bm25,
+    n_terms_hit), unranked.  Shared by q_bm25_search (top-15 carve) and
+    q_hybrid_retrieval (RRF fusion, queries_ext25).  tf/dl come from
     one tokenize pass (two aggregations sharing the same exploded scan);
     df and corpus stats are O(|terms|) / O(1) and broadcast; the score
     sum is decimal-exact per the repo convention (per-term contribution
     rounded to 8dp into DECIMAL before summing so the 3-way addition has
     no float-order dependence).  The per-doc join graph is
     tf(term-filtered) ⋈ dl — both keyed by doc_id, one shuffle."""
-    d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
@@ -170,7 +171,7 @@ def q_bm25_search(spark, sf_dir):
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     avgdl = dl.select(F.avg(F.col("dl").cast("double")).alias("avgdl"))
-    qtf = tf.filter(F.col("token").isin(*_BM25_TERMS))
+    qtf = tf.filter(F.col("token").isin(*terms))
     df_ = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
@@ -199,9 +200,15 @@ def q_bm25_search(spark, sf_dir):
             F.round(F.sum("c").cast("double"), 4).alias("bm25"),
             F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(15)
     )
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-15 documents for a fixed 3-term query (see bm25_scores
+    for the plan notes; the carve is orderBy+limit →
+    TakeOrderedAndProject, never a global-sort window)."""
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d).orderBy(F.desc("bm25"), "doc_id").limit(15)
 
 
 SQL_BM25_SEARCH = """
