@@ -189,8 +189,9 @@ HEADLINE = [
     "q_stream_dedup_incremental",
     "q_length_moments",
     "q_dedup_savings",
-    # round-4 batch: hybrid retrieval
+    # round-4 batch: hybrid retrieval + diversified re-rank
     "q_hybrid_retrieval",
+    "q_mmr_rerank",
 ]
 
 

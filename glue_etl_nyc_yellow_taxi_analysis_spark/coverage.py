@@ -49,6 +49,7 @@ PINNED: tuple[str, ...] = (
     "q_approx_stats",
     "q_kmeans_train",
     "q_hybrid_retrieval",  # r4: new RRF fusion query (registry tail)
+    "q_mmr_rerank",  # r4: new MMR diversified re-rank (registry tail)
 )
 
 RECHECK_QUOTA = 4

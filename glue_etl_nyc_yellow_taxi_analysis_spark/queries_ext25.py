@@ -144,3 +144,148 @@ FROM fused ORDER BY rrf_e8 DESC, doc_id LIMIT {_FINAL_K}
 
 QUERIES_EXT25["q_hybrid_retrieval"] = q_hybrid_retrieval
 ORACLE_EXT25["q_hybrid_retrieval"] = SQL_HYBRID_RETRIEVAL
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking
+# --------------------------------------------------------------------------
+
+_MMR_CAND = 20   # candidate depth (the dense top-N feeding the re-rank)
+_MMR_K = 10      # results to select
+# λ = 0.5: argmax(λ·rel − (1−λ)·maxsim) ≡ argmax(rel − maxsim), so the
+# greedy comparison stays pure integer subtraction in the e6 lane.
+
+
+def _mmr_cand_sims(spark, sf_dir):
+    """Candidate set (dense cosine top-20 for query vec 0) in the exact
+    e6 integer lane, plus all pairwise candidate similarities — both
+    cached (20 / 380 rows)."""
+    from .queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = (
+        similarity.cosine_topk(emb, q, k=_MMR_CAND)
+        .select(
+            "vec_id",
+            F.floor(F.col("cosine_sim") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("rel_e6"),
+        )
+        .cache()
+    )
+    cvec = emb.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    x, y = cvec.alias("x"), cvec.alias("y")
+    sims = (
+        x.join(F.broadcast(y), F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("x_id"),
+            F.col("y.vec_id").alias("y_id"),
+            F.floor(
+                F.round(
+                    similarity.cosine(F.col("x.embedding"), F.col("y.embedding")), 6
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim_e6"),
+        )
+        .cache()
+    )
+    return cand, sims
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein) of
+    the dense top-20: greedily select 10 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected (λ=0.5 → pure
+    integer rel−maxsim in the e6 lane) — the standard diversified
+    re-rank between retrieval and a RAG context window.
+
+    The greedy argmax is inherently sequential; like the BPE trainer the
+    per-step argmax is a 1-row bounded driver action over the CACHED
+    20-row candidate table (k=10 scalar pulls total), and at 100 TB the
+    cost structure is unchanged: the corpus-sized work is the top-N
+    carve feeding it (cosine_topk / ANN), the re-rank itself is always
+    O(k·N) on N≤dozens rows.  Every comparison is exact integer, so the
+    selection is bit-replicable — the oracle replays the whole greedy
+    loop through chained CTEs."""
+    cand, sims = _mmr_cand_sims(spark, sf_dir)
+    first = cand.orderBy(F.desc("rel_e6"), "vec_id").first()
+    selected = [(1, first.vec_id, first.rel_e6)]
+    for step in range(2, _MMR_K + 1):
+        sel_ids = [s[1] for s in selected]
+        pen = (
+            sims.filter(F.col("y_id").isin(sel_ids))
+            .groupBy("x_id")
+            .agg(F.max("sim_e6").alias("pen_e6"))
+        )
+        pick = (
+            cand.filter(~F.col("vec_id").isin(sel_ids))
+            .join(pen, F.col("vec_id") == F.col("x_id"))
+            .select("vec_id", (F.col("rel_e6") - F.col("pen_e6")).alias("score_e6"))
+            .orderBy(F.desc("score_e6"), "vec_id")
+            .first()
+        )
+        selected.append((step, pick.vec_id, pick.score_e6))
+    cand.unpersist()
+    sims.unpersist()
+    return spark.createDataFrame(
+        selected, "sel_rank long, vec_id long, mmr_score_e6 long"
+    )
+
+
+def _sql_mmr_chain() -> str:
+    """Chained-CTE replay of the greedy loop: cand/sims in the e6 lanes,
+    then sel{k} picks the argmax among unselected with the max-sim
+    penalty vs selall{k-1}."""
+    cos_q = _COSINE_SQL.format(a="e.embedding", b="q.qvec")
+    cos_xy = _COSINE_SQL.format(a="x.embedding", b="y.embedding")
+    parts = [
+        f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {cos_q} AS cs FROM embeddings e, q WHERE e.vec_id <> 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS rel_e6
+  FROM (SELECT vec_id, cs,
+               row_number() OVER (ORDER BY cs DESC, vec_id) AS rk
+        FROM scored)
+  WHERE rk <= {_MMR_CAND}),
+cvec AS MATERIALIZED (
+  SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+sims AS MATERIALIZED (
+  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         CAST(floor({cos_xy} * 1000000 + 0.5) AS BIGINT) AS sim_e6
+  FROM cvec x JOIN cvec y ON x.vec_id <> y.vec_id),
+sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_e6 AS mmr_score_e6
+  FROM cand ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(f"""
+, sel{k} AS MATERIALIZED (
+  SELECT CAST({k} AS BIGINT) AS sel_rank, c.vec_id,
+         c.rel_e6 - p.pen_e6 AS mmr_score_e6
+  FROM cand c JOIN (
+    SELECT x_id, MAX(sim_e6) AS pen_e6 FROM sims
+    WHERE y_id IN (SELECT vec_id FROM selall{k - 1}) GROUP BY x_id) p
+    ON c.vec_id = p.x_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{k - 1})
+  ORDER BY mmr_score_e6 DESC, c.vec_id LIMIT 1),
+selall{k} AS MATERIALIZED (
+  SELECT * FROM selall{k - 1} UNION ALL SELECT * FROM sel{k})""")
+    parts.append(
+        f"\nSELECT sel_rank, vec_id, mmr_score_e6 FROM selall{_MMR_K}"
+    )
+    return "".join(parts)
+
+
+QUERIES_EXT25["q_mmr_rerank"] = q_mmr_rerank
+ORACLE_EXT25["q_mmr_rerank"] = _sql_mmr_chain()

@@ -40,6 +40,43 @@ def test_hybrid_rrf_fusion_consistency(spark, sf_dir):
             assert r.doc_id not in dense_rank
 
 
+def test_mmr_rerank_matches_python_greedy_replay(spark, sf_dir):
+    """Replay the greedy MMR loop in pure python over the same e6-lane
+    candidate/sims tables and require identical selections and scores."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext25 import (
+        _MMR_K,
+        _mmr_cand_sims,
+    )
+
+    got = QUERIES["q_mmr_rerank"](spark, sf_dir).collect()
+    assert [r.sel_rank for r in got] == list(range(1, _MMR_K + 1))
+
+    cand, sims = _mmr_cand_sims(spark, sf_dir)
+    rel = {r.vec_id: r.rel_e6 for r in cand.collect()}
+    sim = {(r.x_id, r.y_id): r.sim_e6 for r in sims.collect()}
+    cand.unpersist()
+    sims.unpersist()
+
+    selected = []
+    first = min(rel, key=lambda v: (-rel[v], v))
+    selected.append((1, first, rel[first]))
+    for step in range(2, _MMR_K + 1):
+        chosen = {s[1] for s in selected}
+        best = None
+        for c in rel:
+            if c in chosen:
+                continue
+            score = rel[c] - max(sim[(c, s)] for s in chosen)
+            if best is None or (-score, c) < (-best[1], best[0]):
+                best = (c, score)
+        selected.append((step, best[0], best[1]))
+
+    assert [(r.sel_rank, r.vec_id, r.mmr_score_e6) for r in got] == selected
+    # rank 1 is the plain dense top-1; later ranks trade relevance for
+    # diversity, so the selection must stay inside the candidate set
+    assert {r.vec_id for r in got} <= set(rel)
+
+
 def test_hybrid_final_carve_is_top_k(spark, sf_dir):
     """The final fusion carve must compile to TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
