@@ -189,9 +189,10 @@ HEADLINE = [
     "q_stream_dedup_incremental",
     "q_length_moments",
     "q_dedup_savings",
-    # round-4 batch: hybrid retrieval + diversified re-rank
+    # round-4 batch: hybrid retrieval + diversified re-rank + packing
     "q_hybrid_retrieval",
     "q_mmr_rerank",
+    "q_rag_context_pack",
 ]
 
 

@@ -78,8 +78,9 @@ def q_hybrid_retrieval(spark, sf_dir):
     return fused.orderBy(F.desc("rrf_e8"), "doc_id").limit(_FINAL_K)
 
 
-SQL_HYBRID_RETRIEVAL = f"""
-WITH toks AS (
+# CTE chain shared by the hybrid-retrieval oracle and the context-pack
+# oracle (which packs the fused ranking against a token budget)
+_HYBRID_CTES = f"""toks AS (
   SELECT doc_id, t.token
   FROM documents,
        LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
@@ -131,15 +132,22 @@ WITH toks AS (
          COALESCE(l.rank_lex, 0) AS rank_lex,
          COALESCE(de.rank_dense, 0) AS rank_dense
   FROM lex l FULL JOIN dense de ON l.doc_id = de.doc_id
-)
-SELECT doc_id, rank_lex, rank_dense,
-       (CASE WHEN rank_lex > 0
-             THEN CAST(100000000 AS BIGINT) // ({_RRF_K} + rank_lex)
-             ELSE 0 END
-        + CASE WHEN rank_dense > 0
-               THEN CAST(100000000 AS BIGINT) // ({_RRF_K} + rank_dense)
-               ELSE 0 END) AS rrf_e8
-FROM fused ORDER BY rrf_e8 DESC, doc_id LIMIT {_FINAL_K}
+), rrf AS (
+  SELECT doc_id, rank_lex, rank_dense,
+         (CASE WHEN rank_lex > 0
+               THEN CAST(100000000 AS BIGINT) // ({_RRF_K} + rank_lex)
+               ELSE 0 END
+          + CASE WHEN rank_dense > 0
+                 THEN CAST(100000000 AS BIGINT) // ({_RRF_K} + rank_dense)
+                 ELSE 0 END) AS rrf_e8
+  FROM fused
+), hybrid_topk AS (
+  SELECT * FROM rrf ORDER BY rrf_e8 DESC, doc_id LIMIT {_FINAL_K}
+)"""
+
+SQL_HYBRID_RETRIEVAL = f"""
+WITH {_HYBRID_CTES}
+SELECT doc_id, rank_lex, rank_dense, rrf_e8 FROM hybrid_topk
 """
 
 QUERIES_EXT25["q_hybrid_retrieval"] = q_hybrid_retrieval
@@ -289,3 +297,67 @@ selall{k} AS MATERIALIZED (
 
 QUERIES_EXT25["q_mmr_rerank"] = q_mmr_rerank
 ORACLE_EXT25["q_mmr_rerank"] = _sql_mmr_chain()
+
+
+# --------------------------------------------------------------------------
+# RAG context packing
+# --------------------------------------------------------------------------
+
+_CTX_BUDGET = 300  # token budget for the packed context window
+
+
+def q_rag_context_pack(spark, sf_dir):
+    """Context-window packing of the fused retrieval ranking: walk the
+    hybrid top-10 in fusion order and admit each document while the
+    running token total stays within the 300-token budget — the step
+    between retrieval and the prompt in every RAG serving path, and the
+    document-level sibling of q_sequence_packing's token-budget math.
+
+    All 10 candidate rows are emitted with their running totals and an
+    admission verdict (greedy prefix packing: a doc that overflows the
+    budget stops admission even if a later shorter doc would fit —
+    deterministic, order-faithful).  The running-sum window runs on ≤10
+    post-carve rows; the only corpus-sized work is the token-count
+    aggregate, one combine-heavy keyed shuffle."""
+    fused = q_hybrid_retrieval(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    dl = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .filter("token != ''")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w_order = Window.orderBy(F.desc("rrf_e8"), "doc_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        fused.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(w_order).cast("long").alias("ctx_rank"),
+            "n_tokens",
+            F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+        )
+        .withColumn("packed", F.col("cum_tokens") <= _CTX_BUDGET)
+    )
+
+
+SQL_RAG_CONTEXT_PACK = f"""
+WITH {_HYBRID_CTES}
+SELECT h.doc_id,
+       CAST(row_number() OVER (ORDER BY rrf_e8 DESC, h.doc_id) AS BIGINT)
+         AS ctx_rank,
+       dl.dl AS n_tokens,
+       CAST(SUM(dl.dl) OVER (ORDER BY rrf_e8 DESC, h.doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(dl.dl) OVER (ORDER BY rrf_e8 DESC, h.doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         <= {_CTX_BUDGET} AS packed
+FROM hybrid_topk h JOIN dl ON h.doc_id = dl.doc_id
+"""
+
+QUERIES_EXT25["q_rag_context_pack"] = q_rag_context_pack
+ORACLE_EXT25["q_rag_context_pack"] = SQL_RAG_CONTEXT_PACK

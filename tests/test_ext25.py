@@ -77,6 +77,28 @@ def test_mmr_rerank_matches_python_greedy_replay(spark, sf_dir):
     assert {r.vec_id for r in got} <= set(rel)
 
 
+def test_rag_context_pack_prefix_budget(spark, sf_dir):
+    """Packing must be a greedy prefix of the fusion order: running
+    totals are exact prefix sums and the admission verdict is monotone."""
+    rows = sorted(
+        QUERIES["q_rag_context_pack"](spark, sf_dir).collect(),
+        key=lambda r: r.ctx_rank,
+    )
+    assert [r.ctx_rank for r in rows] == list(range(1, 11))
+    cum = 0
+    for r in rows:
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+        assert r.packed == (cum <= 300)
+    packed_flags = [r.packed for r in rows]
+    assert packed_flags == sorted(packed_flags, reverse=True)  # prefix
+    assert packed_flags[0]  # top-ranked doc always fits a sane budget
+    # fused order matches q_hybrid_retrieval
+    fused = QUERIES["q_hybrid_retrieval"](spark, sf_dir).collect()
+    order = [r.doc_id for r in sorted(fused, key=lambda r: (-r.rrf_e8, r.doc_id))]
+    assert [r.doc_id for r in rows] == order
+
+
 def test_hybrid_final_carve_is_top_k(spark, sf_dir):
     """The final fusion carve must compile to TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
