@@ -193,6 +193,7 @@ HEADLINE = [
     "q_hybrid_retrieval",
     "q_mmr_rerank",
     "q_rag_context_pack",
+    "q_contrastive_pairs",
 ]
 
 

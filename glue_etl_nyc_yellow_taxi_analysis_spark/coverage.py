@@ -51,6 +51,7 @@ PINNED: tuple[str, ...] = (
     "q_hybrid_retrieval",  # r4: new RRF fusion query (registry tail)
     "q_mmr_rerank",  # r4: new MMR diversified re-rank (registry tail)
     "q_rag_context_pack",  # r4: new context-budget packing (registry tail)
+    "q_contrastive_pairs",  # r4: new hard-negative mining (registry tail)
 )
 
 RECHECK_QUOTA = 4

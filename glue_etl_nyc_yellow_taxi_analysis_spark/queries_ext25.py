@@ -361,3 +361,85 @@ FROM hybrid_topk h JOIN dl ON h.doc_id = dl.doc_id
 
 QUERIES_EXT25["q_rag_context_pack"] = q_rag_context_pack
 ORACLE_EXT25["q_rag_context_pack"] = SQL_RAG_CONTEXT_PACK
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining (hard negatives)
+# --------------------------------------------------------------------------
+
+_CP_NEGS = 3  # hard negatives per anchor
+
+
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining for embedding-model training:
+    per anchor vector, the top-1 same-label neighbor as the POSITIVE and
+    the top-3 most-similar DIFFERENT-label vectors as hard negatives —
+    the standard hard-negative mining step (high-similarity wrong-class
+    examples carry the gradient signal; random negatives are too easy).
+
+    Anchors broadcast; one corpus pass scores every vector against all
+    anchors; the per-(anchor, role) top-k is a window over the anchor
+    key (the cosine_topk pattern — per-anchor state is the tiny top-k
+    heap).  At corpus scale the negative pool is first cut by an ANN
+    pre-filter (IVF cells / LSH buckets — the proven lanes above);
+    semantics here are the exact form.  cos_e6 is the floor integer
+    lane, so ranks and scores replicate bit-for-bit."""
+    from .queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            F.floor(
+                F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6)
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("cos_e6"), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.filter(
+        ((F.col("role") == "pos") & (F.col("rank") <= 1))
+        | ((F.col("role") == "neg") & (F.col("rank") <= _CP_NEGS))
+    ).select("query_id", "role", "rank", "vec_id", "cos_e6")
+
+
+SQL_CONTRASTIVE_PAIRS = f"""
+WITH anchors AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT a.query_id, e.vec_id,
+         CASE WHEN e.label = a.qlabel THEN 'pos' ELSE 'neg' END AS role,
+         CAST(floor({_COSINE_SQL.format(a='e.embedding', b='a.qvec')}
+                    * 1000000 + 0.5) AS BIGINT) AS cos_e6
+  FROM embeddings e, anchors a WHERE e.vec_id <> a.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id, role
+              ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, role, rank, vec_id, cos_e6
+FROM ranked
+WHERE (role = 'pos' AND rank <= 1) OR (role = 'neg' AND rank <= {_CP_NEGS})
+"""
+
+QUERIES_EXT25["q_contrastive_pairs"] = q_contrastive_pairs
+ORACLE_EXT25["q_contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS

@@ -99,6 +99,45 @@ def test_rag_context_pack_prefix_budget(spark, sf_dir):
     assert [r.doc_id for r in rows] == order
 
 
+def test_contrastive_pairs_numpy_replay(spark, sf_dir):
+    """Per anchor: exactly one same-label positive and three
+    different-label hard negatives, matching a numpy replay of the
+    rounded-cosine e6 lane."""
+    import numpy as np
+
+    rows = QUERIES["q_contrastive_pairs"](spark, sf_dir).collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.query_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in emb}
+    for qid, got in by_anchor.items():
+        qv, qlab = vecs[qid]
+        scored = []
+        for vid, (v, lab) in vecs.items():
+            if vid == qid:
+                continue
+            cos = float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            e6 = int(np.floor(round(cos, 6) * 1000000 + 0.5))
+            scored.append((vid, lab == qlab, e6))
+        exp_pos = sorted(
+            [s for s in scored if s[1]], key=lambda s: (-s[2], s[0])
+        )[:1]
+        exp_neg = sorted(
+            [s for s in scored if not s[1]], key=lambda s: (-s[2], s[0])
+        )[:3]
+        got_pos = [(r.vec_id, r.cos_e6) for r in got if r.role == "pos"]
+        got_neg = [
+            (r.vec_id, r.cos_e6)
+            for r in sorted(got, key=lambda r: r.rank)
+            if r.role == "neg"
+        ]
+        assert got_pos == [(v, e) for v, _, e in exp_pos]
+        assert got_neg == [(v, e) for v, _, e in exp_neg]
+
+
 def test_hybrid_final_carve_is_top_k(spark, sf_dir):
     """The final fusion carve must compile to TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
