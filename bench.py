@@ -194,6 +194,7 @@ HEADLINE = [
     "q_mmr_rerank",
     "q_rag_context_pack",
     "q_contrastive_pairs",
+    "q_batch_padding_plan",
 ]
 
 

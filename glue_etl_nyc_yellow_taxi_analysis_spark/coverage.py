@@ -52,6 +52,7 @@ PINNED: tuple[str, ...] = (
     "q_mmr_rerank",  # r4: new MMR diversified re-rank (registry tail)
     "q_rag_context_pack",  # r4: new context-budget packing (registry tail)
     "q_contrastive_pairs",  # r4: new hard-negative mining (registry tail)
+    "q_batch_padding_plan",  # r4: new padding-waste audit (registry tail)
 )
 
 RECHECK_QUOTA = 4

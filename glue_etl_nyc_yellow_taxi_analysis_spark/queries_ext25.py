@@ -443,3 +443,93 @@ WHERE (role = 'pos' AND rank <= 1) OR (role = 'neg' AND rank <= {_CP_NEGS})
 
 QUERIES_EXT25["q_contrastive_pairs"] = q_contrastive_pairs
 ORACLE_EXT25["q_contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch planning (padding-waste audit)
+# --------------------------------------------------------------------------
+
+_BPP_BATCH = 32  # sequences per training batch
+# power-of-two length ladder as an explicit CASE — log2/pow float forms
+# are banned by the repo convention (libm ulp divergence across engines)
+_BPP_LADDER = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def q_batch_padding_plan(spark, sf_dir):
+    """Length-bucketed batch planning for training: assign every
+    document to the smallest power-of-two length bucket that fits it,
+    then per bucket report batch counts (32 sequences/batch) and the
+    exact padding waste (padded − real tokens, ppm) — the dynamic
+    batching audit that decides a training run's effective tokens/sec.
+    Token counts per doc are one combine-heavy keyed shuffle; bucketing
+    is a pure-integer CASE ladder (no log2/pow floats); everything after
+    is an O(|buckets|) aggregate."""
+    from .queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    dl = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .filter("token != ''")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    bucket = F.lit(_BPP_LADDER[-1] * 2).cast("long")
+    for width in reversed(_BPP_LADDER):
+        bucket = F.when(F.col("n_tokens") <= width, F.lit(width).cast("long")).otherwise(
+            bucket
+        )
+    per_bucket = (
+        dl.select(bucket.alias("bucket_len"), "n_tokens")
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("real_tokens"),
+        )
+    )
+    return per_bucket.select(
+        "bucket_len",
+        "n_docs",
+        F.expr(f"(n_docs + {_BPP_BATCH - 1}) div {_BPP_BATCH}").alias("n_batches"),
+        "real_tokens",
+        (F.col("n_docs") * F.col("bucket_len")).alias("padded_tokens"),
+        F.expr(
+            "(n_docs * bucket_len - real_tokens) * CAST(1000000 AS BIGINT)"
+            " div (n_docs * bucket_len)"
+        ).alias("waste_ppm"),
+    )
+
+
+_BPP_CASE = "CASE " + " ".join(
+    f"WHEN n_tokens <= {w} THEN {w}" for w in _BPP_LADDER
+) + f" ELSE {_BPP_LADDER[-1] * 2} END"
+
+SQL_BATCH_PADDING_PLAN = f"""
+WITH dl AS (
+  SELECT doc_id, COUNT(*) AS n_tokens
+  FROM (SELECT doc_id, t.token
+        FROM documents,
+             LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+               AS t(token)
+        WHERE t.token != '')
+  GROUP BY doc_id
+), bucketed AS (
+  SELECT CAST({_BPP_CASE} AS BIGINT) AS bucket_len, n_tokens FROM dl
+), per_bucket AS (
+  SELECT bucket_len, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS real_tokens
+  FROM bucketed GROUP BY bucket_len
+)
+SELECT bucket_len, n_docs,
+       (n_docs + {_BPP_BATCH - 1}) // {_BPP_BATCH} AS n_batches,
+       real_tokens,
+       n_docs * bucket_len AS padded_tokens,
+       (n_docs * bucket_len - real_tokens) * CAST(1000000 AS BIGINT)
+         // (n_docs * bucket_len) AS waste_ppm
+FROM per_bucket
+"""
+
+QUERIES_EXT25["q_batch_padding_plan"] = q_batch_padding_plan
+ORACLE_EXT25["q_batch_padding_plan"] = SQL_BATCH_PADDING_PLAN

@@ -138,6 +138,32 @@ def test_contrastive_pairs_numpy_replay(spark, sf_dir):
         assert got_neg == [(v, e) for v, _, e in exp_neg]
 
 
+def test_batch_padding_plan_exact_accounting(spark, sf_dir):
+    """Bucket assignment, batch counts and waste must replay exactly
+    from the raw token counts."""
+    rows = {r.bucket_len: r for r in QUERIES["q_batch_padding_plan"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import re
+    from collections import defaultdict
+
+    buckets = defaultdict(lambda: [0, 0])  # bucket -> [n_docs, real_tokens]
+    for d in docs:
+        n = len([t for t in re.split(r"[^a-z0-9]+", d.text.lower()) if t])
+        if n == 0:
+            continue
+        b = next((w for w in (16, 32, 64, 128, 256, 512, 1024) if n <= w), 2048)
+        buckets[b][0] += 1
+        buckets[b][1] += n
+    assert set(rows) == set(buckets)
+    for b, (nd, real) in buckets.items():
+        r = rows[b]
+        assert r.n_docs == nd and r.real_tokens == real
+        assert r.n_batches == (nd + 31) // 32
+        assert r.padded_tokens == nd * b
+        assert r.waste_ppm == (nd * b - real) * 1000000 // (nd * b)
+        assert 0 <= r.waste_ppm < 1000000  # padded >= real, always some content
+
+
 def test_hybrid_final_carve_is_top_k(spark, sf_dir):
     """The final fusion carve must compile to TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
