@@ -31,7 +31,14 @@ from glue_etl_nyc_yellow_taxi_analysis_spark.operators import dedup
 from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
 from glue_etl_nyc_yellow_taxi_analysis_spark.session import get_spark
 
-REHEARSAL_QUERIES = ("q_minhash_dedup_oracle", "q_dedup_incremental", "q_ann_lsh_oracle")
+REHEARSAL_QUERIES = (
+    "q_minhash_dedup_oracle",
+    "q_dedup_incremental",
+    "q_ann_lsh_oracle",
+    # round-4 retrieval stack: BM25 tokenize + dense cosine + fusion
+    "q_hybrid_retrieval",
+    "q_contrastive_pairs",
+)
 
 
 def profile_sf(spark, sf_dir: str) -> dict:
