@@ -174,6 +174,10 @@ def _mmr_cand_sims(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # coalesce(1) before caching: 20/380-row tables across 32 cached
+    # partitions cost ~1000 empty task launches over the 10 greedy steps
+    # (measured 3.6s → the scheduling floor); one partition is the right
+    # layout for k-bounded state
     cand = (
         similarity.cosine_topk(emb, q, k=_MMR_CAND)
         .select(
@@ -182,6 +186,7 @@ def _mmr_cand_sims(spark, sf_dir):
             .cast("long")
             .alias("rel_e6"),
         )
+        .coalesce(1)
         .cache()
     )
     cvec = emb.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
@@ -203,6 +208,7 @@ def _mmr_cand_sims(spark, sf_dir):
             .cast("long")
             .alias("sim_e6"),
         )
+        .coalesce(1)
         .cache()
     )
     return cand, sims

@@ -404,3 +404,41 @@ def test_dedup_index_persist_bucketed_probe(spark, sf_dir):
     plan = _plan(QUERIES["q_dedup_index_persist"](spark, sf_dir))
     assert "Bucketed: true" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hybrid_retrieval_broadcasts_and_top_k_carves(spark, sf_dir):
+    """Both retrieval channels must carve their top-N with
+    TakeOrderedAndProject (per-partition top-k) and every small side
+    (df/stats/query vector/fused ranks) must broadcast — no sort-merge
+    join anywhere in the fusion."""
+    plan = _plan(QUERIES["q_hybrid_retrieval"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2  # channel carves + final
+    # corpus-sized joins (tf⋈df/stats, dense scoring) all broadcast; a
+    # sort-merge join may appear ONLY as the post-carve FullOuter fusion
+    # of the two ≤20-row rank lists (broadcast cannot do full outer)
+    import re
+
+    smj_types = set(re.findall(r"SortMergeJoin (\w+)", plan))
+    assert smj_types <= {"FullOuter"}, smj_types
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_pairs_broadcast_anchors_single_window(spark, sf_dir):
+    """Anchors broadcast into the scoring pass (the corpus never
+    shuffles for the join); the only wide exchange feeds the
+    per-(anchor, role) top-k window."""
+    plan = _plan(QUERIES["q_contrastive_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one partial window exchange (+ AQE variants) — never a per-join shuffle
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_batch_padding_plan_single_keyed_shuffle(spark, sf_dir):
+    """Token counting is the only corpus-sized shuffle; bucket math and
+    the per-bucket report add at most the final O(|buckets|) exchange
+    (plus the spread() round-robin widening of the narrow testdata
+    scan), with zero Python anywhere."""
+    plan = _plan(QUERIES["q_batch_padding_plan"](spark, sf_dir))
+    assert plan.count("+- Exchange") <= 3
+    assert "Python" not in plan and "BatchEvalPython" not in plan
