@@ -433,16 +433,11 @@ ORACLE_EXT16["q_bpe_apply"] = _sql_bpe_apply()
 _QC_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
-def q_quality_classifier(spark, sf_dir):
-    """Model-based quality filtering, the fasttext-classifier stand-in:
-    a linear model over per-doc features (token count, stopword count,
-    type count) with fixed trained weights, thresholded at logit 0.
-    The logit is computed in CENTI-units so the whole score path is
-    integer arithmetic — bit-identical on any engine, any partitioning:
-    logit_centi = -300 + 2*n_tok + 25*n_stop + 8*n_types.  One scan,
-    every feature from one tokens() projection; verdicts join back to
-    nothing (pure map after the per-doc feature aggregate)."""
-    docs = _t(spark, sf_dir, "documents")
+def quality_scores(docs):
+    """Per-doc quality-classifier scores over any documents frame
+    (doc_id, text, source) — the reusable core of q_quality_classifier,
+    also composed by ``jobs.curate_corpus``.  Pure map after one
+    tokens() projection; centi-integer logit lane."""
     toks = text.tokens("text")
     sw = F.array(*[F.lit(s) for s in _QC_STOPWORDS])
     feats = docs.select(
@@ -469,6 +464,18 @@ def q_quality_classifier(spark, sf_dir):
         logit.cast("bigint").alias("logit_centi"),
         F.when(logit > 0, 1).otherwise(0).alias("keep"),
     )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, the fasttext-classifier stand-in:
+    a linear model over per-doc features (token count, stopword count,
+    type count) with fixed trained weights, thresholded at logit 0.
+    The logit is computed in CENTI-units so the whole score path is
+    integer arithmetic — bit-identical on any engine, any partitioning:
+    logit_centi = -300 + 2*n_tok + 25*n_stop + 8*n_types.  One scan,
+    every feature from one tokens() projection; verdicts join back to
+    nothing (pure map after the per-doc feature aggregate)."""
+    return quality_scores(_t(spark, sf_dir, "documents"))
 
 
 _QC_SW_SQL = "[" + ", ".join(f"'{s}'" for s in _QC_STOPWORDS) + "]"
