@@ -195,6 +195,7 @@ HEADLINE = [
     "q_rag_context_pack",
     "q_contrastive_pairs",
     "q_batch_padding_plan",
+    "q_arrow_map",
 ]
 
 

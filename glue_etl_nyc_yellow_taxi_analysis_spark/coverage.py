@@ -53,6 +53,7 @@ PINNED: tuple[str, ...] = (
     "q_rag_context_pack",  # r4: new context-budget packing (registry tail)
     "q_contrastive_pairs",  # r4: new hard-negative mining (registry tail)
     "q_batch_padding_plan",  # r4: new padding-waste audit (registry tail)
+    "q_arrow_map",  # r4: new mapInArrow surface (registry tail)
 )
 
 RECHECK_QUOTA = 4

@@ -539,3 +539,58 @@ FROM per_bucket
 
 QUERIES_EXT25["q_batch_padding_plan"] = q_batch_padding_plan
 ORACLE_EXT25["q_batch_padding_plan"] = SQL_BATCH_PADDING_PLAN
+
+
+# --------------------------------------------------------------------------
+# mapInArrow surface
+# --------------------------------------------------------------------------
+
+
+def q_arrow_map(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy Arrow batch surface (Spark 4's
+    lowest-overhead Python lane: raw RecordBatches, no pandas
+    conversion).  Declared the same way the UDTF/DataSource surfaces
+    are: one genuinely imperative computation (per-doc utf-8 byte
+    statistics via numpy over the Arrow buffers) whose exact-integer
+    output a SQL oracle replays byte-for-byte.  For expressible logic
+    the JVM expression lanes remain the scale path; this is the proof
+    the Arrow-native escape hatch works end-to-end."""
+    from .queries import _t
+
+    def _byte_stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("doc_id")
+            texts = b.column("text").cast(pa.binary())
+            n_bytes, sums = [], []
+            for t in texts:
+                buf = t.as_py() or b""
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n_bytes.append(len(buf))
+                sums.append(int(arr.sum()))
+            yield pa.record_batch(
+                [ids, pa.array(n_bytes, pa.int64()), pa.array(sums, pa.int64())],
+                names=["doc_id", "n_bytes", "byte_sum"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_byte_stats, "doc_id long, n_bytes long, byte_sum long")
+
+
+SQL_ARROW_MAP = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(0, n), p ->
+              ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT)), 0) AS BIGINT)
+         AS byte_sum
+FROM b
+"""
+
+QUERIES_EXT25["q_arrow_map"] = q_arrow_map
+ORACLE_EXT25["q_arrow_map"] = SQL_ARROW_MAP
