@@ -196,6 +196,7 @@ HEADLINE = [
     "q_contrastive_pairs",
     "q_batch_padding_plan",
     "q_arrow_map",
+    "q_arrow_grouped",
 ]
 
 

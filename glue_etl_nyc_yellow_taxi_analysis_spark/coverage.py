@@ -54,6 +54,7 @@ PINNED: tuple[str, ...] = (
     "q_contrastive_pairs",  # r4: new hard-negative mining (registry tail)
     "q_batch_padding_plan",  # r4: new padding-waste audit (registry tail)
     "q_arrow_map",  # r4: new mapInArrow surface (registry tail)
+    "q_arrow_grouped",  # r4: new applyInArrow surface (registry tail)
 )
 
 RECHECK_QUOTA = 4

@@ -594,3 +594,66 @@ FROM b
 
 QUERIES_EXT25["q_arrow_map"] = q_arrow_map
 ORACLE_EXT25["q_arrow_map"] = SQL_ARROW_MAP
+
+
+def q_arrow_grouped(spark, sf_dir):
+    """``applyInArrow`` — the grouped-map Arrow surface, completing the
+    Python-lane matrix (mapInPandas / mapInArrow / applyInPandas /
+    applyInArrow / applyInPandasWithState / UDTF / DataSource — each
+    declared once with an oracle).  Per-source byte statistics computed
+    with numpy over each group's Arrow table; groups must fit in
+    executor memory (the applyInPandas contract, same here)."""
+    from .queries import _t
+
+    def _per_source(table):
+        import numpy as np
+        import pyarrow as pa
+
+        texts = table.column("text").cast(pa.binary())
+        sizes = [len(t.as_py() or b"") for t in texts]
+        sums = [
+            int(np.frombuffer(t.as_py() or b"", dtype=np.uint8).sum()) for t in texts
+        ]
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [len(sizes)],
+                "total_bytes": [int(sum(sizes))],
+                "max_doc_bytes": [int(max(sizes)) if sizes else 0],
+                "byte_sum": [int(sum(sums))],
+            },
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_bytes", pa.int64()),
+                    ("max_doc_bytes", pa.int64()),
+                    ("byte_sum", pa.int64()),
+                ]
+            ),
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return docs.groupBy("source").applyInArrow(
+        _per_source,
+        "source string, n_docs long, total_bytes long, max_doc_bytes long, byte_sum long",
+    )
+
+
+SQL_ARROW_GROUPED = """
+WITH b AS (
+  SELECT source, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_bytes,
+       CAST(MAX(n) AS BIGINT) AS max_doc_bytes,
+       CAST(SUM(COALESCE(list_sum(list_transform(range(0, n), p ->
+              ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT)), 0)) AS BIGINT)
+         AS byte_sum
+FROM b GROUP BY source
+"""
+
+QUERIES_EXT25["q_arrow_grouped"] = q_arrow_grouped
+ORACLE_EXT25["q_arrow_grouped"] = SQL_ARROW_GROUPED
