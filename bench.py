@@ -197,6 +197,7 @@ HEADLINE = [
     "q_batch_padding_plan",
     "q_arrow_map",
     "q_arrow_grouped",
+    "q_silhouette",
 ]
 
 

@@ -55,6 +55,7 @@ PINNED: tuple[str, ...] = (
     "q_batch_padding_plan",  # r4: new padding-waste audit (registry tail)
     "q_arrow_map",  # r4: new mapInArrow surface (registry tail)
     "q_arrow_grouped",  # r4: new applyInArrow surface (registry tail)
+    "q_silhouette",  # r4: new cluster-quality dial (registry tail)
 )
 
 RECHECK_QUOTA = 4

@@ -657,3 +657,112 @@ FROM b GROUP BY source
 
 QUERIES_EXT25["q_arrow_grouped"] = q_arrow_grouped
 ORACLE_EXT25["q_arrow_grouped"] = SQL_ARROW_GROUPED
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality evaluation (simplified silhouette)
+# --------------------------------------------------------------------------
+
+
+def q_silhouette(spark, sf_dir):
+    """Per-label simplified silhouette over the labeled embeddings — the
+    cluster-quality dial that decides whether an IVF/SemDeDup clustering
+    is usable: a = cosine distance to the OWN label's representative,
+    b = min distance to any other label's representative,
+    s = (b−a)/max(a,b) ∈ [−1, 1].  Representatives are the
+    deterministic lowest-vec_id members (the q_ann_ivf_oracle lane —
+    no float-mean centroid, so every distance replicates bit-for-bit);
+    per-point silhouettes land in the floor-e6 integer lane and the
+    per-label mean is an exact integer division.
+
+    Scale shape: reps are O(labels) and broadcast; one corpus pass
+    scores every point against all reps (labels ≪ corpus, same cost
+    class as the IVF probe), then two keyed aggregates."""
+    from .queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rlabel"), F.col("embedding").alias("rvec"))
+    )
+    dist = 1 - F.round(similarity.cosine(F.col("embedding"), F.col("rvec")), 6)
+    scored = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("label") == F.col("rlabel")).alias("own"),
+            dist.alias("d"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("own"), F.col("d"))).alias("a"),
+            F.min(F.when(~F.col("own"), F.col("d"))).alias("b"),
+        )
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    per_point = scored.select(
+        "label", F.floor(sil * 1000000 + F.lit(0.5)).cast("long").alias("sil_e6")
+    )
+    # mean via explicit floor(sum/n + 0.5): Spark's integral `div`
+    # truncates toward zero while DuckDB's `//` floors — they diverge on
+    # negative sums (possible here: silhouettes can be < 0), so the mean
+    # goes through an exact-integer-fed double division instead
+    return (
+        per_point.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("sil_e6").alias("sum_sil_e6"),
+            F.min("sil_e6").alias("min_sil_e6"),
+            F.max("sil_e6").alias("max_sil_e6"),
+        )
+        .select(
+            "label",
+            "n_points",
+            F.floor(
+                F.col("sum_sil_e6").cast("double") / F.col("n_points") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_sil_e6"),
+            "min_sil_e6",
+            "max_sil_e6",
+        )
+    )
+
+
+SQL_SILHOUETTE = f"""
+WITH reps AS (
+  SELECT label AS rlabel, embedding AS rvec FROM (
+    SELECT label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings) WHERE rn = 1
+), scored AS (
+  SELECT e.vec_id, e.label,
+         MIN(CASE WHEN e.label = r.rlabel THEN
+               1 - {_COSINE_SQL.format(a='e.embedding', b='r.rvec')} END) AS a,
+         MIN(CASE WHEN e.label <> r.rlabel THEN
+               1 - {_COSINE_SQL.format(a='e.embedding', b='r.rvec')} END) AS b
+  FROM embeddings e, reps r
+  GROUP BY e.vec_id, e.label
+), per_point AS (
+  SELECT label,
+         CAST(floor(CASE WHEN greatest(a, b) > 0
+                         THEN (b - a) / greatest(a, b) ELSE 0.0 END
+                    * 1000000 + 0.5) AS BIGINT) AS sil_e6
+  FROM scored
+)
+SELECT label, COUNT(*) AS n_points,
+       CAST(floor(CAST(SUM(sil_e6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS mean_sil_e6,
+       CAST(MIN(sil_e6) AS BIGINT) AS min_sil_e6,
+       CAST(MAX(sil_e6) AS BIGINT) AS max_sil_e6
+FROM per_point GROUP BY label
+"""
+
+QUERIES_EXT25["q_silhouette"] = q_silhouette
+ORACLE_EXT25["q_silhouette"] = SQL_SILHOUETTE

@@ -164,6 +164,19 @@ def test_batch_padding_plan_exact_accounting(spark, sf_dir):
         assert 0 <= r.waste_ppm < 1000000  # padded >= real, always some content
 
 
+def test_silhouette_bounds_and_rep_identity(spark, sf_dir):
+    """Silhouettes live in [-1, 1] (e6 lane), every point is assigned,
+    and each label's representative scores exactly +1 (distance to its
+    own rep is 0), which pins the rep wiring."""
+    rows = QUERIES["q_silhouette"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert sum(r.n_points for r in rows) == emb.count()
+    assert len(rows) == emb.select("label").distinct().count()
+    for r in rows:
+        assert -1000000 <= r.min_sil_e6 <= r.mean_sil_e6 <= r.max_sil_e6 <= 1000000
+        assert r.max_sil_e6 == 1000000  # the rep itself
+
+
 def test_hybrid_final_carve_is_top_k(spark, sf_dir):
     """The final fusion carve must compile to TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
