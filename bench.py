@@ -198,6 +198,7 @@ HEADLINE = [
     "q_arrow_map",
     "q_arrow_grouped",
     "q_silhouette",
+    "q_dedup_threshold_sweep",
 ]
 
 

@@ -56,6 +56,7 @@ PINNED: tuple[str, ...] = (
     "q_arrow_map",  # r4: new mapInArrow surface (registry tail)
     "q_arrow_grouped",  # r4: new applyInArrow surface (registry tail)
     "q_silhouette",  # r4: new cluster-quality dial (registry tail)
+    "q_dedup_threshold_sweep",  # r4: new τ-tuning dial (registry tail)
 )
 
 RECHECK_QUOTA = 4

@@ -71,7 +71,11 @@ _BAND_UNION_SQL = "\n        UNION ALL\n        ".join(
     for b in range(_MH_BANDS)
 )
 
-SQL_MINHASH_DEDUP_ORACLE = f"""
+def sql_minhash_pairs(tau: float) -> str:
+    """md5-lane MinHash-LSH verified-pairs SQL, parameterized on the
+    verification threshold (shared by the τ=0.5 dedup oracle and the
+    threshold-sweep dial in queries_ext25)."""
+    return f"""
 WITH base AS (
     SELECT doc_id AS id, {TOKS_SQL.format(c='text')} AS toks FROM documents
 ), shs AS (
@@ -103,8 +107,11 @@ SELECT id_a, id_b, ROUND(jaccard_raw, 6) AS jaccard_sim FROM (
 -- filter on the RAW jaccard, round only for output — matching
 -- dedup.minhash_dedup_pairs' order of operations (a pair with raw
 -- jaccard in [τ-5e-7, τ) must fail BOTH engines)
-WHERE jaccard_raw >= {_MH_TAU}
+WHERE jaccard_raw >= {tau}
 """
+
+
+SQL_MINHASH_DEDUP_ORACLE = sql_minhash_pairs(_MH_TAU)
 
 QUERIES_EXT13["q_minhash_dedup_oracle"] = q_minhash_dedup_oracle
 ORACLE_EXT13["q_minhash_dedup_oracle"] = SQL_MINHASH_DEDUP_ORACLE

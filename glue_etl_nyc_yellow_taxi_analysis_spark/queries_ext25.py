@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .operators import similarity
+from .operators import dedup, similarity
 from .queries import _COSINE_SQL, _t
 from .queries_ext9 import bm25_scores
 
@@ -766,3 +766,60 @@ FROM per_point GROUP BY label
 
 QUERIES_EXT25["q_silhouette"] = q_silhouette
 ORACLE_EXT25["q_silhouette"] = SQL_SILHOUETTE
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sweep
+# --------------------------------------------------------------------------
+
+_SWEEP_FLOOR = 0.3  # verify floor: candidates below this are discarded
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Threshold-sensitivity dial for near-dup tuning: ONE banding +
+    verification pass at a low floor (τ=0.3), then verified pairs are
+    bucketed by Jaccard tenth with a cumulative pairs-at-or-above count
+    — what a curation run inspects to pick its production τ without
+    re-running the pipeline per candidate threshold.  Banding is fixed
+    (12 hashes / 4 bands, md5 lane), exactly how a production sweep
+    works: candidate recall is a banding property, the sweep varies
+    only the verify cut.  The cumulative window runs over ≤ 8 bucket
+    rows."""
+    from .queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=12, bands=4, shingle_n=3,
+        threshold=_SWEEP_FLOOR, lane="md5",
+    )
+    counts = (
+        pairs.select(
+            F.floor(F.col("jaccard_sim") * 10).cast("long").alias("tau_tenths")
+        )
+        .groupBy("tau_tenths")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("tau_tenths")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return counts.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w))
+
+
+from .queries_ext13 import sql_minhash_pairs  # noqa: E402
+
+SQL_DEDUP_THRESHOLD_SWEEP = f"""
+WITH pairs AS ({sql_minhash_pairs(_SWEEP_FLOOR)}),
+c AS (
+  SELECT CAST(floor(jaccard_sim * 10) AS BIGINT) AS tau_tenths,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT tau_tenths, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY tau_tenths DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM c
+"""
+
+QUERIES_EXT25["q_dedup_threshold_sweep"] = q_dedup_threshold_sweep
+ORACLE_EXT25["q_dedup_threshold_sweep"] = SQL_DEDUP_THRESHOLD_SWEEP

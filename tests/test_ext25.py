@@ -177,6 +177,26 @@ def test_silhouette_bounds_and_rep_identity(spark, sf_dir):
         assert r.max_sil_e6 == 1000000  # the rep itself
 
 
+def test_dedup_threshold_sweep_reconciles(spark, sf_dir):
+    """Buckets respect the verify floor, the cumulative column is the
+    suffix sum, and the high-threshold tail agrees with the τ=0.5
+    production count (both filter the same raw-jaccard pair set)."""
+    rows = sorted(
+        QUERIES["q_dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: -r.tau_tenths,
+    )
+    assert rows and all(r.tau_tenths >= 3 for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.n_pairs
+        assert r.n_pairs_at_or_above == cum
+    at_or_above_5 = sum(r.n_pairs for r in rows if r.tau_tenths >= 5)
+    oracle_pairs = QUERIES["q_minhash_dedup_oracle"](spark, sf_dir).count()
+    # identical pipeline and params; rounding at the 0.5 boundary can
+    # shift a pair by one bucket at most
+    assert abs(at_or_above_5 - oracle_pairs) <= 1
+
+
 def test_hybrid_final_carve_is_top_k(spark, sf_dir):
     """The final fusion carve must compile to TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
