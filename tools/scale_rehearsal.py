@@ -38,6 +38,11 @@ REHEARSAL_QUERIES = (
     # round-4 retrieval stack: BM25 tokenize + dense cosine + fusion
     "q_hybrid_retrieval",
     "q_contrastive_pairs",
+    # corpus-wide text-dedup passes (K-gram / shingle-DF shuffles —
+    # shuffle volume scales with corpus tokens, the heaviest text path)
+    "q_substr_dedup",
+    "q_boilerplate_ratio",
+    "q_line_dedup",
 )
 
 
