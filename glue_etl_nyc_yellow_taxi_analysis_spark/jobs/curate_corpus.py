@@ -44,10 +44,13 @@ def curate(spark, source: str, output: str, threshold: float = 0.6, shards: int 
     n_input = docs.count()
 
     # 1. exact dedup: arg-min doc_id per md5(text) — one keyed shuffle of
-    # (16-byte fingerprint, id); dropDuplicates would be nondeterministic
+    # (16-byte fingerprint, id); dropDuplicates would be nondeterministic.
+    # Each surviving stage is cached: it feeds the next stage AND its
+    # count action AND (for the last) the write + split rollup — without
+    # persistence the whole upstream pipeline re-runs ~4× (review r4)
     fp = docs.withColumn("__fp", F.md5("text"))
     keep_ids = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    exact_kept = docs.join(keep_ids, "doc_id", "left_semi")
+    exact_kept = docs.join(keep_ids, "doc_id", "left_semi").persist()
     n_exact = exact_kept.count()
 
     # 2. near dedup: banded MinHash candidates, verified pairs, connected
@@ -59,8 +62,9 @@ def curate(spark, source: str, output: str, threshold: float = 0.6, shards: int 
     dupes = comp.filter(F.col("u") != F.col("label")).select(
         F.col("u").alias("doc_id")
     )
-    near_kept = exact_kept.join(dupes, "doc_id", "left_anti")
+    near_kept = exact_kept.join(dupes, "doc_id", "left_anti").persist()
     n_near = near_kept.count()
+    exact_kept.unpersist()
 
     # 3. quality filter: centi-integer logit classifier
     from .. import queries as _queries  # noqa: F401  (finish the registry
@@ -71,8 +75,9 @@ def curate(spark, source: str, output: str, threshold: float = 0.6, shards: int 
     scores = quality_scores(near_kept).select("doc_id", "keep")
     quality_kept = near_kept.join(
         scores.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
-    )
+    ).persist()
     n_quality = quality_kept.count()
+    near_kept.unpersist()
 
     # 4. deterministic split (90/5/5 by md5 bucket) + per-split shard
     bucket = F.pmod(
@@ -90,14 +95,19 @@ def curate(spark, source: str, output: str, threshold: float = 0.6, shards: int 
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
     ).withColumn("shard", shard)
 
-    # 5. write partitioned by split
+    # 5. write partitioned by split; the split rollup reads the WRITTEN
+    # corpus back (metadata-cheap) instead of re-running the pipeline
     final.write.mode("overwrite").partitionBy("split").option(
         "compression", "snappy"
     ).parquet(output)
+    quality_kept.unpersist()
 
     splits = {
         r["split"]: r["n"]
-        for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in spark.read.parquet(output)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     card = {
         "input_docs": n_input,

@@ -463,25 +463,42 @@ def connected_components(
     At the fixpoint the edge set IS the answer: one (node, component-min)
     edge per non-root node.  ``rounds_out``, if given, receives the round
     count (appended) so tests can pin the convergence bound.
+
+    Node ids must be integral (the min-label ordering, the decimal
+    signature sums, and the star comparisons all assume it) — a
+    non-integral id column raises instead of silently casting to NULL
+    and returning an empty labeling.  Raises RuntimeError if the
+    fixpoint is not reached within ``max_iter`` rounds: a partially
+    contracted edge set yields silently wrong labels, which a dedup
+    caller would turn into silently kept duplicates.
     """
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("u"),
-            F.col(dst).cast("long").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-    )
-    # canonical orientation u > v (small-star form); checkpoint FIRST so
-    # the (possibly expensive) upstream edge computation runs exactly
-    # once — nodes derive from the checkpointed set, not a second scan
-    e = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    dtypes = dict(edges.dtypes)
+    for c in (src, dst):
+        if dtypes[c] not in integral:
+            raise TypeError(
+                f"connected_components needs integral node ids; column "
+                f"{c!r} is {dtypes[c]} — map ids to longs first "
+                f"(e.g. zipWithUniqueId / a dense-rank dimension)"
+            )
+    # checkpoint the raw cast edge list FIRST so the (possibly
+    # expensive) upstream edge computation runs exactly once — both the
+    # node universe (which must include self-loop-only nodes) and the
+    # working edge set derive from it
+    e0 = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+    ).localCheckpoint()
+    nodes = (
+        e0.select("u")
+        .unionByName(e0.select(F.col("v").alias("u")))
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select("u")
-        .unionByName(e.select(F.col("v").alias("u")))
+    # canonical orientation u > v (small-star form), self-loops dropped
+    e = (
+        e0.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -507,7 +524,10 @@ def connected_components(
     prev_sig = tuple(e.agg(*sig_expr).first())
     e = _fit_partitions(e, prev_sig[0] or 0)
     rounds = 0
+    converged = prev_sig[0] == 0  # empty edge set: nothing to contract
     for it in range(max_iter):
+        if converged:
+            break
         rounds = it + 1
         # large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -539,9 +559,17 @@ def connected_components(
         # an unchanged edge set modulo a 64-bit hash collision)
         sig = tuple(e.agg(*sig_expr).first())
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
         e = _fit_partitions(e, sig[0] or 0)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint within "
+            f"{max_iter} rounds ({prev_sig[0]} edges remain) — a partial "
+            f"contraction labels wrongly; raise max_iter (O(log² n) "
+            f"rounds suffice on any topology)"
+        )
     if rounds_out is not None:
         rounds_out.append(rounds)
     # at the fixpoint each non-root u has exactly one (u, root) edge;

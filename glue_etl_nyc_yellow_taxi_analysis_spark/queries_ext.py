@@ -949,10 +949,12 @@ ORACLE_EXT.update(
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: connected components over the
-    3-gram-Jaccard candidate graph (min-label propagation, one shuffle per
-    round, diameter-bounded).  Every document gets a cluster id (its
-    component's smallest doc_id; singletons cluster with themselves) and a
-    cluster size — the canonical keep-one-per-cluster dedup driver."""
+    3-gram-Jaccard candidate graph (alternating large-star/small-star
+    contraction — two keyed shuffles per round, O(log² n) rounds on any
+    topology; see operators/dedup.connected_components).  Every document
+    gets a cluster id (its component's smallest doc_id; singletons
+    cluster with themselves) and a cluster size — the canonical
+    keep-one-per-cluster dedup driver."""
     from .operators import dedup as dd
 
     docs = _t(spark, sf_dir, "documents").withColumn(

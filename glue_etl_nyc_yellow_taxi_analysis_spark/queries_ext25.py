@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, similarity
 from .queries import _COSINE_SQL, _t
-from .queries_ext9 import bm25_scores
+from .queries_ext9 import BM25_CTES, bm25_scores
 
 QUERIES_EXT25 = {}
 ORACLE_EXT25 = {}
@@ -79,39 +79,10 @@ def q_hybrid_retrieval(spark, sf_dir):
 
 
 # CTE chain shared by the hybrid-retrieval oracle and the context-pack
-# oracle (which packs the fused ranking against a token budget)
-_HYBRID_CTES = f"""toks AS (
-  SELECT doc_id, t.token
-  FROM documents,
-       LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
-         AS t(token)
-  WHERE t.token != ''
-), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
-), dl AS (
-  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
-), stats AS (
-  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-         (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
-), qtf AS (
-  SELECT * FROM tf WHERE token IN ('spark', 'join', 'fast')
-), df AS (
-  SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1
-), contrib AS (
-  SELECT q.doc_id,
-         CAST(ROUND(
-           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * (q.tf * 2.2)
-           / (q.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
-         8) AS DECIMAL(18,8)) AS c
-  FROM qtf q
-  JOIN df ON q.token = df.token
-  JOIN dl d ON q.doc_id = d.doc_id
-  CROSS JOIN stats s
-), bm AS (
-  SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
-  FROM contrib GROUP BY doc_id
-), lex AS (
+# oracle (which packs the fused ranking against a token budget).  The
+# BM25 portion (toks…bm) is queries_ext9's BM25_CTES — one source of
+# truth with the proven q_bm25_search oracle (review r4).
+_HYBRID_CTES = f"""{BM25_CTES}, lex AS (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
            AS rank_lex
@@ -338,8 +309,17 @@ def q_rag_context_pack(spark, sf_dir):
     )
     w_order = Window.orderBy(F.desc("rrf_e8"), "doc_id")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    # LEFT join + coalesce-0: a doc reaching the top-10 through the
+    # dense channel with no tokens (or no documents row at all) must
+    # stay in the walk at zero cost, not silently vanish and renumber
+    # every later rank (review r4)
     return (
-        fused.join(dl, "doc_id")
+        fused.join(dl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "rrf_e8",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        )
         .select(
             "doc_id",
             F.row_number().over(w_order).cast("long").alias("ctx_rank"),
@@ -355,14 +335,14 @@ WITH {_HYBRID_CTES}
 SELECT h.doc_id,
        CAST(row_number() OVER (ORDER BY rrf_e8 DESC, h.doc_id) AS BIGINT)
          AS ctx_rank,
-       dl.dl AS n_tokens,
-       CAST(SUM(dl.dl) OVER (ORDER BY rrf_e8 DESC, h.doc_id
+       COALESCE(dl.dl, 0) AS n_tokens,
+       CAST(SUM(COALESCE(dl.dl, 0)) OVER (ORDER BY rrf_e8 DESC, h.doc_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_tokens,
-       CAST(SUM(dl.dl) OVER (ORDER BY rrf_e8 DESC, h.doc_id
+       CAST(SUM(COALESCE(dl.dl, 0)) OVER (ORDER BY rrf_e8 DESC, h.doc_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
          <= {_CTX_BUDGET} AS packed
-FROM hybrid_topk h JOIN dl ON h.doc_id = dl.doc_id
+FROM hybrid_topk h LEFT JOIN dl ON h.doc_id = dl.doc_id
 """
 
 QUERIES_EXT25["q_rag_context_pack"] = q_rag_context_pack
@@ -457,8 +437,13 @@ ORACLE_EXT25["q_contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS
 
 _BPP_BATCH = 32  # sequences per training batch
 # power-of-two length ladder as an explicit CASE — log2/pow float forms
-# are banned by the repo convention (libm ulp divergence across engines)
-_BPP_LADDER = (16, 32, 64, 128, 256, 512, 1024)
+# are banned by the repo convention (libm ulp divergence across engines).
+# Covers up to 1M tokens/doc; a doc beyond the ladder gets a dedicated
+# exact-length bucket (padded == real, zero waste) so padded_tokens can
+# never undershoot real_tokens — waste_ppm stays non-negative, keeping
+# the integer division out of the Spark-div-truncates vs DuckDB-//-floors
+# divergence zone (negative operands round differently)
+_BPP_LADDER = tuple(2**k for k in range(4, 21))  # 16 .. 1,048,576
 
 
 def q_batch_padding_plan(spark, sf_dir):
@@ -482,7 +467,7 @@ def q_batch_padding_plan(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
-    bucket = F.lit(_BPP_LADDER[-1] * 2).cast("long")
+    bucket = F.col("n_tokens").cast("long")  # beyond-ladder: exact-fit bucket
     for width in reversed(_BPP_LADDER):
         bucket = F.when(F.col("n_tokens") <= width, F.lit(width).cast("long")).otherwise(
             bucket
@@ -510,7 +495,7 @@ def q_batch_padding_plan(spark, sf_dir):
 
 _BPP_CASE = "CASE " + " ".join(
     f"WHEN n_tokens <= {w} THEN {w}" for w in _BPP_LADDER
-) + f" ELSE {_BPP_LADDER[-1] * 2} END"
+) + " ELSE n_tokens END"
 
 SQL_BATCH_PADDING_PLAN = f"""
 WITH dl AS (

@@ -211,8 +211,12 @@ def q_bm25_search(spark, sf_dir):
     return bm25_scores(d).orderBy(F.desc("bm25"), "doc_id").limit(15)
 
 
-SQL_BM25_SEARCH = """
-WITH toks AS (
+# The tokenize → tf/dl/stats → term-filter → per-term contribution →
+# per-doc score CTE chain, shared by the BM25 oracle and the hybrid /
+# context-pack oracles in queries_ext25 (single source of truth for the
+# k1/b constants and the decimal-exact rounding; review r4).  `dl` also
+# serves as the per-doc token count for downstream packing oracles.
+BM25_CTES = f"""toks AS (
   SELECT doc_id, t.token
   FROM documents,
        LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
@@ -226,26 +230,31 @@ WITH toks AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
          (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
 ), qtf AS (
-  SELECT * FROM tf WHERE token IN ('spark', 'join', 'fast')
+  SELECT * FROM tf WHERE token IN {str(_BM25_TERMS)}
 ), df AS (
   SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1
 ), contrib AS (
   SELECT q.doc_id,
          CAST(ROUND(
            ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * (q.tf * 2.2)
-           / (q.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+           * (q.tf * {_BM25_K1 + 1.0})
+           / (q.tf + {_BM25_K1} * ({round(1.0 - _BM25_B, 10)} + {_BM25_B} * d.dl / s.avgdl)),
          8) AS DECIMAL(18,8)) AS c
   FROM qtf q
   JOIN df ON q.token = df.token
   JOIN dl d ON q.doc_id = d.doc_id
   CROSS JOIN stats s
-)
-SELECT doc_id,
-       ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25,
-       COUNT(*) AS n_terms_hit
-FROM contrib
-GROUP BY doc_id
+), bm AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25,
+         COUNT(*) AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+)"""
+
+SQL_BM25_SEARCH = f"""
+WITH {BM25_CTES}
+SELECT doc_id, bm25, n_terms_hit
+FROM bm
 ORDER BY bm25 DESC, doc_id
 LIMIT 15
 """

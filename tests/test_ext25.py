@@ -141,6 +141,8 @@ def test_contrastive_pairs_numpy_replay(spark, sf_dir):
 def test_batch_padding_plan_exact_accounting(spark, sf_dir):
     """Bucket assignment, batch counts and waste must replay exactly
     from the raw token counts."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext25 import _BPP_LADDER
+
     rows = {r.bucket_len: r for r in QUERIES["q_batch_padding_plan"](spark, sf_dir).collect()}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     import re
@@ -151,7 +153,7 @@ def test_batch_padding_plan_exact_accounting(spark, sf_dir):
         n = len([t for t in re.split(r"[^a-z0-9]+", d.text.lower()) if t])
         if n == 0:
             continue
-        b = next((w for w in (16, 32, 64, 128, 256, 512, 1024) if n <= w), 2048)
+        b = next((w for w in _BPP_LADDER if n <= w), n)  # beyond-ladder: exact fit
         buckets[b][0] += 1
         buckets[b][1] += n
     assert set(rows) == set(buckets)

@@ -85,3 +85,36 @@ def test_connected_components_two_components_and_reversed_ids(spark):
     )
     got = {r.u: r.label for r in connected_components(edges).collect()}
     assert got == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20, 25: 20}
+
+
+def test_connected_components_rejects_non_integral_ids(spark):
+    """String ids would cast to NULL and silently label nothing (review
+    r4) — the operator must refuse them up front."""
+    import pytest
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(edges)
+
+
+def test_connected_components_keeps_self_loop_only_nodes(spark):
+    """A node appearing only in self-loop edges is still a node: it must
+    come back labeled with itself, not vanish (review r4)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "src long, dst long"
+    )
+    got = {r.u: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_connected_components_raises_when_budget_too_small(spark):
+    """Exhausting max_iter before the fixpoint must raise, never return
+    a partially contracted (silently wrong) labeling (review r4)."""
+    import pytest
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=1)
