@@ -118,7 +118,18 @@ def banded_keys(
     the asymmetric probe (incremental new-batch-vs-base dedup).  ``carry``
     lists extra columns to keep alongside the keys (e.g. the shingle set
     for in-stream verification, where a second join back to the source
-    would be a stream-stream join)."""
+    would be a stream-stream join).
+
+    ``bands`` must divide ``num_hashes`` exactly: leftover hashes would
+    silently never influence any band (undocumented recall change), and
+    ``bands > num_hashes`` would make every band key a constant —
+    collapsing the LSH self-join into an O(n²) cross join (review r4)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) "
+            f"— leftover hashes silently change recall, and bands > "
+            f"num_hashes degenerates every band key to a constant"
+        )
     rows_per_band = num_hashes // bands
 
     def band_key(b):
@@ -182,6 +193,13 @@ def minhash_dedup_pairs(
 
     candidates (banding) → join back shingle sets → exact-Jaccard verify.
     Returns (id_a, id_b, jaccard_sim).
+
+    The signature table is ``.cache()``d (it feeds the candidate join and
+    both verification join-backs); the blocks are released when the plan's
+    RDD is garbage-collected (Spark's ContextCleaner).  A long-lived
+    session looping this operator over many shards should
+    ``spark.catalog.clearCache()`` between shards — the bench harness
+    does exactly that per query.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, lane).cache()
     cands = minhash_lsh_candidates(sigs, num_hashes, bands, lane)

@@ -28,19 +28,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_index(
-    df: DataFrame,
-    order_col: str,
-    index_col: str = "idx",
-    buckets: int = 32,
-    start: int = 1,
-) -> DataFrame:
-    """Add a contiguous global index following ``ORDER BY order_col``.
-
-    ``order_col`` must be numeric and UNIQUE (the caller supplies any
-    tiebreak by pre-combining columns); uniqueness is what makes the
-    index deterministic.
-    """
+def _range_buckets(
+    df: DataFrame, order_col: str, buckets: int
+) -> tuple[DataFrame, int]:
+    """Shared phase 1: quantile boundaries → ``__bucket`` range-bucket
+    column.  Returns (bucketed df, number of buckets).  The subtle
+    ``repr(b)``-into-SQL literal interpolation lives in exactly one place
+    (review r4) — a quoting/NaN fix here serves both consumers."""
     probs = [i / buckets for i in range(1, buckets)]
     row = df.select(
         F.expr(
@@ -56,7 +50,23 @@ def global_index(
         )
     else:
         bucket_expr = F.lit(0)
-    bucketed = df.withColumn("__bucket", bucket_expr.cast("int"))
+    return df.withColumn("__bucket", bucket_expr.cast("int")), len(bounds) + 1
+
+
+def global_index(
+    df: DataFrame,
+    order_col: str,
+    index_col: str = "idx",
+    buckets: int = 32,
+    start: int = 1,
+) -> DataFrame:
+    """Add a contiguous global index following ``ORDER BY order_col``.
+
+    ``order_col`` must be numeric and UNIQUE (the caller supplies any
+    tiebreak by pre-combining columns); uniqueness is what makes the
+    index deterministic.
+    """
+    bucketed, n_buckets = _range_buckets(df, order_col, buckets)
 
     counts = {
         r["__bucket"]: r["c"]
@@ -65,7 +75,7 @@ def global_index(
         .collect()
     }
     offsets, acc = [], start
-    for b in range(len(bounds) + 1):
+    for b in range(n_buckets):
         offsets.append((b, acc))
         acc += counts.get(b, 0)
     spark = df.sparkSession
@@ -103,19 +113,7 @@ def global_running_sum(
     byte-identical to the single-partition window.  This is the
     backbone of sequence packing: token budgets are running sums.
     """
-    probs = [i / buckets for i in range(1, buckets)]
-    row = df.select(
-        F.expr(
-            f"approx_percentile({order_col}, array({', '.join(map(str, probs))}), 10000)"
-        ).alias("bs")
-    ).first()
-    bounds = sorted(set(row["bs"] or []))
-    if bounds:
-        lits = ", ".join(repr(b) for b in bounds)
-        bucket_expr = F.expr(f"size(filter(array({lits}), b -> {order_col} > b))")
-    else:
-        bucket_expr = F.lit(0)
-    bucketed = df.withColumn("__bucket", bucket_expr.cast("int"))
+    bucketed, n_buckets = _range_buckets(df, order_col, buckets)
 
     sums = {
         r["__bucket"]: r["s"]
@@ -124,7 +122,7 @@ def global_running_sum(
         .collect()
     }
     offsets, acc = [], 0
-    for b in range(len(bounds) + 1):
+    for b in range(n_buckets):
         offsets.append((b, acc))
         acc += int(sums.get(b) or 0)
     off_df = df.sparkSession.createDataFrame(offsets, ["__bucket", "__offset"])

@@ -147,15 +147,24 @@ def resize_images(
 
 
 def sample_frames(
-    df: DataFrame, every_nth: int = 8, max_frames: int = 4, fake_decode: bool = True
+    df: DataFrame,
+    every_nth: int = 8,
+    max_frames: int = 4,
+    frame_size: int = 8,
+    fake_decode: bool = True,
 ) -> DataFrame:
     """Frame-sampling plumbing: one input video row → N output frame rows
     (media_id, frame_idx, frame_payload).
 
     Output is a one-to-many mapInPandas (the real ffmpeg pattern: iterate
     the container once, emit selected frames).  The fake path slices the
-    payload into deterministic chunks — row-explosion shape and schema are
-    real.
+    payload into deterministic ``frame_size``-byte chunks and keeps every
+    ``every_nth``-th chunk; ``frame_idx`` is the SOURCE frame ordinal
+    (0, every_nth, 2·every_nth, …) so downstream code can correlate a
+    sampled frame back to its media position — the same contract as the
+    oracle-verified ``frame_sample`` lane.  (Pre-r4 this function used
+    ``every_nth`` as BOTH the chunk size and the stride — an effective
+    stride² nobody asked for — and emitted post-sampling ordinals.)
     """
     out_schema = T.StructType(
         [
@@ -172,10 +181,11 @@ def sample_frames(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                chunk = max(1, every_nth)
+                chunk = max(1, frame_size)
                 frames = [data[i : i + chunk] for i in range(0, len(data), chunk)]
-                for idx, fr in enumerate(frames[::every_nth][:max_frames]):
-                    rows.append((mid, idx, fr))
+                kept = range(0, len(frames), max(1, every_nth))
+                for src_idx in list(kept)[:max_frames]:
+                    rows.append((mid, src_idx, frames[src_idx]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
     return df.select("media_id", "payload").mapInPandas(sample, out_schema)

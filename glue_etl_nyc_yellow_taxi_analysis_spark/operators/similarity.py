@@ -56,6 +56,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -63,13 +64,20 @@ def cosine_topk(
     the big side streams once with no shuffle until the final per-query
     top-k (a tiny aggregate).  Ties broken by id for determinism.
     Returns (query_id, vec_id, cosine_sim, rank).
+
+    ``exclude_self`` assumes query ids SHARE the corpus id namespace
+    (queries drawn from the corpus — the repo's standard shape) and drops
+    each query's own row.  Pass ``exclude_self=False`` when query ids are
+    an independent namespace: with the default, a corpus vector whose id
+    happens to equal a query id would be silently dropped, and an
+    id-type mismatch would NULL the comparison and drop every row.
     """
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")))
-    scored = (
-        embeddings.select(id_col, vec_col)
-        .crossJoin(q)
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine_sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    scored = embeddings.select(id_col, vec_col).crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn(
+        "cosine_sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return (
@@ -391,7 +399,9 @@ def kmeans_train(
         if moved is not None and moved < tol * tol:
             break
     sizes = (
-        assign_clusters(embeddings, cents, id_col, vec_col)
+        # same drop('cluster') guard as the loop: an input that already
+        # carries a 'cluster' column must not collide with the assignment
+        assign_clusters(embeddings.drop("cluster"), cents, id_col, vec_col)
         .groupBy("cluster")
         .agg(F.count("*").alias("n_points"))
     )

@@ -40,7 +40,14 @@ def normalized(c: Column | str) -> Column:
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokenization of normalized text → array<string>."""
+    """Whitespace tokenization of normalized text → array<string>.
+
+    CONTRACT NOTE: empty/whitespace-only text yields ``[""]`` (one empty
+    token), matching DuckDB's ``string_split('', ' ')`` — the oracle
+    parity every TOKS_SQL consumer relies on.  Gate empty documents
+    upstream (``n_chars > 0`` / the quality funnel) rather than here:
+    changing this to ``[]`` would silently shift token counts, shingle
+    sets, and every hash-checked text lane on both engines at once."""
     return F.split(normalized(c), " ")
 
 
@@ -158,8 +165,7 @@ def winnow_fingerprints(c: Column | str, n: int = 3, window: int = 4) -> Column:
     column, then apply ``winnow_minima`` to the BOUND column (0.65s for
     the same input — 26×).  Kept for API compatibility and tests.
     """
-    hashes = F.transform(ordered_shingles(c, n), lambda s: F.md5(s))
-    return winnow_minima(hashes, window)
+    return winnow_minima(winnow_hashes(c, n), window)
 
 
 def winnow_hashes(c: Column | str, n: int = 3) -> Column:
@@ -183,12 +189,8 @@ def winnow_minima(hashes: Column | str, window: int = 4) -> Column:
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingle set of normalized text → array<string>.
 
-    Built with sequence/transform/slice — all JVM higher-order functions.
-    Documents shorter than n words yield their full text as one shingle.
+    ``array_distinct`` over the ordered stream — one n-gram construction
+    shared with the winnowing path (``ordered_shingles``).  Documents
+    shorter than n words yield their full text as one shingle.
     """
-    toks = tokens(c)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(ngrams)
+    return F.array_distinct(ordered_shingles(c, n))

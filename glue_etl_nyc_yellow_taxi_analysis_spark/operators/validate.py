@@ -20,10 +20,14 @@ def violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One row per rule: (rule, n_violations, n_rows).
 
     All rules evaluate in a single scan — conditional-sum aggregation, one
-    job, map-side combinable.  A rule Column is TRUE when the row PASSES.
+    job, map-side combinable.  A rule Column is TRUE when the row PASSES;
+    a NULL-evaluating rule (e.g. ``x > 0`` on a NULL x) counts as a
+    VIOLATION — the same rows ``enforce`` drops, so the monitoring count
+    always equals the enforcement delta (``when(~cond, 1)`` would count
+    NULL as a pass while enforce removed the row).
     """
     aggs = [
-        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
         for name, cond in rules.items()
     ]
     totals = df.agg(F.count("*").alias("__n"), *aggs)

@@ -1343,11 +1343,13 @@ def q_data_quality(spark, sf_dir):
 SQL_DATA_QUALITY = """
 WITH t AS (
     SELECT COUNT(*) AS n_rows,
-        CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_positive,
-        CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.3) THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_range,
-        CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
-        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
-        CAST(SUM(CASE WHEN NOT (year(l_shipdate) < 2000) THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_2000
+        -- CASE WHEN cond THEN 0 ELSE 1: NULL-evaluating rules count as
+        -- violations, mirroring operators/validate.violation_counts
+        CAST(SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS quantity_positive,
+        CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS discount_in_range,
+        CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+        CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS orderkey_not_null,
+        CAST(SUM(CASE WHEN year(l_shipdate) < 2000 THEN 0 ELSE 1 END) AS BIGINT) AS ship_before_2000
     FROM lineitem)
 SELECT r.rule,
        CASE r.rule WHEN 'quantity_positive' THEN quantity_positive

@@ -118,3 +118,15 @@ def test_connected_components_raises_when_budget_too_small(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(edges, max_iter=1)
+
+
+def test_merge_upsert_dedups_updates_with_order_col(spark):
+    """A CDC batch with several changes per key: order_col picks the
+    highest-version row deterministically; without it the documented
+    precondition is one row per key (review r4)."""
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, v string, ver long")
+    ups = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (3, "z", 1)], "k long, v string, ver long"
+    )
+    got = {r.k: (r.v, r.ver) for r in merge_upsert(base, ups, ["k"], order_col="ver").collect()}
+    assert got == {1: ("y", 2), 2: ("b", 0), 3: ("z", 1)}

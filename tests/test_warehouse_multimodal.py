@@ -29,6 +29,8 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     per_doc = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
     assert set(per_doc) == {r.media_id for r in media.select("media_id").collect()}
     assert all(1 <= n <= 4 for n in per_doc.values())  # one-to-many explosion, capped
+    # frame_idx is the SOURCE ordinal (0, 8, 16, ...), not a renumbering
+    assert all(r.frame_idx % 8 == 0 for r in frames.collect())
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
