@@ -46,8 +46,20 @@ def save_table(
         # saveAsTable(overwrite) would replace the WHOLE table; insertInto
         # honors dynamic partition overwrite — only the partitions present
         # in ``df`` are replaced (the incremental monthly-ingest contract).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").insertInto(fqn)
+        # The conf is scoped to THIS write and restored after: leaving the
+        # session flipped to dynamic silently changes every later plain
+        # overwrite write (stale partitions survive a truncating rewrite —
+        # review r4).
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            df.write.mode("overwrite").insertInto(fqn)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         return
     writer = df.write.mode(mode).format("parquet").option("compression", "snappy")
     if partition_by:

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import argparse
 
+from pyspark.sql import functions as F
+
 from ..paths import year_month_from_path
 from ..plans.star import run_monthly_build
 from ..session import get_spark
@@ -42,6 +44,10 @@ def main(argv: list[str] | None = None) -> None:
     year, month = args.year, args.month
     if year is None or month is None:
         year, month = year_month_from_path(args.source)
+    # canonicalize to the unpadded partition values the filename regex
+    # yields — '--month 01' must not create a second partition '01'
+    # alongside '1' (review r4)
+    year, month = str(int(year)), str(int(month))
 
     notifier = JobNotifier([stderr_sink])
     if args.notify_jsonl:
@@ -59,7 +65,17 @@ def main(argv: list[str] | None = None) -> None:
             processed_month=month,
             zone_csv_path=args.zone_csv,
         )
-        n = spark.table(f"{args.database}.fact_uber_trips").count()
+        # count THE MONTH JUST BUILT via partition pruning — a bare
+        # table count scans every month of history on each incremental
+        # run and reports the total as if it were this month (review r4)
+        n = (
+            spark.table(f"{args.database}.fact_uber_trips")
+            .filter(
+                (F.col("processed_year") == year)
+                & (F.col("processed_month") == month)
+            )
+            .count()
+        )
         print(
             f"fact_uber_trips: {n} rows (database={args.database}, month={year}-{month})"
         )

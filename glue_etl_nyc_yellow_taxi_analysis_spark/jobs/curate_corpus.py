@@ -39,17 +39,31 @@ from .notify import JobNotifier, jsonl_sink, run_with_notification, stderr_sink
 
 
 def curate(spark, source: str, output: str, threshold: float = 0.6, shards: int = 8) -> dict:
-    """Run the curation pipeline; returns the accounting dict."""
+    """Run the curation pipeline; returns the accounting dict.
+
+    Required input columns: ``doc_id`` (integral), ``text``.  A missing
+    ``source`` column (the quality classifier's reporting key) is filled
+    with a constant — validated up front so a schema problem fails in
+    milliseconds, not after the dedup passes have run (review r4)."""
     docs = spark.read.parquet(source)
+    for col in ("doc_id", "text"):
+        if col not in docs.columns:
+            raise ValueError(
+                f"curate() needs a {col!r} column; {source} has {docs.columns}"
+            )
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("default"))
     n_input = docs.count()
 
-    # 1. exact dedup: arg-min doc_id per md5(text) — one keyed shuffle of
-    # (16-byte fingerprint, id); dropDuplicates would be nondeterministic.
+    # 1. exact dedup: arg-min doc_id per content fingerprint — the SAME
+    # md5(normalized(text)) lane q_dedup_exact_docs oracles (raw-md5
+    # here would silently diverge from the proven lane on whitespace/
+    # case variants; review r4).  One keyed shuffle of (16-byte
+    # fingerprint, id); dropDuplicates would be nondeterministic.
     # Each surviving stage is cached: it feeds the next stage AND its
     # count action AND (for the last) the write + split rollup — without
     # persistence the whole upstream pipeline re-runs ~4× (review r4)
-    fp = docs.withColumn("__fp", F.md5("text"))
-    keep_ids = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    keep_ids = dedup.dedup_exact_docs(docs).select(F.col("keep_id").alias("doc_id"))
     exact_kept = docs.join(keep_ids, "doc_id", "left_semi").persist()
     n_exact = exact_kept.count()
 

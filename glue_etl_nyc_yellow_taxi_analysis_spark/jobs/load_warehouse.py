@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     args = p.parse_args(argv)
 
+    # canonicalize: fact partitions are written with UNPADDED values
+    # ('1', not '01' — paths.year_month_from_path strips the pad), so a
+    # zero-padded --month would silently filter zero fact rows and
+    # notify SUCCEEDED on an empty load (review r4)
+    year, month = str(int(args.year)), str(int(args.month))
+
     notifier = JobNotifier([stderr_sink])
     if args.notify_jsonl:
         notifier.add(jsonl_sink(args.notify_jsonl))
@@ -52,12 +58,16 @@ def main(argv: list[str] | None = None) -> None:
         )
         if args.jdbc_url:
             props = {"driver": args.jdbc_driver}
+            # user and password attach independently: the user may live
+            # in the URL while the password comes via the flag (review r4)
             if args.jdbc_user:
-                props.update(user=args.jdbc_user, password=args.jdbc_password or "")
+                props["user"] = args.jdbc_user
+            if args.jdbc_password is not None:
+                props["password"] = args.jdbc_password
             wh = JdbcWarehouse(spark, args.jdbc_url, props)
         else:
             wh = ParquetWarehouse(args.warehouse_path)
-        actions = load_star_to_warehouse(spark, wh, args.database, args.year, args.month)
+        actions = load_star_to_warehouse(spark, wh, args.database, year, month)
         for table, action in sorted(actions.items()):
             print(f"{table}: {action}")
         return {k: str(v) for k, v in sorted(actions.items())}
@@ -66,7 +76,7 @@ def main(argv: list[str] | None = None) -> None:
         "load-warehouse",
         _run,
         notifier,
-        detail={"database": args.database, "year": args.year, "month": args.month},
+        detail={"database": args.database, "year": year, "month": month},
     )
 
 

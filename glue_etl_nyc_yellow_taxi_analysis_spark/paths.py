@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 import re
 
-_YEAR_RE = re.compile(r"(\d{4})")
-_MONTH_RE = re.compile(r"(\d{2})(?=\.\w+$|$)")
 _YM_RE = re.compile(r"(\d{4})-(\d{2})")
 
 

@@ -140,7 +140,7 @@ def run_monthly_build(
     ensure_dimensions(spark, database, zone_csv_path)
     raw = spark.read.parquet(raw_path)
     fact = build_fact(raw, processed_year, processed_month)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic partition overwrite is scoped inside catalog.save_table
     save_table(
         fact,
         database,

@@ -36,12 +36,19 @@ def load_star_to_warehouse(
     processed_month: str,
     dim_tables: list[str] | None = None,
     fact_table: str = "fact_uber_trips",
+    skip_if_loaded: bool = True,
 ) -> dict[str, str]:
     """Load dims (create-if-missing) + one fact month (append).
 
     The fact filter hits the write-partition columns, so Catalyst prunes to
     one partition directory — the read scans a month, not the table (F4).
     Returns {table: action} for observability.
+
+    ``skip_if_loaded`` guards the append with a (year, month) existence
+    probe against the warehouse fact — a scheduler retry or operator
+    re-run would otherwise double-load the month and double-count every
+    downstream aggregate (the reference's Job 2 appends blindly,
+    PG:86-88; pass ``skip_if_loaded=False`` for that exact behavior).
     """
     actions: dict[str, str] = {}
     for t in dim_tables if dim_tables is not None else DIM_TABLES:
@@ -54,6 +61,21 @@ def load_star_to_warehouse(
         (F.col("processed_year") == processed_year)
         & (F.col("processed_month") == processed_month)
     )
+    if skip_if_loaded and wh.table_exists(fact_table):
+        already = (
+            wh.read(spark, fact_table)
+            .filter(
+                (F.col("processed_year") == processed_year)
+                & (F.col("processed_month") == processed_month)
+            )
+            .limit(1)
+            .count()
+        )
+        if already:
+            actions[fact_table] = (
+                f"skipped {processed_year}-{processed_month} (already loaded)"
+            )
+            return actions
     wh.append(fact, fact_table)
     actions[fact_table] = f"appended {processed_year}-{processed_month}"
     return actions

@@ -109,7 +109,7 @@ def monthly_star_ingest(
     from ..plans.star import build_fact
 
     ensure_database(spark, database)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic partition overwrite is scoped inside catalog.save_table
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         files = [r[0] for r in batch.select("__source_file").distinct().collect()]
@@ -253,7 +253,15 @@ def session_window_counts(
         .groupBy(*key_cols, F.session_window(ts_col, gap))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal-routed like tumbling_agg and the batch twin's dsum
+            # lane: streaming state accumulates in arrival order, so a
+            # bare double sum differs from the batch twin at the last
+            # ulp run-to-run (review r4)
+            F.round(
+                F.sum(F.round("value", 4).cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             *key_cols,
