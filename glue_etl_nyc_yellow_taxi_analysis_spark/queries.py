@@ -137,6 +137,11 @@ def q_rename_cast(spark, sf_dir):
     )
     o = o.withColumns(
         {
+            # IntegerType is the REFERENCE's cast contract (DM cast map).
+            # Capacity note: TPC-H orderkeys pass 2^31 around SF≈358, where
+            # this cast hard-fails under ANSI on both engines — at that
+            # scale widen the contract to LongType (a one-line change);
+            # the reference's own NYC-taxi keys never approach int32.
             "order_id": F.col("order_id").cast(T.IntegerType()),
             "customer_id": F.col("customer_id").cast(T.IntegerType()),
             # the decimal(12,2) cast is the reference's cast contract; the
@@ -504,7 +509,7 @@ WITH flagged AS (
     SELECT user_id, ts, value,
            CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END
                AS new_session
-    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
     SELECT user_id, ts, value,
            CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -638,9 +643,15 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs within (source, lang) blocks."""
+    """Exact 3-gram Jaccard near-dup pairs within (source, lang) blocks.
+
+    Block key built with NULL-propagating concat (not concat_ws, which
+    SKIPS null fields): a NULL source/lang must yield a NULL block that
+    joins with nothing — exactly what the oracle's ``||`` does.  With
+    concat_ws, Spark would pair NULL-source docs under the phantom
+    block '|lang' while DuckDB pairs none (review r4)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "block", F.concat_ws("|", "source", "lang")
+        "block", F.concat("source", F.lit("|"), "lang")
     )
     return dedup.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", block_col="block", n=3, threshold=0.5
@@ -723,16 +734,25 @@ WHERE cosine_sim >= 0.3
 
 def q_json_extract(spark, sf_dir):
     """JSON field extraction from the events props column (pipeline metadata
-    parsing) — JVM-side get_json_object, no UDF."""
+    parsing) — JVM-side get_json_object, no UDF.
+
+    Non-integral ``k`` ('3.7', 'abc') yields NULL on BOTH engines: Spark
+    try_cast rejects '3.7' while a plain CAST throws under ANSI, and
+    DuckDB's CAST/TRY_CAST would ROUND it to 4 — so the oracle gates the
+    cast behind an integer-literal regex to match try_cast exactly
+    (review r4)."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k"),
     )
 
 
-SQL_JSON_EXTRACT = """
-SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+SQL_JSON_EXTRACT = r"""
+SELECT event_id,
+       CASE WHEN trim(props->>'k') ~ '^[+-]?\d+$'
+            THEN TRY_CAST(props->>'k' AS INTEGER) END AS k
+FROM events
 """
 
 
@@ -843,13 +863,17 @@ def q_lag_lead_delta(spark, sf_dir):
     """lag/lead navigation: per-user inter-event gap seconds and next event
     type (NULL at partition edges in both engines)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) ordering: ts alone leaves tied-timestamp rows in
+    # engine-dependent order — every per-row lag/lead output would be
+    # nondeterministic on data with duplicate (user, ts) (review r4)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # diff in exact microseconds, then floor-divide: Spark's
     # timestampdiff(SECOND) truncates the interval while DuckDB's
     # date_diff('second') counts boundary crossings — micros are exact in
     # both, so floor(micros/1e6) agrees everywhere
     gap_us = F.expr(
-        "timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)"
+        "timestampdiff(MICROSECOND,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
     )
     return ev.select(
         "user_id",
@@ -864,7 +888,7 @@ SELECT user_id, event_id,
        CAST(floor(date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0) AS BIGINT)
            AS gap_seconds,
        lead(event_type) OVER w AS next_type
-FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -921,13 +945,17 @@ def q_pivot_status(spark, sf_dir):
         )
         .count()
     )
+    # coalesce-0: pivot().count() leaves an absent (status, priority)
+    # cell NULL while the oracle's COUNT(*) FILTER yields 0 — sparse
+    # real data would diverge cell-by-cell (review r4)
+    zero = F.lit(0).cast("long")
     return pivoted.select(
         "o_orderstatus",
-        F.col("1-URGENT").alias("urgent"),
-        F.col("2-HIGH").alias("high"),
-        F.col("3-MEDIUM").alias("medium"),
-        F.col("4-NOT SPECIFIED").alias("not_specified"),
-        F.col("5-LOW").alias("low"),
+        F.coalesce(F.col("1-URGENT"), zero).alias("urgent"),
+        F.coalesce(F.col("2-HIGH"), zero).alias("high"),
+        F.coalesce(F.col("3-MEDIUM"), zero).alias("medium"),
+        F.coalesce(F.col("4-NOT SPECIFIED"), zero).alias("not_specified"),
+        F.coalesce(F.col("5-LOW"), zero).alias("low"),
     )
 
 
@@ -945,9 +973,11 @@ FROM orders GROUP BY o_orderstatus
 def q_running_total(spark, sf_dir):
     """Running per-user total over event time (cumulative window frame)."""
     ev = _t(spark, sf_dir, "events")
+    # (ts, event_id): unique ordering makes the running frame
+    # deterministic under tied timestamps (review r4)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return ev.select(
@@ -962,7 +992,7 @@ def q_running_total(spark, sf_dir):
 SQL_RUNNING_TOTAL = """
 SELECT user_id, event_id,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
-                  OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING), 2)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2)
             AS DOUBLE) AS running_value
 FROM events
 """
@@ -1257,7 +1287,11 @@ FROM customer WHERE c_name LIKE '%1%'
 
 def q_array_ops(spark, sf_dir):
     """Array function battery over embeddings: size, element min/max,
-    double-precision mean via aggregate fold, slice, sort-head."""
+    double-precision mean via aggregate fold, slice, sort-head.
+
+    try_divide / try_element_at: an empty or sub-3-dim vector yields
+    NULL on both engines — the ANSI strict forms would crash the Spark
+    job where the DuckDB oracle serves NULL (review r4)."""
     emb = _t(spark, sf_dir, "embeddings")
     n = F.size("embedding")
     total = F.aggregate(
@@ -1268,10 +1302,10 @@ def q_array_ops(spark, sf_dir):
         n.alias("dim"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
-        F.round(total / n, 6).alias("mean_val"),
-        F.round(F.element_at(F.array_sort("embedding"), 3).cast("double"), 6).alias(
-            "third_smallest"
-        ),
+        F.round(F.try_divide(total, n), 6).alias("mean_val"),
+        F.round(
+            F.try_element_at(F.array_sort("embedding"), F.lit(3)).cast("double"), 6
+        ).alias("third_smallest"),
     )
 
 

@@ -324,22 +324,30 @@ def q_date_trunc(spark, sf_dir):
     us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
+    # FLOOR division, not `div`: Spark's `div` truncates toward zero, so
+    # a pre-1970 timestamp would round UP to the next period start while
+    # DuckDB's date_trunc floors (verified divergence, review r4)
+    def fdiv(a: str, b: int) -> str:
+        return f"((({a}) div {b}) - (CASE WHEN ({a}) % {b} < 0 THEN 1 ELSE 0 END))"
+
     def trunc_us(period_us: int):
         return F.expr(
-            f"timestampadd(MICROSECOND, CAST(({us}) div {period_us}"
+            f"timestampadd(MICROSECOND, CAST({fdiv(us, period_us)}"
             f" AS BIGINT) * {period_us}, {epoch})"
         )
 
     day_us = 86_400_000_000
+    d = fdiv(us, day_us)
     return ev.select(
         "event_id",
         trunc_us(60_000_000).alias("ts_minute"),
         trunc_us(3_600_000_000).alias("ts_hour"),
         trunc_us(day_us).alias("ts_day"),
-        # Monday-start week: epoch day 0 was a Thursday → offset 3
+        # Monday-start week: epoch day 0 was a Thursday → offset 3;
+        # floor-mod keeps the weekday non-negative for pre-epoch days
         F.expr(
-            f"timestampadd(DAY, CAST((({us}) div {day_us})"
-            f" - ((({us}) div {day_us}) + 3) % 7 AS INT), {epoch})"
+            f"timestampadd(DAY, CAST(({d})"
+            f" - (((({d}) + 3) % 7 + 7) % 7) AS INT), {epoch})"
         ).alias("week_start"),
         F.expr(
             "make_timestamp_ntz(year(ts), month(ts), 1, 0, 0, 0)"
@@ -813,8 +821,11 @@ def q_scd2_history(spark, sf_dir):
     One shuffle on the business key (operators/scd.py)."""
     from .operators.scd import scd2_history
 
+    # NULL-propagating concat (not concat_ws): a NULL business-key field
+    # must yield a NULL dim_key — the oracle's || semantics (review r4)
     ev = _t(spark, sf_dir, "events").withColumn(
-        "dim_key", F.concat_ws("|", "user_id", "event_type")
+        "dim_key",
+        F.concat(F.col("user_id").cast("string"), F.lit("|"), "event_type"),
     )
     return scd2_history(
         ev,
@@ -957,8 +968,10 @@ def q_dedup_clusters(spark, sf_dir):
     keep-one-per-cluster dedup driver."""
     from .operators import dedup as dd
 
+    # NULL-propagating concat, matching q_ngram_jaccard's key semantics
+    # and the recursive-CTE oracle's || (review r4)
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "block", F.concat_ws("|", "source", "lang")
+        "block", F.concat("source", F.lit("|"), "lang")
     )
     pairs = dd.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", block_col="block", n=3, threshold=0.5

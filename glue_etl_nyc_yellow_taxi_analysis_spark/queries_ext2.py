@@ -565,8 +565,10 @@ def q_scd2_pit(spark, sf_dir):
     """
     from .operators.scd import scd2_history
 
+    # NULL-propagating concat: oracle builds the key with || (review r4)
     ev = _t(spark, sf_dir, "events").withColumn(
-        "dim_key", F.concat_ws("|", "user_id", "event_type")
+        "dim_key",
+        F.concat(F.col("user_id").cast("string"), F.lit("|"), "event_type"),
     )
     hist = scd2_history(
         ev, key_col="dim_key", ts_col="ts", attr_cols=["value"],

@@ -422,9 +422,18 @@ def q_token_entropy(spark, sf_dir):
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
+    # the per-term c*log2(c) doubles are rounded to 8dp and summed in
+    # DECIMAL — a raw double sum accumulates in partial-agg order and can
+    # flip the 4dp boundary vs the oracle's sequential sum on documents
+    # with large vocabularies (review r4; same dsum rationale)
     return cnts.groupBy("doc_id").agg(
         F.round(
-            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+            F.log2(F.sum("c"))
+            - F.sum(
+                F.round(F.col("c") * F.log2("c"), 8).cast("decimal(18,8)")
+            ).cast("double")
+            / F.sum("c"),
+            4,
         ).alias("token_entropy")
     )
 
@@ -437,7 +446,9 @@ cnt AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4) AS token_entropy
+       ROUND(LOG2(SUM(c))
+             - CAST(SUM(CAST(ROUND(c * LOG2(c), 8) AS DECIMAL(18,8)))
+                    AS DOUBLE) / SUM(c), 4) AS token_entropy
 FROM cnt
 GROUP BY doc_id
 """
@@ -470,9 +481,15 @@ def q_repetition_ratio(spark, sf_dir):
         F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 4).alias(
             "dup_token_ratio"
         ),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(bigs)) / F.size(bigs), 4).alias(
-            "dup_bigram_ratio"
-        ),
+        # single-token docs have no bigrams: 0/0 would throw under ANSI
+        # while the DuckDB oracle serves NULL — emit NULL on both
+        # (review r4; n is never 0: tokens() yields [""] on empty text)
+        F.when(
+            F.size(bigs) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(bigs)) / F.size(bigs), 4
+            ),
+        ).alias("dup_bigram_ratio"),
     )
 
 

@@ -567,7 +567,11 @@ def q_char_ngram_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "lang", F.lower("text").alias("txt")
     )
-    grams = docs.select(
+    # guard sub-3-char text: Spark's sequence(1, len-2) DESCENDS when
+    # len < 3 (sequence(1,-1) = [1,0,-1]) and would fabricate phantom
+    # grams, while DuckDB's generate_series yields [] — emit nothing for
+    # short docs on both engines (review r4)
+    grams = docs.filter(F.length("txt") >= 3).select(
         "lang",
         F.explode(F.sequence(F.lit(1), F.length("txt") - 2)).alias("i"),
         "txt",

@@ -1,0 +1,113 @@
+"""Adversarial-input smoke: the corners the sf fixtures never carry.
+
+The r3/r4 advisory findings were all of one class — queries that are
+hash-green on the well-behaved fixtures but diverge or crash on data the
+fixtures lack (empty text, sub-n-gram docs, NULL fields, empty/short
+vectors).  This suite runs the Spark side of the riskiest text/vector
+queries over a deliberately hostile corpus and asserts they complete
+with sane outputs (no ANSI crash, no phantom rows).
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(
+                [
+                    "",                       # empty
+                    "   ",                    # whitespace-only
+                    "a",                      # 1 char
+                    "hi",                     # 2 chars (sub-trigram)
+                    "one",                    # single token
+                    "tok tok tok tok",        # all-repeat
+                    "héllo wörld 你好 мир",    # non-ascii
+                    ("spark " * 200).strip(), # long, one-token vocab
+                ]
+            ),
+            "lang": pa.array(["en"] * 7 + [None]),
+            "source": pa.array([None, "s1", "s1", "s2", "s2", "s3", "s3", "s3"]),
+            "n_chars": pa.array([0, 3, 1, 2, 3, 15, 20, 1199], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(
+                [
+                    [],                     # empty vector
+                    [0.1, 0.2],             # dim 2 (< 3)
+                    [0.0] * 64,             # zero vector
+                    [0.1] * 64,
+                    [-0.2] * 64,
+                    [0.05] * 64,
+                ],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1, 1, 2, 2], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+TEXT_QUERIES = [
+    ("q_repetition_ratio", 8),   # 0/0 bigram guard (single-token docs)
+    ("q_char_ngram_profile", None),  # descending-sequence guard (<3 chars)
+    ("q_token_entropy", 8),
+    ("q_text_stats", 8),
+    ("q_lang_id", 8),
+    ("q_quality_classifier", 8),
+    ("q_batch_padding_plan", None),
+    ("q_doc_fingerprint", 8),
+]
+
+
+@pytest.mark.parametrize("name,n_rows", TEXT_QUERIES)
+def test_text_queries_survive_hostile_docs(spark, hostile_dir, name, n_rows):
+    rows = QUERIES[name](spark, hostile_dir).collect()
+    if n_rows is not None:
+        assert len(rows) == n_rows
+    else:
+        assert rows is not None  # completed without ANSI crash
+
+
+def test_array_ops_null_not_crash_on_short_vectors(spark, hostile_dir):
+    rows = {r.vec_id: r for r in QUERIES["q_array_ops"](spark, hostile_dir).collect()}
+    assert len(rows) == 6
+    assert rows[0].mean_val is None          # empty vector → NULL, not 0/0 crash
+    assert rows[0].third_smallest is None
+    assert rows[1].third_smallest is None    # dim-2 → NULL, not index error
+    assert rows[3].third_smallest is not None
+
+
+def test_similarity_topk_handles_zero_and_short_vectors(spark, hostile_dir):
+    # query vectors include the empty and dim-2 vectors; cosine against
+    # mismatched/zero vectors must yield NULL (try_divide), never crash
+    rows = QUERIES["q_similarity_topk"](spark, hostile_dir).collect()
+    assert rows is not None
+
+
+def test_ngram_jaccard_null_block_pairs_nothing(spark, hostile_dir):
+    """Docs with a NULL source/lang must not pair under a phantom block —
+    the NULL-propagating key joins with nothing (both engines)."""
+    rows = QUERIES["q_ngram_jaccard"](spark, hostile_dir).collect()
+    ids_in_pairs = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert 0 not in ids_in_pairs  # NULL source
+    assert 7 not in ids_in_pairs  # NULL lang
+
+
+def test_minhash_survives_hostile_docs(spark, hostile_dir):
+    rows = QUERIES["q_dedup_fuzzy_minhash"](spark, hostile_dir).collect()
+    # empty/whitespace docs share the single shingle "" → they MAY pair
+    # (documented tokens() contract); the pipeline itself must not crash
+    assert rows is not None
