@@ -49,19 +49,26 @@ def q_text_roundtrip(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="sg_text_rt_") + "/lines"
+    # NULL fields serialize as EXPLICIT empty strings: concat_ws SKIPS
+    # nulls, which would shift the pipe positions so the parse reads
+    # 'view' as a long (ANSI crash) where the oracle just aggregates the
+    # NULL (review r4).  try_cast parses '' back to NULL.
     ev.select(
         F.concat_ws(
-            "|", "event_id", "user_id", "event_type"
+            "|",
+            F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            F.coalesce("event_type", F.lit("")),
         ).alias("value")
     ).write.mode("overwrite").text(out)
 
     lines = spark.read.text(out)
     parsed = lines.select(
-        F.split("value", "\\|").alias("f")
+        F.split("value", "\\|", -1).alias("f")
     ).select(
-        F.element_at("f", 1).cast("long").alias("event_id"),
-        F.element_at("f", 2).cast("long").alias("user_id"),
-        F.element_at("f", 3).alias("event_type"),
+        F.expr("try_cast(element_at(f, 1) AS LONG)").alias("event_id"),
+        F.expr("try_cast(element_at(f, 2) AS LONG)").alias("user_id"),
+        F.nullif(F.element_at("f", 3), F.lit("")).alias("event_type"),
     )
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -99,8 +106,12 @@ def q_csv_roundtrip(spark, sf_dir):
         "overwrite"
     ).option("header", True).option("quoteAll", True).csv(out)
 
+    # multiLine: a quoted text field containing '\n' is ONE record on the
+    # write side; without the option the reader shreds it into garbage
+    # rows that silently diverge from the source-table oracle (review r4)
     back = (
         spark.read.option("header", True)
+        .option("multiLine", True)
         .schema("doc_id long, text string, lang string, source string")
         .csv(out)
     )
@@ -268,8 +279,15 @@ def q_pivot_dynamic(spark, sf_dir):
     the pivot column, sorts the discovered values into columns (two-job
     plan — the price of dynamism; q_pivot_status is the one-job explicit
     twin).  Per-user event counts by type, nulls densified to 0.
+
+    NULL pivot values are filtered on BOTH sides: a NULL event_type
+    would otherwise become a Spark 'null' column with no oracle
+    counterpart.  The oracle is necessarily pinned to the discovered
+    value set of the gate fixture — that is the declared contract of a
+    DYNAMIC pivot (its schema follows the data); slices with other
+    event-type sets diverge from this fixed oracle by design.
     """
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     return (
         ev.groupBy("user_id")
         .pivot("event_type")
@@ -286,6 +304,7 @@ SELECT user_id,
        COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
        COUNT(*) FILTER (WHERE event_type = 'view')     AS view
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY user_id
 """
 

@@ -183,10 +183,15 @@ def q_schema_evolution(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="sg_evo_") + "/t"
+    # the v1/v2 split is EXHAUSTIVE: a NULL event_type fails both IN and
+    # NOT IN (3-valued logic) and would silently vanish from the merged
+    # table while the oracle keeps its NULL group (review r4)
     v1 = ev.filter("event_type IN ('click', 'view')").select(
         "event_id", "user_id", "event_type"
     )
-    v2 = ev.filter("event_type NOT IN ('click', 'view')").select(
+    v2 = ev.filter(
+        "event_type IS NULL OR event_type NOT IN ('click', 'view')"
+    ).select(
         "event_id",
         "user_id",
         "event_type",
@@ -208,9 +213,13 @@ def q_schema_evolution(spark, sf_dir):
 
 SQL_SCHEMA_EVOLUTION = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+       -- value2 is NULL for every v1 row AND for v2 rows whose source
+       -- value is NULL (round of NULL) — mirror both
+       CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                     OR value IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_null,
-       CAST(SUM(CASE WHEN event_type NOT IN ('click', 'view')
+       CAST(SUM(CASE WHEN event_type IS NULL
+                     OR event_type NOT IN ('click', 'view')
                 THEN CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2)
                           AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_v2
 FROM events

@@ -123,9 +123,15 @@ def q_summary_stats(spark, sf_dir):
             F.max(c).alias(f"max_{c}"),
         ]
     row = li.agg(*aggs)
+    # n-guards: with 0 rows the mean lane and with 1 row the (n-1)
+    # sample-stddev divisor hit x/0, an ANSI DIVIDE_BY_ZERO on Spark
+    # where DuckDB's division by zero serves NULL (review r4, probed)
     lanes = ", ".join(
-        f"'{c}', n_{c}, round(s_{c} / n_{c}, 6), "
-        f"round(sqrt(greatest((s2_{c} - s_{c} * s_{c} / n_{c}) / (n_{c} - 1), 0d)), 4), "
+        f"'{c}', n_{c}, "
+        f"CASE WHEN n_{c} > 0 THEN round(s_{c} / n_{c}, 6) END, "
+        f"CASE WHEN n_{c} > 1 THEN "
+        f"round(sqrt(greatest((s2_{c} - s_{c} * s_{c} / n_{c}) / (n_{c} - 1), 0d)), 4)"
+        f" END, "
         f"min_{c}, max_{c}"
         for c in _PROFILE_COLS
     )

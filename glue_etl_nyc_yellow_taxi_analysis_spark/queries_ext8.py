@@ -72,7 +72,12 @@ def q_pareto_share(spark, sf_dir):
         F.coalesce(w, F.lit(0).cast("decimal(28,4)")).alias("cum_before"),
         tot.alias("seg_total"),
     ).withColumn(
-        "is_top80", F.col("cum_before") < F.col("seg_total") * F.lit(0.8)
+        # multiplied-out EXACT decimal compare: cum*10 < total*8 — the
+        # float form (seg_total * double 0.8) classifies exact-80%%
+        # boundary customers differently than the oracle's exact decimal
+        # 0.8 literal (review r4, probed)
+        "is_top80",
+        F.col("cum_before") * 10 < F.col("seg_total") * 8,
     )
     return flagged.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
@@ -103,9 +108,9 @@ WITH per_cust AS (
 )
 SELECT c_mktsegment,
        COUNT(*) AS n_cust,
-       CAST(SUM(CASE WHEN cum_before < seg_total * 0.8 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN cum_before * 10 < seg_total * 8 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_top80,
-       ROUND(CAST(SUM(CASE WHEN cum_before < seg_total * 0.8 THEN rev ELSE 0 END)
+       ROUND(CAST(SUM(CASE WHEN cum_before * 10 < seg_total * 8 THEN rev ELSE 0 END)
                   AS DOUBLE) / CAST(MAX(seg_total) AS DOUBLE), 6) AS top80_share
 FROM flagged
 GROUP BY c_mktsegment
@@ -287,13 +292,18 @@ def q_nest_orders(spark, sf_dir):
         F.array_sort(F.collect_list(item)).alias("items"),
         dsum("l_quantity").alias("total_qty"),
     )
+    # NULL-propagating concat: an item with any NULL field renders NULL
+    # and array_join drops it — exactly what the oracle's || + STRING_AGG
+    # do; concat_ws would keep a silently truncated 'ln:qty' element the
+    # oracle omits (review r4)
     sig = F.array_join(
         F.transform(
             "items",
-            lambda s: F.concat_ws(
-                ":",
+            lambda s: F.concat(
                 s["ln"].cast("string"),
+                F.lit(":"),
                 s["pk"].cast("string"),
+                F.lit(":"),
                 s["qty"].cast("string"),
             ),
         ),

@@ -234,11 +234,17 @@ BM25_CTES = f"""toks AS (
 ), df AS (
   SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1
 ), contrib AS (
+  -- every constant is CAST to DOUBLE: a bare 2.2 literal is
+  -- DECIMAL(2,1) in DuckDB, making tf*2.2 EXACT decimal arithmetic
+  -- while Spark computes tf * double(2.2) — ~2-ulp different numerators
+  -- feeding the 8dp rounding cut (review r4, probed)
   SELECT q.doc_id,
          CAST(ROUND(
            ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * (q.tf * {_BM25_K1 + 1.0})
-           / (q.tf + {_BM25_K1} * ({round(1.0 - _BM25_B, 10)} + {_BM25_B} * d.dl / s.avgdl)),
+           * (q.tf * CAST({_BM25_K1 + 1.0} AS DOUBLE))
+           / (q.tf + CAST({_BM25_K1} AS DOUBLE)
+              * (CAST({round(1.0 - _BM25_B, 10)} AS DOUBLE)
+                 + CAST({_BM25_B} AS DOUBLE) * d.dl / s.avgdl)),
          8) AS DECIMAL(18,8)) AS c
   FROM qtf q
   JOIN df ON q.token = df.token
@@ -655,8 +661,13 @@ def q_key_skew_profile(spark, sf_dir):
         )
         n = F.count(F.lit(1))
         tot = F.sum("cnt")
+        # Σ(i·cᵢ) accumulates in DECIMAL(38,0): the BIGINT sum is
+        # ~n_keys²·avg_cnt/2 and overflows int64 around TPC-H sf≈4000
+        # under ANSI, where the DuckDB oracle silently widens to HUGEINT
+        # (review r4) — decimal matches the oracle's exact-sum-then-cast
         gini = (
-            F.lit(2.0) * F.sum(F.col("i") * F.col("cnt")).cast("double")
+            F.lit(2.0)
+            * F.sum((F.col("i") * F.col("cnt")).cast("decimal(38,0)")).cast("double")
             / (n.cast("double") * tot.cast("double"))
             - (n.cast("double") + F.lit(1.0)) / n.cast("double")
         )
