@@ -270,7 +270,10 @@ def containment_pairs(
         )
         .select("p.*")
     )
-    cont = F.expr("inter * 1000000 div n_src")
+    # inter/n_src are 32-bit (F.size); widen BEFORE the ppm multiply or
+    # any pair sharing >= 2148 shingles overflows int under ANSI.  The
+    # oracle's len() is already BIGINT, so this keeps the lanes aligned.
+    cont = F.expr("CAST(inter AS BIGINT) * 1000000 div n_src")
     return (
         both.filter(F.col("n_src") > 0)
         .withColumn("containment_ppm", cont.cast("bigint"))

@@ -26,9 +26,15 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "von"],
 }
 
+# Explicit whitespace class shared by Spark (Java regex) and the DuckDB
+# oracles (RE2).  Java's \s is [ \t\n\x0B\f\r] but RE2's \s excludes
+# vertical tab (\x0B), so a bare \s silently diverges on any document
+# containing one — spell the class out so both engines match.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 # BPE-ish token pattern: letter runs, digit runs, or single non-space
 # symbols — same semantics in Java regex (Spark) and RE2 (DuckDB).
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"
 
@@ -36,7 +42,7 @@ PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"
 def normalized(c: Column | str) -> Column:
     """Canonical text: lowercase, collapse whitespace, trim."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
 
 
 def tokens(c: Column | str) -> Column:

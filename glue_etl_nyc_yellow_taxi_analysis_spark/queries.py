@@ -85,7 +85,7 @@ DSUM_SQL = "CAST(ROUND(SUM(CAST({col} AS DECIMAL(18,4))), 2) AS DOUBLE)"
 
 # DuckDB-side canonical text normalization / tokenization (mirrors
 # operators.text.normalized / tokens).
-NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+NORM_SQL = "trim(regexp_replace(lower({c}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 TOKS_SQL = f"string_split({NORM_SQL.format(c='{c}')}, ' ')"
 
 
@@ -550,7 +550,7 @@ WITH t AS (
 SELECT doc_id,
        length(text) AS char_count,
        len(toks) AS token_count,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_token_count,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS bpe_token_count,
        ROUND(CASE WHEN len(toks) > 0
                   THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
                   ELSE 0.0 END, 4) AS mean_token_len,
@@ -610,7 +610,7 @@ def q_token_count(spark, sf_dir):
 SQL_TOKEN_COUNT = f"""
 SELECT source,
        CAST(SUM(len({TOKS_SQL.format(c='text')})) AS BIGINT) AS ws_tokens,
-       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))) AS BIGINT)
            AS bpe_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source

@@ -412,7 +412,7 @@ WITH flags AS (
          CAST(len(list_distinct(toks)) AS DOUBLE)
            / CAST(len(toks) AS DOUBLE) >= 0.3 AS r4
   FROM (SELECT source, n_chars,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm,
                {TOKS_SQL.format(c='text')} AS toks
         FROM documents)
 )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import _t, dsum
+from .queries import _t
 
 QUERIES_EXT11 = {}
 ORACLE_EXT11 = {}
@@ -140,7 +140,17 @@ def q_session_window_native(spark, sf_dir):
         ev.groupBy("user_id", sw)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            dsum(F.round("value", 4)).alias("sum_value"),
+            # floor(x·1e4 + 0.5), not round(x, 4): Spark rounds the
+            # double's shortest decimal repr (HALF_UP) while DuckDB
+            # rounds the binary value — repr-tie inputs (e.g. 1.00005)
+            # diverge; the floor lane is the identical IEEE op sequence
+            # on both engines
+            (
+                F.sum(
+                    F.floor(F.col("value").cast("double") * 1e4 + F.lit(0.5))
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_value"),
             F.max("ts").alias("last_ts"),
         )
         .select(
@@ -177,8 +187,8 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 2) AS DOUBLE)
-         AS sum_value
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e4 + 0.5) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -207,8 +217,16 @@ def q_observe_metrics(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
         F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+        # floor-lane e4 rounding (see q_session_window_native): ROUND on
+        # a raw double ties differently between Spark and DuckDB
+        (
+            F.floor(F.min("value") * F.lit(1e4) + F.lit(0.5)).cast("double")
+            / F.lit(10000.0)
+        ).alias("min_value"),
+        (
+            F.floor(F.max("value") * F.lit(1e4) + F.lit(0.5)).cast("double")
+            / F.lit(10000.0)
+        ).alias("max_value"),
         # observe rejects DISTINCT aggregates — conditional count instead
         F.sum((F.col("event_type") == "purchase").cast("long"))
         .alias("n_purchases"),
@@ -240,8 +258,8 @@ SELECT COUNT(*) AS n_rows,
          AS n_null_props,
        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_value,
-       ROUND(MIN(value), 4) AS min_value,
-       ROUND(MAX(value), 4) AS max_value,
+       CAST(floor(MIN(value) * 1e4 + 0.5) AS DOUBLE) / 10000.0 AS min_value,
+       CAST(floor(MAX(value) * 1e4 + 0.5) AS DOUBLE) / 10000.0 AS max_value,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases
 FROM events

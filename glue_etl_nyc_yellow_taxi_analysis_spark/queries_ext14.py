@@ -146,12 +146,16 @@ def q_embedding_quantize(spark, sf_dir):
     # DECIMAL division path (255.0 parses as a decimal literal), which
     # rounds differently from the double lane DuckDB uses — the CAST to
     # DOUBLE keeps every op IEEE-identical across engines
+    # Constant dimension (hi == lo, e.g. a padded/zeroed dim): reconstruct
+    # as lo exactly, error 0 — the CASE guard keeps ANSI Spark from raising
+    # DIVIDE_BY_ZERO where DuckDB would NULL-propagate (engines diverge).
     per_dim_sqerr = (
         "transform(sequence(0, size(embedding) - 1), i -> "
+        " CASE WHEN element_at(his, i + 1) = element_at(los, i + 1) THEN 0.0D ELSE"
         " POW(CAST(element_at(embedding, i + 1) AS DOUBLE)"
         "  - (element_at(los, i + 1) + CAST(floor((CAST(element_at(embedding, i + 1) AS DOUBLE)"
         "       - element_at(los, i + 1)) / (element_at(his, i + 1) - element_at(los, i + 1))"
-        "       * 255.0 + 0.5) AS DOUBLE) / 255.0 * (element_at(his, i + 1) - element_at(los, i + 1))), 2))"
+        "       * 255.0 + 0.5) AS DOUBLE) / 255.0 * (element_at(his, i + 1) - element_at(los, i + 1))), 2) END)"
     )
     # mse as a scaled integer (1e12 lane): floor(x*1e12 + 0.5) is the same
     # IEEE op sequence in both engines — bit-exact — where ROUND(double, 8)
@@ -190,10 +194,11 @@ WITH bounds AS (
 )
 SELECT vec_id,
        CAST(floor(list_sum(list_transform(range(0, len(embedding)), i ->
+           CASE WHEN his[i + 1] = los[i + 1] THEN 0.0 ELSE
            POW(CAST(embedding[i + 1] AS DOUBLE)
                - (los[i + 1] + floor((CAST(embedding[i + 1] AS DOUBLE) - los[i + 1])
                      / (his[i + 1] - los[i + 1]) * 255.0 + 0.5)
-                   / 255.0 * (his[i + 1] - los[i + 1])), 2)))
+                   / 255.0 * (his[i + 1] - los[i + 1])), 2) END))
            / len(embedding) * 1e12 + 0.5) AS BIGINT) AS mse_e12
 FROM embeddings, b
 """
@@ -514,11 +519,19 @@ def q_dataset_mixture(spark, sf_dir):
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("CAST(n_tokens * 1000000 DIV t AS BIGINT)").alias(
-                "natural_share_ppm"
-            ),
+            # widen through DECIMAL(38,0) before the *1e6/*1e3 scaling:
+            # BIGINT n_tokens * 1000000 overflows past ~9.2e12 tokens
+            # (routine at 100 TB) where the oracle's SUM is HUGEINT —
+            # the decimal lane keeps DIV exact and the engines aligned
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV t"
+                " AS BIGINT)"
+            ).alias("natural_share_ppm"),
             F.least(
-                F.expr("CAST(t * 1000 DIV (k * n_tokens) AS BIGINT)"),
+                F.expr(
+                    "CAST(CAST(t AS DECIMAL(38,0)) * 1000"
+                    " DIV (CAST(k AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+                ),
                 F.lit(5000).cast("long"),
             ).alias("epoch_multiplier_milli"),
         )

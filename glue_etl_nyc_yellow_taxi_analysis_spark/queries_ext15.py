@@ -434,8 +434,16 @@ def q_doc_logprob(spark, sf_dir):
         doc_counts.join(corpus, "tok")
         .groupBy("doc_id")
         .agg(
+            # each c*log2(cc) term rides the DECIMAL(27,18) lane (the
+            # q_doc_ppl_bigram pattern) so the per-doc sum is independent
+            # of partial-aggregate merge order — a raw double F.sum can
+            # differ between engines (and between Spark runs) by ULPs
+            # that flip the ROUND(...,4) boundary
             F.round(
-                F.sum(F.col("c") * F.log2("cc")) / F.sum("c")
+                F.sum(
+                    (F.col("c") * F.log2("cc")).cast("decimal(27,18)")
+                ).cast("double")
+                / F.sum("c")
                 - F.log2(F.lit(total).cast("double")),
                 4,
             ).alias("mean_logprob")
@@ -453,7 +461,8 @@ WITH tok AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       ROUND(SUM(c * LOG2(cc)) / SUM(c)
+       ROUND(CAST(SUM(CAST(c * LOG2(cc) AS DECIMAL(27,18))) AS DOUBLE)
+             / SUM(c)
              - LOG2((SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)), 4)
            AS mean_logprob
 FROM doc_counts JOIN corpus USING (tok)

@@ -217,8 +217,7 @@ WITH t AS (
   SELECT doc_id, CAST(i AS INTEGER) AS pos,
          array_to_string(list_slice(toks, i * {_LD_SEG} + 1,
                                     i * {_LD_SEG} + {_LD_SEG}), ' ') AS seg
-  FROM t, range(0, 100) r(i)
-  WHERE i * {_LD_SEG} + 1 <= len(toks)
+  FROM t, unnest(range(0, (len(toks) + {_LD_SEG} - 1) // {_LD_SEG})) r(i)
 ), df AS (
   SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg
 )
@@ -348,8 +347,7 @@ WITH w0 AS (
 , p{i} AS (
   SELECT syms[j] AS l, syms[j + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(spaced, ' ') AS syms FROM w{i - 1}),
-       range(1, 100) t(j)
-  WHERE j + 1 <= len(syms)
+       unnest(range(1, len(syms))) t(j)
   GROUP BY 1, 2
 ), b{i} AS (
   SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1

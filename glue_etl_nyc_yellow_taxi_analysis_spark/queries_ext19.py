@@ -84,7 +84,17 @@ def q_global_shuffle(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
             F.min_by("doc_id", "key").alias("head_doc_id"),
-            F.sum(F.col("pos") * F.pmod(F.col("doc_id"), F.lit(1000003)))
+            # the raw Σ pos·(doc_id mod p) grows O(n_shard²·p) and blows
+            # int64 around 6M docs/shard — accumulate in DECIMAL(38,0)
+            # (oracle: HUGEINT) and publish the sum mod p, which stays a
+            # well-defined permutation check at any shard size
+            F.pmod(
+                F.sum(
+                    F.col("pos").cast("decimal(38,0)")
+                    * F.pmod(F.col("doc_id"), F.lit(1000003))
+                ),
+                F.lit(1000003),
+            )
             .cast("bigint")
             .alias("order_checksum"),
         )
@@ -104,7 +114,8 @@ WITH k AS (
 )
 SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        arg_min(doc_id, key) AS head_doc_id,
-       CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+       CAST(SUM(CAST(pos AS HUGEINT) * (doc_id % 1000003)) % 1000003
+            AS BIGINT) AS order_checksum
 FROM p GROUP BY shard
 """
 
@@ -285,17 +296,25 @@ def q_embedding_dim_stats(spark, sf_dir):
     per = e.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim", v_e4.alias("ve4")
     )
+    # s/ss and the n·ss − s² numerator ride DECIMAL(38,0) (oracle:
+    # HUGEINT) — the BIGINT lane overflows once n·ss passes 2^63, which
+    # a ~3e5-row dimension group with large values already reaches; the
+    # final division runs in doubles on BOTH engines with the identical
+    # op sequence, so the engines stay bit-aligned even past 2^53
     agg = per.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("ve4").cast("bigint").alias("s"),
-        F.sum(F.col("ve4") * F.col("ve4")).cast("bigint").alias("ss"),
+        F.sum(F.col("ve4").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("ve4").cast("decimal(38,0)") * F.col("ve4")).alias("ss"),
         F.min("ve4").alias("min_e4"),
         F.max("ve4").alias("max_e4"),
     )
     mean_e4 = F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
     var_e8 = F.floor(
-        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-        / (F.col("n") * F.col("n"))
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ss")
+            - F.col("s") * F.col("s")
+        ).cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
     ).cast("bigint")
     return agg.select(
         "dim",
@@ -314,15 +333,15 @@ WITH per AS (
              AS ve4
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 ), agg AS (
-  SELECT dim, COUNT(*) AS n, CAST(SUM(ve4) AS BIGINT) AS s,
-         CAST(SUM(ve4 * ve4) AS BIGINT) AS ss,
+  SELECT dim, COUNT(*) AS n, SUM(ve4) AS s,
+         SUM(CAST(ve4 AS HUGEINT) * ve4) AS ss,
          MIN(ve4) AS min_e4, MAX(ve4) AS max_e4
   FROM per GROUP BY dim
 )
 SELECT dim, n,
        CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_e4,
-       CAST(floor(CAST(n * ss - s * s AS DOUBLE) / (n * n)) AS BIGINT)
-           AS var_e8,
+       CAST(floor(CAST(n * ss - s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e8,
        min_e4, max_e4
 FROM agg
 """

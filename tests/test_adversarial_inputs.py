@@ -111,3 +111,45 @@ def test_minhash_survives_hostile_docs(spark, hostile_dir):
     # empty/whitespace docs share the single shingle "" → they MAY pair
     # (documented tokens() contract); the pipeline itself must not crash
     assert rows is not None
+
+
+def test_tokenizer_whitespace_class_matches_duckdb_on_vertical_tab(spark):
+    """Java's \\s includes \\x0B, RE2's does not — both tokenizer lanes
+    spell the whitespace class out explicitly, so a vertical-tab doc must
+    tokenize identically on Spark and DuckDB (every TOKS_SQL consumer
+    rides this contract)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import text
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import TOKS_SQL
+
+    raw = "Alpha\x0bbeta\tgamma \x0b delta-5!"
+    spark_toks = (
+        spark.range(1)
+        .select(text.tokens(F.lit(raw)).alias("t"))
+        .collect()[0]
+        .t
+    )
+    duck_toks = duckdb.connect().execute(
+        f"SELECT {TOKS_SQL.format(c='?')}", [raw]
+    ).fetchone()[0]
+    assert spark_toks == duck_toks
+    assert spark_toks == ["alpha", "beta", "gamma", "delta-5!"]
+
+    spark_bpe = (
+        spark.range(1)
+        .select(
+            F.regexp_extract_all(
+                F.lit(raw), F.lit(text.BPE_TOKEN_PATTERN), F.lit(0)
+            ).alias("t")
+        )
+        .collect()[0]
+        .t
+    )
+    duck_bpe = duckdb.connect().execute(
+        "SELECT regexp_extract_all(?, ?)", [raw, text.BPE_TOKEN_PATTERN]
+    ).fetchone()[0]
+    # \x0B must be whitespace (never a symbol token) on BOTH engines
+    assert spark_bpe == duck_bpe
+    assert "\x0b" not in spark_bpe
