@@ -496,10 +496,16 @@ def connected_components(
     integral = {"tinyint", "smallint", "int", "bigint", "long"}
     dtypes = dict(edges.dtypes)
     for c in (src, dst):
-        if dtypes[c] not in integral:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise TypeError(
+                f"connected_components: column {c!r} not found in edges "
+                f"(columns: {edges.columns})"
+            )
+        if dt not in integral:
             raise TypeError(
                 f"connected_components needs integral node ids; column "
-                f"{c!r} is {dtypes[c]} — map ids to longs first "
+                f"{c!r} is {dt} — map ids to longs first "
                 f"(e.g. zipWithUniqueId / a dense-rank dimension)"
             )
     # checkpoint the raw cast edge list FIRST so the (possibly

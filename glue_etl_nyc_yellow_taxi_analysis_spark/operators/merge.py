@@ -34,6 +34,13 @@ def merge_upsert(
     key, pass ``order_col`` (a version/sequence column): the highest
     value wins deterministically (arg-max over a struct — exactly the
     keyed-dedup idiom q_dedup_keyed documents).
+
+    NULL ``order_col`` semantics: Spark struct ordering sorts NULL lowest,
+    so a NULL-versioned row loses to ANY non-NULL version; if every row
+    for a key is NULL-versioned, the tie is broken by the remaining
+    column values (value-deterministic, but semantically arbitrary).  A
+    CDC source that can emit NULL versions should filter or default them
+    before calling — this operator will not raise.
     """
     if order_col is not None:
         others = [c for c in updates.columns if c not in keys]

@@ -47,9 +47,15 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the inter-event
     gap exceeds ``gap_minutes``.
+
+    ``tiebreak_col`` (e.g. a unique event id) makes the within-key ordering
+    total when ``ts_col`` carries duplicates; without it, tied rows that
+    straddle a session boundary can be assigned to different sessions by
+    different engines (lag/running-sum order is otherwise unspecified).
 
     Boundary semantics: STRICTLY greater (> gap) on floored-second deltas —
     an event exactly ``gap_minutes`` after its predecessor stays in the
@@ -65,7 +71,8 @@ def sessionize(
     Returns per-session rows: (key, session_id, session_start, session_end,
     n_events, sum_value).
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
     gap_s = gap_minutes * 60
     # gap = difference of floor-to-second epoch values (SQL EXTRACT(EPOCH)
     # boundary semantics), computed against an NTZ epoch so it is exact

@@ -501,18 +501,20 @@ GROUP BY 1, 2
 def q_session_windows(spark, sf_dir):
     """Gap-based sessionization (30-min gap) via lag + running sum."""
     ev = _t(spark, sf_dir, "events")
-    return sessionize.sessionize(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
+    return sessionize.sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_minutes=30, tiebreak_col="event_id"
+    )
 
 
 SQL_SESSION_WINDOWS = f"""
 WITH flagged AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, event_id, ts, value,
            CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END
                AS new_session
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
     SELECT user_id, ts, value,
-           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged
 )

@@ -551,7 +551,13 @@ def q_arrow_map(spark, sf_dir):
             texts = b.column("text").cast(pa.binary())
             n_bytes, sums = [], []
             for t in texts:
-                buf = t.as_py() or b""
+                buf = t.as_py()
+                if buf is None:
+                    # NULL text propagates as NULL stats (SQL encode(NULL)
+                    # semantics), not as an empty document
+                    n_bytes.append(None)
+                    sums.append(None)
+                    continue
                 arr = np.frombuffer(buf, dtype=np.uint8)
                 n_bytes.append(len(buf))
                 sums.append(int(arr.sum()))
@@ -571,9 +577,10 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id, n AS n_bytes,
-       CAST(COALESCE(list_sum(list_transform(range(0, n), p ->
-              ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT)), 0) AS BIGINT)
-         AS byte_sum
+       CASE WHEN hx IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(list_transform(range(0, n), p ->
+                   ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT)), 0) AS BIGINT)
+       END AS byte_sum
 FROM b
 """
 

@@ -230,7 +230,8 @@ BM25_CTES = f"""toks AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
          (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
 ), qtf AS (
-  SELECT * FROM tf WHERE token IN {str(_BM25_TERMS)}
+  SELECT * FROM tf
+  WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
 ), df AS (
   SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1
 ), contrib AS (

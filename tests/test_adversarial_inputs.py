@@ -20,7 +20,7 @@ def hostile_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("hostile")
     docs = pa.table(
         {
-            "doc_id": pa.array(range(8), pa.int64()),
+            "doc_id": pa.array(range(9), pa.int64()),
             "text": pa.array(
                 [
                     "",                       # empty
@@ -31,11 +31,12 @@ def hostile_dir(tmp_path_factory):
                     "tok tok tok tok",        # all-repeat
                     "héllo wörld 你好 мир",    # non-ascii
                     ("spark " * 200).strip(), # long, one-token vocab
+                    None,                     # NULL text (r4 advisory)
                 ]
             ),
-            "lang": pa.array(["en"] * 7 + [None]),
-            "source": pa.array([None, "s1", "s1", "s2", "s2", "s3", "s3", "s3"]),
-            "n_chars": pa.array([0, 3, 1, 2, 3, 15, 20, 1199], pa.int64()),
+            "lang": pa.array(["en"] * 7 + [None, "en"]),
+            "source": pa.array([None, "s1", "s1", "s2", "s2", "s3", "s3", "s3", "s1"]),
+            "n_chars": pa.array([0, 3, 1, 2, 3, 15, 20, 1199, None], pa.int64()),
         }
     )
     pq.write_table(docs, str(d / "documents.parquet"))
@@ -61,14 +62,14 @@ def hostile_dir(tmp_path_factory):
 
 
 TEXT_QUERIES = [
-    ("q_repetition_ratio", 8),   # 0/0 bigram guard (single-token docs)
+    ("q_repetition_ratio", 9),   # 0/0 bigram guard (single-token docs)
     ("q_char_ngram_profile", None),  # descending-sequence guard (<3 chars)
-    ("q_token_entropy", 8),
-    ("q_text_stats", 8),
-    ("q_lang_id", 8),
-    ("q_quality_classifier", 8),
+    ("q_token_entropy", 8),     # NULL text → no token rows (oracle unnest agrees)
+    ("q_text_stats", 9),
+    ("q_lang_id", 9),
+    ("q_quality_classifier", 9),
     ("q_batch_padding_plan", None),
-    ("q_doc_fingerprint", 8),
+    ("q_doc_fingerprint", 9),
 ]
 
 
@@ -111,6 +112,80 @@ def test_minhash_survives_hostile_docs(spark, hostile_dir):
     # empty/whitespace docs share the single shingle "" → they MAY pair
     # (documented tokens() contract); the pipeline itself must not crash
     assert rows is not None
+
+
+# Queries whose Spark output must agree with the DuckDB oracle VALUE-wise
+# on the hostile corpus (row counts alone hide per-row divergences like the
+# r4 arrow_map NULL-text finding).  Only scalar-output queries qualify
+# (list/struct cells don't normalize the same way).
+HOSTILE_ORACLE_QUERIES = [
+    "q_text_stats",
+    "q_repetition_ratio",
+    "q_token_entropy",
+    "q_lang_id",
+    "q_quality_classifier",
+    "q_doc_fingerprint",
+    "q_batch_padding_plan",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return repr(v) if v == v else "nan"
+    return str(v)
+
+
+@pytest.mark.parametrize("name", HOSTILE_ORACLE_QUERIES)
+def test_hostile_corpus_oracle_agreement(spark, hostile_dir, name):
+    """Bit-exact Spark-vs-DuckDB agreement on the hostile corpus — the
+    fixture-blind divergence gate the sf fixtures can't provide."""
+    import duckdb
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE
+
+    df = QUERIES[name](spark, hostile_dir)
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    s_lines = sorted(
+        "|".join(_norm(r[i]) for i in order) for r in df.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{hostile_dir}/documents.parquet'"
+    )
+    res = con.execute(ORACLE[name])
+    o_cols = [d[0] for d in res.description]
+    oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    d_lines = sorted("|".join(_norm(r[i]) for i in oo) for r in res.fetchall())
+    assert sorted(cols) == sorted(o_cols)
+    assert s_lines == d_lines
+
+
+def test_arrow_map_null_text_matches_oracle(spark, hostile_dir):
+    """q_arrow_map must agree with its DuckDB oracle on NULL text: both
+    engines yield NULL n_bytes / NULL byte_sum (not 0/0) for the NULL-text
+    doc — the r4 advisory's latent per-row divergence."""
+    import duckdb
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE
+
+    s_rows = {
+        r.doc_id: (r.n_bytes, r.byte_sum)
+        for r in QUERIES["q_arrow_map"](spark, hostile_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{hostile_dir}/documents.parquet'"
+    )
+    d_rows = {
+        r[0]: (r[1], r[2]) for r in con.execute(ORACLE["q_arrow_map"]).fetchall()
+    }
+    assert s_rows == d_rows
+    assert s_rows[8] == (None, None)  # NULL text → NULL stats on both engines
 
 
 def test_tokenizer_whitespace_class_matches_duckdb_on_vertical_tab(spark):
