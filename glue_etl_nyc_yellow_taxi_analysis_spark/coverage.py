@@ -30,33 +30,14 @@ import re
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only the queries whose Spark or
-# oracle side CHANGED in r4 (fixes + new oracles).  Kept deliberately
-# small (VERDICT r3 item 1 + ADVICE): the r4 window's remaining ~44
-# slots go to the never-driver-checked block so cumulative driver
-# coverage keeps growing, and the RECHECK_QUOTA rotation is never
-# starved (invariant: len(PINNED) ≤ window − RECHECK_QUOTA ≈ 46).
+# oracle side CHANGED in r5 (the r4-advisory fixes).  Kept deliberately
+# small: the r5 window's remaining ~44 slots go to the 80-strong
+# never-driver-checked block so cumulative driver coverage keeps
+# growing, and the RECHECK_QUOTA rotation is never starved
+# (invariant: len(PINNED) ≤ window − RECHECK_QUOTA ≈ 46).
 PINNED: tuple[str, ...] = (
-    "q_multimodal_features",  # r4: gained its SQL-replay oracle (was rows-only)
-    "q_span_mask_plan",  # r4: BIGINT-cast mask_ppm (32-bit overflow fix)
-    "q_corpus_drift_js",  # r4: log2(0) degenerate-split guard, both engines
-    "q_stream_dedup_incremental",  # r4: drain-timeout check + scratch cleanup
-    "q_dedup_clusters",  # r4: large-star/small-star connected components
-    "q_dedup_savings",  # r4: rides the upgraded CC fixpoint
-    "q_length_moments",  # r3 tail pinned entry that never fit the window
-    # r4: bounds oracles on the formerly rows-only sketch/ANN/trainer set
-    "q_ann_recall",
-    "q_sketch_rollup",
-    "q_approx_stats",
-    "q_kmeans_train",
-    "q_hybrid_retrieval",  # r4: new RRF fusion query (registry tail)
-    "q_mmr_rerank",  # r4: new MMR diversified re-rank (registry tail)
-    "q_rag_context_pack",  # r4: new context-budget packing (registry tail)
-    "q_contrastive_pairs",  # r4: new hard-negative mining (registry tail)
-    "q_batch_padding_plan",  # r4: new padding-waste audit (registry tail)
-    "q_arrow_map",  # r4: new mapInArrow surface (registry tail)
-    "q_arrow_grouped",  # r4: new applyInArrow surface (registry tail)
-    "q_silhouette",  # r4: new cluster-quality dial (registry tail)
-    "q_dedup_threshold_sweep",  # r4: new τ-tuning dial (registry tail)
+    "q_session_windows",  # r5: (ts, event_id) tiebreak on both engines
+    "q_arrow_map",  # r5: NULL text → NULL stats on both engines
 )
 
 RECHECK_QUOTA = 4

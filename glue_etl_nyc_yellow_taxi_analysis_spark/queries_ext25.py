@@ -136,53 +136,46 @@ _MMR_K = 10      # results to select
 
 
 def _mmr_cand_sims(spark, sf_dir):
-    """Candidate set (dense cosine top-20 for query vec 0) in the exact
-    e6 integer lane, plus all pairwise candidate similarities — both
-    cached (20 / 380 rows)."""
+    """Candidate relevances (dense cosine top-20 for query vec 0) and all
+    pairwise candidate similarities, both in the exact e6 integer lane,
+    returned COLLECTED as dicts — the state is k-bounded (20 / 380 rows)
+    no matter the corpus size.  The corpus-sized scan runs exactly twice
+    (top-N carve, then the isin-pruned pairwise pass — a pushed-down
+    20-key scan, cheaper than caching the corpus)."""
     from .queries import _t
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # coalesce(1) before caching: 20/380-row tables across 32 cached
-    # partitions cost ~1000 empty task launches over the 10 greedy steps
-    # (measured 3.6s → the scheduling floor); one partition is the right
-    # layout for k-bounded state
-    cand = (
-        similarity.cosine_topk(emb, q, k=_MMR_CAND)
-        .select(
-            "vec_id",
-            F.floor(F.col("cosine_sim") * 1000000 + F.lit(0.5))
-            .cast("long")
-            .alias("rel_e6"),
-        )
-        .coalesce(1)
-        .cache()
+    cand = similarity.cosine_topk(emb, q, k=_MMR_CAND).select(
+        "vec_id",
+        F.floor(F.col("cosine_sim") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("rel_e6"),
     )
-    cvec = emb.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
+    rel = {r.vec_id: r.rel_e6 for r in cand.collect()}
+    # pairwise sims over the CONCRETE id list: the isin predicate pushes
+    # to the scan, so the self-join touches 20 rows, not the corpus
+    cvec = emb.filter(F.col("vec_id").isin(list(rel))).select(
         "vec_id", "embedding"
     )
     x, y = cvec.alias("x"), cvec.alias("y")
-    sims = (
-        x.join(F.broadcast(y), F.col("x.vec_id") != F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("x_id"),
-            F.col("y.vec_id").alias("y_id"),
-            F.floor(
-                F.round(
-                    similarity.cosine(F.col("x.embedding"), F.col("y.embedding")), 6
-                )
-                * 1000000
-                + F.lit(0.5)
+    sims = x.join(F.broadcast(y), F.col("x.vec_id") != F.col("y.vec_id")).select(
+        F.col("x.vec_id").alias("x_id"),
+        F.col("y.vec_id").alias("y_id"),
+        F.floor(
+            F.round(
+                similarity.cosine(F.col("x.embedding"), F.col("y.embedding")), 6
             )
-            .cast("long")
-            .alias("sim_e6"),
+            * 1000000
+            + F.lit(0.5)
         )
-        .coalesce(1)
-        .cache()
+        .cast("long")
+        .alias("sim_e6"),
     )
-    return cand, sims
+    sim = {(r.x_id, r.y_id): r.sim_e6 for r in sims.collect()}
+    return rel, sim
 
 
 def q_mmr_rerank(spark, sf_dir):
@@ -192,34 +185,31 @@ def q_mmr_rerank(spark, sf_dir):
     integer rel−maxsim in the e6 lane) — the standard diversified
     re-rank between retrieval and a RAG context window.
 
-    The greedy argmax is inherently sequential; like the BPE trainer the
-    per-step argmax is a 1-row bounded driver action over the CACHED
-    20-row candidate table (k=10 scalar pulls total), and at 100 TB the
-    cost structure is unchanged: the corpus-sized work is the top-N
-    carve feeding it (cosine_topk / ANN), the re-rank itself is always
-    O(k·N) on N≤dozens rows.  Every comparison is exact integer, so the
-    selection is bit-replicable — the oracle replays the whole greedy
-    loop through chained CTEs."""
-    cand, sims = _mmr_cand_sims(spark, sf_dir)
-    first = cand.orderBy(F.desc("rel_e6"), "vec_id").first()
-    selected = [(1, first.vec_id, first.rel_e6)]
+    The greedy argmax is inherently sequential over k-BOUNDED state: the
+    candidate set (N=20 rows) and its pairwise sims (N²−N=380 rows) are
+    fixed-size no matter the corpus, so after the distributed top-N carve
+    (cosine_topk / ANN — the only corpus-sized work) both tables are
+    collected ONCE and the O(k·N) greedy loop runs driver-side in plain
+    Python.  Launching 2 jobs per step over a 20-row DataFrame was pure
+    scheduler overhead (measured 2.5s → the floor at sf0.1); the bounded
+    collect is the correct plan at 100 TB too.  Every comparison is
+    exact integer, so the selection is bit-replicable — the oracle
+    replays the whole greedy loop through chained CTEs."""
+    rel, sim = _mmr_cand_sims(spark, sf_dir)
+    first = min(rel, key=lambda v: (-rel[v], v))
+    selected = [(1, first, rel[first])]
+    chosen = {first}
     for step in range(2, _MMR_K + 1):
-        sel_ids = [s[1] for s in selected]
-        pen = (
-            sims.filter(F.col("y_id").isin(sel_ids))
-            .groupBy("x_id")
-            .agg(F.max("sim_e6").alias("pen_e6"))
-        )
-        pick = (
-            cand.filter(~F.col("vec_id").isin(sel_ids))
-            .join(pen, F.col("vec_id") == F.col("x_id"))
-            .select("vec_id", (F.col("rel_e6") - F.col("pen_e6")).alias("score_e6"))
-            .orderBy(F.desc("score_e6"), "vec_id")
-            .first()
-        )
-        selected.append((step, pick.vec_id, pick.score_e6))
-    cand.unpersist()
-    sims.unpersist()
+        best = None
+        for v in sorted(rel):
+            if v in chosen:
+                continue
+            pen = max(sim[(v, s)] for s in chosen)
+            score = rel[v] - pen
+            if best is None or score > best[1]:
+                best = (v, score)
+        selected.append((step, best[0], best[1]))
+        chosen.add(best[0])
     return spark.createDataFrame(
         selected, "sel_rank long, vec_id long, mmr_score_e6 long"
     )

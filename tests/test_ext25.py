@@ -51,11 +51,7 @@ def test_mmr_rerank_matches_python_greedy_replay(spark, sf_dir):
     got = QUERIES["q_mmr_rerank"](spark, sf_dir).collect()
     assert [r.sel_rank for r in got] == list(range(1, _MMR_K + 1))
 
-    cand, sims = _mmr_cand_sims(spark, sf_dir)
-    rel = {r.vec_id: r.rel_e6 for r in cand.collect()}
-    sim = {(r.x_id, r.y_id): r.sim_e6 for r in sims.collect()}
-    cand.unpersist()
-    sims.unpersist()
+    rel, sim = _mmr_cand_sims(spark, sf_dir)
 
     selected = []
     first = min(rel, key=lambda v: (-rel[v], v))
