@@ -199,6 +199,11 @@ HEADLINE = [
     "q_arrow_grouped",
     "q_silhouette",
     "q_dedup_threshold_sweep",
+    # round-5 batch: corpus-curation selection lanes
+    "q_dsir_weights",
+    "q_domain_cap",
+    "q_token_fertility",
+    "q_ccnet_buckets",
 ]
 
 

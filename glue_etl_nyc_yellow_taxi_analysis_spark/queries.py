@@ -2151,6 +2151,10 @@ QUERIES.update(QUERIES_EXT24)
 ORACLE.update(ORACLE_EXT24)
 
 from .queries_ext25 import ORACLE_EXT25, QUERIES_EXT25  # noqa: E402
+from .queries_ext26 import ORACLE_EXT26, QUERIES_EXT26  # noqa: E402
 
 QUERIES.update(QUERIES_EXT25)
 ORACLE.update(ORACLE_EXT25)
+
+QUERIES.update(QUERIES_EXT26)
+ORACLE.update(ORACLE_EXT26)
