@@ -592,16 +592,23 @@ def q_arrow_grouped(spark, sf_dir):
         import pyarrow as pa
 
         texts = table.column("text").cast(pa.binary())
-        sizes = [len(t.as_py() or b"") for t in texts]
+        n_docs = len(texts)
+        # SQL aggregate NULL semantics: NULL text contributes to COUNT(*)
+        # but is skipped by SUM/MAX (an all-NULL group yields NULL totals,
+        # matching the oracle's SUM(n)/MAX(n)); the byte_sum lane COALESCEs
+        # per row, so NULL text adds 0 there on both engines
+        sizes = [len(t.as_py()) for t in texts if t.as_py() is not None]
         sums = [
-            int(np.frombuffer(t.as_py() or b"", dtype=np.uint8).sum()) for t in texts
+            int(np.frombuffer(t.as_py(), dtype=np.uint8).sum())
+            for t in texts
+            if t.as_py() is not None
         ]
         return pa.table(
             {
                 "source": [table.column("source")[0].as_py()],
-                "n_docs": [len(sizes)],
-                "total_bytes": [int(sum(sizes))],
-                "max_doc_bytes": [int(max(sizes)) if sizes else 0],
+                "n_docs": [n_docs],
+                "total_bytes": [int(sum(sizes)) if sizes else None],
+                "max_doc_bytes": [int(max(sizes)) if sizes else None],
                 "byte_sum": [int(sum(sums))],
             },
             schema=pa.schema(

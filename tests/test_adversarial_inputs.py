@@ -188,6 +188,28 @@ def test_arrow_map_null_text_matches_oracle(spark, hostile_dir):
     assert s_rows[8] == (None, None)  # NULL text → NULL stats on both engines
 
 
+def test_arrow_grouped_null_text_matches_oracle(spark, hostile_dir):
+    """q_arrow_grouped must apply SQL aggregate NULL semantics: the
+    NULL-text doc counts toward n_docs but is skipped by SUM/MAX."""
+    import duckdb
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE
+
+    s_rows = {
+        r.source: (r.n_docs, r.total_bytes, r.max_doc_bytes, r.byte_sum)
+        for r in QUERIES["q_arrow_grouped"](spark, hostile_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{hostile_dir}/documents.parquet'"
+    )
+    d_rows = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(ORACLE["q_arrow_grouped"]).fetchall()
+    }
+    assert s_rows == d_rows
+
+
 def test_tokenizer_whitespace_class_matches_duckdb_on_vertical_tab(spark):
     """Java's \\s includes \\x0B, RE2's does not — both tokenizer lanes
     spell the whitespace class out explicitly, so a vertical-tab doc must

@@ -43,6 +43,10 @@ REHEARSAL_QUERIES = (
     "q_substr_dedup",
     "q_boilerplate_ratio",
     "q_line_dedup",
+    # round-5 curation lanes: DSIR hashed-bucket shuffle + the
+    # unigram-LM tercile cut (tokenize-dominated corpus passes)
+    "q_dsir_weights",
+    "q_ccnet_buckets",
 )
 
 
