@@ -204,6 +204,7 @@ HEADLINE = [
     "q_domain_cap",
     "q_token_fertility",
     "q_ccnet_buckets",
+    "q_minhash_calibration",
 ]
 
 

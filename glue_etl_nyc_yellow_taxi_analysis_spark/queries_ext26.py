@@ -315,3 +315,137 @@ FROM scores s JOIN documents d ON s.doc_id = d.doc_id
 
 QUERIES_EXT26["q_ccnet_buckets"] = q_ccnet_buckets
 ORACLE_EXT26["q_ccnet_buckets"] = SQL_CCNET_BUCKETS
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration
+# --------------------------------------------------------------------------
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator accuracy audit: for every LSH candidate pair
+    (md5 lane, the ext13 k=12/4-band family), compare the SIGNATURE
+    estimate of Jaccard (agreeing lanes / k) against the exact value,
+    bucketed by exact-Jaccard tenth — the measure-don't-guess dial that
+    tells you whether k hashes are enough before trusting the estimator
+    at 100 TB (where exact verification of every candidate is the cost
+    you're trying to shed).  Everything is exact integer ppm: lane
+    agreement is a zip_with count, exact Jaccard is |∩|·1e6 div |∪|.
+
+    One banding self-join (bounded buckets, never all-pairs) + two
+    broadcast-scale join-backs to the signature table; the output is a
+    ≤11-row error profile."""
+    from .operators import dedup
+    from .queries_ext13 import _MH_BANDS, _MH_K, _MH_N
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, num_hashes=_MH_K, shingle_n=_MH_N, lane="md5"
+    ).cache()
+    cands = dedup.minhash_lsh_candidates(
+        sigs, num_hashes=_MH_K, bands=_MH_BANDS, lane="md5"
+    )
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("minhash_sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("minhash_sig").alias("sig_b"),
+    )
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            # non-negative operands, so Spark's truncating `div` and
+            # DuckDB's flooring `//` agree
+            F.expr(f"CAST({_MH_K} AS BIGINT)").alias("_k"),
+            n_eq.cast("long").alias("n_eq"),
+            inter.alias("i"),
+            union.alias("u"),
+        )
+        .select(
+            F.expr("n_eq * 1000000 div _k").alias("est_ppm"),
+            F.when(F.col("u") > 0, F.expr("i * 1000000 div u"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("exact_ppm"),
+        )
+    )
+    err = F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    return (
+        pairs.groupBy(F.expr("exact_ppm div 100000").alias("jaccard_tenth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(abs(est_ppm - exact_ppm)) div count(1)").alias(
+                "mean_abs_err_ppm"
+            ),
+            F.max(err).alias("max_abs_err_ppm"),
+        )
+    )
+
+
+def _sql_minhash_calibration() -> str:
+    """Oracle: replays signatures/banding/candidates through the shared
+    ext13 md5-lane CTE parts, then computes both ppm lanes in SQL."""
+    from .queries_ext13 import (
+        _BAND_COLS_SQL,
+        _BAND_UNION_SQL,
+        _MH_K,
+        _MINHASH_COLS_SQL,
+        _SHINGLES_SQL,
+    )
+
+    n_eq_sql = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id AS id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), shs AS (
+    SELECT id, {_SHINGLES_SQL} AS sh FROM base
+), sigs AS (
+    SELECT id, sh,
+           {_MINHASH_COLS_SQL}
+    FROM shs
+), bands AS (
+    SELECT id, sh,
+           {_BAND_COLS_SQL}
+    FROM sigs
+), banded AS (
+    SELECT id, sh, band_idx, band_hash FROM (
+        {_BAND_UNION_SQL}
+    )
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+), paired AS (
+    SELECT ({n_eq_sql}) AS n_eq,
+           len(list_intersect(sa.sh, sb.sh)) AS i,
+           len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
+    FROM cand c JOIN sigs sa ON c.id_a = sa.id JOIN sigs sb ON c.id_b = sb.id
+), ppm AS (
+    SELECT CAST(n_eq AS BIGINT) * 1000000 // {_MH_K} AS est_ppm,
+           CASE WHEN u > 0 THEN CAST(i AS BIGINT) * 1000000 // u
+                ELSE 0 END AS exact_ppm
+    FROM paired
+)
+SELECT CAST(exact_ppm // 100000 AS BIGINT) AS jaccard_tenth,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+           AS mean_abs_err_ppm,
+       CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+FROM ppm GROUP BY 1
+"""
+
+
+QUERIES_EXT26["q_minhash_calibration"] = q_minhash_calibration
+ORACLE_EXT26["q_minhash_calibration"] = _sql_minhash_calibration()

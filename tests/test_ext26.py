@@ -54,6 +54,23 @@ def test_token_fertility_sane(spark, sf_dir):
         assert r.fertility_ppm >= 1_000_000
 
 
+def test_minhash_calibration_error_profile_sane(spark, sf_dir):
+    """Estimator error is bounded ppm math: buckets in 0..10, mean <= max,
+    and the planted high-jaccard pairs dominate the profile."""
+    rows = QUERIES["q_minhash_calibration"](spark, sf_dir).collect()
+    assert rows
+    total_pairs = 0
+    for r in rows:
+        assert 0 <= r.jaccard_tenth <= 10
+        assert 0 <= r.mean_abs_err_ppm <= r.max_abs_err_ppm <= 1_000_000
+        total_pairs += r.n_pairs
+    # candidate pairs exist (the generator plants ~5% near-dups)
+    assert total_pairs > 0
+    # most candidates come from genuinely similar docs (tenth >= 5)
+    high = sum(r.n_pairs for r in rows if r.jaccard_tenth >= 5)
+    assert high >= total_pairs // 2
+
+
 def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
     rows = QUERIES["q_ccnet_buckets"](spark, sf_dir).collect()
     per_lang = defaultdict(list)
