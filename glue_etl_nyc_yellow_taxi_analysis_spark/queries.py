@@ -685,11 +685,18 @@ WHERE raw_j >= 0.5
 # Embedding similarity (LLM-data-pipeline extensions)
 # --------------------------------------------------------------------------
 
+# NULL on length mismatch: Spark's zip_with pads the shorter array with
+# NULL elements, which NULL the aggregate dot product; DuckDB's list_sum
+# SKIPS the NULL pads and would silently return a prefix dot — the CASE
+# makes both engines agree that mismatched dims have no cosine (caught by
+# the hostile-corpus agreement gate, round 5).
 _COSINE_SQL = """
+CASE WHEN len({a}) <> len({b}) THEN NULL ELSE
 ROUND(list_sum(list_transform(list_zip({a}, {b}),
                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+END
 """
 
 

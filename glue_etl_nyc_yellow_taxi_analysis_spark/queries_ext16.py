@@ -136,9 +136,13 @@ WITH reps AS (
   SELECT b.vec_id, MIN(a.vec_id) AS dup_of
   FROM assigned a JOIN assigned b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+  -- the len() guard mirrors Spark's NULL-propagating zip_with dot on
+  -- length-mismatched vectors (DuckDB's list_sum would skip the NULL
+  -- pads and score a prefix dot); NULL >= tau is false on both engines
+  WHERE CASE WHEN len(a.embedding) <> len(b.embedding) THEN NULL ELSE
+          ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-              / (a.nrm * b.nrm), 6) >= {_SD_TAU}
+              / (a.nrm * b.nrm), 6) END >= {_SD_TAU}
   GROUP BY b.vec_id
 )
 SELECT s.vec_id, s.cluster,

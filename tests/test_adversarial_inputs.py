@@ -119,6 +119,7 @@ def test_minhash_survives_hostile_docs(spark, hostile_dir):
 # r4 arrow_map NULL-text finding).  Only scalar-output queries qualify
 # (list/struct cells don't normalize the same way).
 HOSTILE_ORACLE_QUERIES = [
+    # text lane (NULL/empty/sub-trigram/non-ascii documents)
     "q_text_stats",
     "q_repetition_ratio",
     "q_token_entropy",
@@ -126,6 +127,11 @@ HOSTILE_ORACLE_QUERIES = [
     "q_quality_classifier",
     "q_doc_fingerprint",
     "q_batch_padding_plan",
+    # embedding lane (empty / dim-2 / all-zero vectors)
+    "q_array_ops",
+    "q_embedding_dim_stats",
+    "q_similarity_topk",
+    "q_semdedup",
 ]
 
 
@@ -154,9 +160,10 @@ def test_hostile_corpus_oracle_agreement(spark, hostile_dir, name):
         "|".join(_norm(r[i]) for i in order) for r in df.collect()
     )
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{hostile_dir}/documents.parquet'"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hostile_dir}/{t}.parquet'"
+        )
     res = con.execute(ORACLE[name])
     o_cols = [d[0] for d in res.description]
     oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
