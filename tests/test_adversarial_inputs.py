@@ -172,6 +172,92 @@ def test_hostile_corpus_oracle_agreement(spark, hostile_dir, name):
     assert s_lines == d_lines
 
 
+@pytest.fixture(scope="module")
+def hostile_events_dir(tmp_path_factory):
+    """Events corpus the sf fixtures never carry: duplicate (user_id, ts)
+    pairs straddling a session boundary (the r4 tiebreak advisory), NULL
+    user_id / value / event_type / props, an exact-gap event, and
+    out-of-vocabulary event types."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("hostile_events")
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+    s = lambda sec: T + dt.timedelta(seconds=sec)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (0, s(0), 1, "view", 1.0, '{"k": 1}'),
+        (1, s(600), 1, "click", 2.5, '{"k": 2}'),
+        (2, s(2400), 1, "purchase", 0.0, "{}"),        # gap 1800 exact: SAME session
+        (3, s(4201), 1, "view", -3.25, None),          # gap 1801: NEW session
+        # user 2: three tied-timestamp events right after a boundary
+        (4, s(0), 2, "view", 10.0, '{"k": 3}'),
+        (5, s(1801), 2, "click", 1.0, '{"k": 4}'),     # boundary crosser
+        (6, s(1801), 2, "click", 2.0, '{"k": 5}'),     # tied with 5
+        (7, s(1801), 2, "error", None, '{"k": 6}'),    # tied, NULL value
+        # user 3: NULL-heavy
+        (8, s(100), 3, None, None, None),
+        (9, s(200), 3, "view", 4.0, '{"k": 7}'),
+        # NULL user_id partition
+        (10, s(300), None, "click", 5.0, '{"k": 8}'),
+        (11, s(2200), None, "view", 6.0, '{"k": 9}'),
+        # out-of-vocabulary event type
+        (12, s(400), 4, "zz_unknown", 7.5, '{"k": 10}'),
+    ]
+    docs = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(docs, str(d / "events.parquet"))
+    return str(d)
+
+
+# Events-lane agreement set: scalar outputs, oracle reads only `events`.
+HOSTILE_EVENTS_QUERIES = [
+    "q_session_windows",     # the r4 tiebreak advisory target
+    "q_event_sessionize",
+    "q_lag_lead_delta",
+    "q_running_total",
+    "q_markov_transitions",
+    "q_time_weighted_avg",
+    "q_islands_gaps",
+    "q_sliding_windows",
+    "q_funnel",
+    "q_attribution",
+    "q_event_pattern",
+    "q_ewma_smooth",
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_EVENTS_QUERIES)
+def test_hostile_events_oracle_agreement(spark, hostile_events_dir, name):
+    import duckdb
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE
+
+    df = QUERIES[name](spark, hostile_events_dir)
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    s_lines = sorted(
+        "|".join(_norm(r[i]) for i in order) for r in df.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{hostile_events_dir}/events.parquet'"
+    )
+    res = con.execute(ORACLE[name])
+    o_cols = [d[0] for d in res.description]
+    oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    d_lines = sorted("|".join(_norm(r[i]) for i in oo) for r in res.fetchall())
+    assert sorted(cols) == sorted(o_cols)
+    assert s_lines == d_lines
+
+
 def test_arrow_map_null_text_matches_oracle(spark, hostile_dir):
     """q_arrow_map must agree with its DuckDB oracle on NULL text: both
     engines yield NULL n_bytes / NULL byte_sum (not 0/0) for the NULL-text
