@@ -494,6 +494,8 @@ SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        {DSUM_SQL.format(col='value')} AS sum_value
 FROM events
+-- F.window is an event-time generator: NULL ts produces no window row
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -897,7 +899,7 @@ SELECT user_id, event_id,
        CAST(floor(date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0) AS BIGINT)
            AS gap_seconds,
        lead(event_type) OVER w AS next_type
-FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """
 
 
@@ -1001,7 +1003,7 @@ def q_running_total(spark, sf_dir):
 SQL_RUNNING_TOTAL = """
 SELECT user_id, event_id,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2)
+                  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING), 2)
             AS DOUBLE) AS running_value
 FROM events
 """

@@ -474,7 +474,8 @@ SQL_SLIDING_WINDOWS = f"""
 WITH sec AS (
     SELECT event_type, value,
            date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s
-    FROM events
+    -- F.window is an event-time generator: NULL ts produces no window row
+    FROM events WHERE ts IS NOT NULL
 ), g AS (
     SELECT event_type, value, (s // 300) * 300 - k AS start_s
     FROM sec CROSS JOIN (SELECT unnest([0, 300]) AS k)

@@ -283,7 +283,7 @@ def q_markov_transitions(spark, sf_dir):
 SQL_MARKOV_TRANSITIONS = """
 WITH ordered AS (
   SELECT user_id, event_type,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
            AS prev_type
   FROM events
 ),

@@ -309,7 +309,7 @@ def q_event_pattern(spark, sf_dir):
 SQL_EVENT_PATTERN = """
 WITH seqs AS (
   SELECT user_id, COUNT(*) AS n_events,
-         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts NULLS FIRST, event_id)
            AS seq
   FROM events GROUP BY user_id
 )
@@ -371,8 +371,8 @@ def q_attribution(spark, sf_dir):
 SQL_ATTRIBUTION = """
 WITH per_user AS (
   SELECT user_id,
-         first(event_type ORDER BY ts, event_id) AS first_ch,
-         last(event_type ORDER BY ts, event_id) AS last_ch,
+         first(event_type ORDER BY ts NULLS FIRST, event_id) AS first_ch,
+         last(event_type ORDER BY ts NULLS FIRST, event_id) AS last_ch,
          SUM(CASE WHEN event_type = 'purchase'
                   THEN CAST(ROUND(value, 4) AS DECIMAL(18,4))
                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS rev

@@ -202,6 +202,10 @@ def hostile_events_dir(tmp_path_factory):
         (11, s(2200), None, "view", 6.0, '{"k": 9}'),
         # out-of-vocabulary event type
         (12, s(400), 4, "zz_unknown", 7.5, '{"k": 10}'),
+        # NULL ts: the engine contract is Spark's native ordering (NULL
+        # sorts FIRST ascending); oracles spell NULLS FIRST explicitly
+        (13, None, 5, "view", 8.0, '{"k": 11}'),
+        (14, s(500), 5, "click", 9.0, '{"k": 12}'),
     ]
     docs = pa.table(
         {
