@@ -41,8 +41,15 @@ def running_sum(
     numeric (cast timestamps to epoch integers first)."""
     g, o, v = group_col, order_col, value_col
 
+    # joins back to the per-group tables are NULL-SAFE: a window
+    # PARTITION BY treats NULL as one real group, and a plain equi-join
+    # would silently drop every NULL-group row (hostile-gate finding,
+    # round 5)
     bounds = df.groupBy(g).agg(F.min(o).alias("_lo"), F.max(o).alias("_hi"))
-    binned = df.join(F.broadcast(bounds), g).withColumn(
+    binned = df.join(
+        F.broadcast(bounds.withColumnRenamed(g, "_bg")),
+        F.col(g).eqNullSafe(F.col("_bg")),
+    ).drop("_bg").withColumn(
         "_chk",
         F.when(F.col("_lo") == F.col("_hi"), F.lit(0)).otherwise(
             F.least(
@@ -69,7 +76,13 @@ def running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        binned.join(F.broadcast(carry), [g, "_chk"])
+        binned.join(
+            F.broadcast(
+                carry.withColumnRenamed(g, "_cg").withColumnRenamed("_chk", "_cchk")
+            ),
+            F.col(g).eqNullSafe(F.col("_cg")) & (F.col("_chk") == F.col("_cchk")),
+        )
+        .drop("_cg", "_cchk")
         .withColumn(
             out_col,
             F.sum(v).over(w_fine) + F.coalesce(F.col("_carry"), F.lit(0)),

@@ -834,6 +834,10 @@ def q_scd2_history(spark, sf_dir):
         ts_col="ts",
         attr_cols=["value"],
         tiebreak_col="event_id",
+        # partition on the REAL business key: the NULL-propagating
+        # dim_key collapses every NULL-keyed row into one partition,
+        # chaining unrelated histories (hostile-gate finding, round 5)
+        partition_cols=["user_id", "event_type"],
     )
 
 

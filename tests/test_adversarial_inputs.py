@@ -235,6 +235,21 @@ HOSTILE_EVENTS_QUERIES = [
     "q_attribution",
     "q_event_pattern",
     "q_ewma_smooth",
+    # second tranche: joins/CDC/json/frames over the same corpus
+    "q_asof_join",
+    "q_range_join_bands",
+    "q_dedup_keyed",
+    "q_scd2_history",
+    "q_scd2_pit",
+    "q_date_trunc",
+    "q_json_extract",
+    "q_variant_json",
+    "q_interval_overlap",
+    "q_trailing_window_range",
+    "q_global_index",
+    "q_bitwise_ops",
+    "q_salt_plan",
+    "q_bitmap_distinct",
 ]
 
 
