@@ -30,14 +30,13 @@ import re
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only the queries whose Spark or
-# oracle side CHANGED in r5 (the r4-advisory fixes).  Kept deliberately
-# small: the r5 window's remaining ~44 slots go to the 80-strong
-# never-driver-checked block so cumulative driver coverage keeps
-# growing, and the RECHECK_QUOTA rotation is never starved
-# (invariant: len(PINNED) ≤ window − RECHECK_QUOTA ≈ 46).
+# oracle side CHANGED in r6 (the r5-advisory NULLS FIRST alignment).
+# Kept deliberately small: the r6 window's remaining slots must swallow
+# the entire 41-strong never-driver-checked block (41 + 4 recheck + 2
+# pinned = 47 ≤ ~50) so cumulative driver coverage reaches 261/261.
 PINNED: tuple[str, ...] = (
-    "q_session_windows",  # r5: (ts, event_id) tiebreak on both engines
-    "q_arrow_map",  # r5: NULL text → NULL stats on both engines
+    "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
+    "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST
 )
 
 RECHECK_QUOTA = 4

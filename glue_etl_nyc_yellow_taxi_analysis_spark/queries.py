@@ -513,10 +513,10 @@ WITH flagged AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END
                AS new_session
-    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 ), sess AS (
     SELECT user_id, ts, value,
-           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged
 )

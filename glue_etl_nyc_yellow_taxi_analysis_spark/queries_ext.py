@@ -635,11 +635,17 @@ def q_dedup_keyed(spark, sf_dir):
 
 
 SQL_DEDUP_KEYED = """
+-- row_number with explicit NULLS FIRST, not struct-min: Spark's struct
+-- ordering ranks a NULL field SMALLEST while DuckDB's min() ranks it
+-- largest, so the two struct-min forms diverge on NULL-ts rows
 SELECT user_id, event_type,
-       min({'ts': ts, 'id': event_id, 'v': value}).ts AS first_ts,
-       min({'ts': ts, 'id': event_id, 'v': value}).id AS first_event_id,
-       min({'ts': ts, 'id': event_id, 'v': value}).v AS first_value
-FROM events GROUP BY user_id, event_type
+       ts AS first_ts, event_id AS first_event_id, value AS first_value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+  FROM events)
+WHERE rn = 1
 """
 
 
@@ -848,7 +854,7 @@ SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS dim_key,
        lead(ts) OVER w AS valid_to,
        lead(ts) OVER w IS NULL AS is_current
 FROM events
-WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id)
 """
 
 

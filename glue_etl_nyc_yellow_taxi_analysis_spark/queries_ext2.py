@@ -254,7 +254,7 @@ WITH moments AS (
          SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
                   AS DECIMAL(18,4))) OVER w AS s2
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN {_FRAME} PRECEDING AND 1 PRECEDING)
 ),
 stats AS (
@@ -600,7 +600,7 @@ WITH hist AS (
   SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS dim_key,
          value, ts AS valid_from, lead(ts) OVER w AS valid_to
   FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id)
 ),
 probes AS (
   SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS dim_key

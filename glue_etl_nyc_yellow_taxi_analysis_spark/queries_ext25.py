@@ -196,6 +196,15 @@ def q_mmr_rerank(spark, sf_dir):
     exact integer, so the selection is bit-replicable — the oracle
     replays the whole greedy loop through chained CTEs."""
     rel, sim = _mmr_cand_sims(spark, sf_dir)
+    # Fail-soft on degenerate corpora (r5 advisory): a NULL cosine
+    # (zero-norm / length-mismatched embedding) yields rel_e6/sim_e6 of
+    # None — drop unrankable candidates, treat an unknown pairwise sim
+    # as "no similarity" (penalty 0), and stop early when fewer than
+    # _MMR_K candidates exist instead of crashing the driver.
+    rel = {v: r for v, r in rel.items() if r is not None}
+    schema = "sel_rank long, vec_id long, mmr_score_e6 long"
+    if not rel:
+        return spark.createDataFrame([], schema)
     first = min(rel, key=lambda v: (-rel[v], v))
     selected = [(1, first, rel[first])]
     chosen = {first}
@@ -204,15 +213,16 @@ def q_mmr_rerank(spark, sf_dir):
         for v in sorted(rel):
             if v in chosen:
                 continue
-            pen = max(sim[(v, s)] for s in chosen)
+            pens = [sim[(v, s)] for s in chosen if sim.get((v, s)) is not None]
+            pen = max(pens) if pens else 0
             score = rel[v] - pen
             if best is None or score > best[1]:
                 best = (v, score)
+        if best is None:  # candidate pool exhausted before _MMR_K picks
+            break
         selected.append((step, best[0], best[1]))
         chosen.add(best[0])
-    return spark.createDataFrame(
-        selected, "sel_rank long, vec_id long, mmr_score_e6 long"
-    )
+    return spark.createDataFrame(selected, schema)
 
 
 def _sql_mmr_chain() -> str:

@@ -380,7 +380,7 @@ def q_minhash_calibration(spark, sf_dir):
         )
     )
     err = F.abs(F.col("est_ppm") - F.col("exact_ppm"))
-    return (
+    profile = (
         pairs.groupBy(F.expr("exact_ppm div 100000").alias("jaccard_tenth"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -389,6 +389,16 @@ def q_minhash_calibration(spark, sf_dir):
             ),
             F.max(err).alias("max_abs_err_ppm"),
         )
+    )
+    # ≤11-row error profile: materialize it here so the signature cache
+    # can be released immediately instead of leaking storage memory for
+    # the rest of the session (r5 advisory) — same bounded-collect
+    # pattern as q_mmr_rerank's k-bounded state.
+    rows = profile.collect()
+    sigs.unpersist()
+    return spark.createDataFrame(
+        rows, "jaccard_tenth long, n_pairs long, "
+        "mean_abs_err_ppm long, max_abs_err_ppm long"
     )
 
 

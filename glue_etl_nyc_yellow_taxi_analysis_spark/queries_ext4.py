@@ -532,7 +532,7 @@ WITH spans AS (
   SELECT user_id,
          CAST(value AS DECIMAL(18,4)) AS v,
          datediff('microseconds', ts,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)) AS dt
   FROM events
 )
 SELECT user_id,

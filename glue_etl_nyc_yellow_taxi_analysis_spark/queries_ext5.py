@@ -501,7 +501,7 @@ def build_pagerank_oracle_sql(iters=20):
 WITH pairs AS MATERIALIZED (
   SELECT src, event_type AS dst, COUNT(*) AS n FROM (
     SELECT event_type,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS src
     FROM events)
   WHERE src IS NOT NULL GROUP BY src, event_type
 ), edges AS MATERIALIZED (

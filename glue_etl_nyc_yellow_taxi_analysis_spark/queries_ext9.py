@@ -514,7 +514,7 @@ WITH lagged AS (
          LAG(value, 3) OVER w AS v3,
          LAG(value, 4) OVER w AS v4
   FROM events WHERE user_id % 10 = 0
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 )
 SELECT user_id, event_id,
        ROUND(v0, 4) AS val,

@@ -203,9 +203,16 @@ def hostile_events_dir(tmp_path_factory):
         # out-of-vocabulary event type
         (12, s(400), 4, "zz_unknown", 7.5, '{"k": 10}'),
         # NULL ts: the engine contract is Spark's native ordering (NULL
-        # sorts FIRST ascending); oracles spell NULLS FIRST explicitly
+        # sorts FIRST ascending); oracles spell NULLS FIRST explicitly.
+        # User 5 carries a NULL-ts row AND a multi-event session AND a
+        # >30-min-gap pair, so session NUMBERING diverges between
+        # NULLS-FIRST and NULLS-LAST orderings: Spark sees sessions
+        # {13}, {14,15}, {16} while a NULLS-LAST oracle would number
+        # them {14,15}=1, {16}=2, {13}=3 (r5 advisory).
         (13, None, 5, "view", 8.0, '{"k": 11}'),
         (14, s(500), 5, "click", 9.0, '{"k": 12}'),
+        (15, s(900), 5, "view", 9.5, '{"k": 13}'),     # same session as 14
+        (16, s(3000), 5, "purchase", 10.0, '{"k": 14}'),  # gap 2100s: NEW session
     ]
     docs = pa.table(
         {

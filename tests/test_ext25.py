@@ -40,37 +40,56 @@ def test_hybrid_rrf_fusion_consistency(spark, sf_dir):
             assert r.doc_id not in dense_rank
 
 
-def test_mmr_rerank_matches_python_greedy_replay(spark, sf_dir):
-    """Replay the greedy MMR loop in pure python over the same e6-lane
-    candidate/sims tables and require identical selections and scores."""
-    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext25 import (
-        _MMR_K,
-        _mmr_cand_sims,
-    )
+def test_mmr_rerank_matches_oracle_cte_replay(spark, sf_dir):
+    """Replay the greedy MMR loop through the INDEPENDENT DuckDB
+    chained-CTE oracle (separate cosine, separate argmax logic — no code
+    shared with the production driver loop, the r5 advisory's fix for
+    the tautological same-helper replay) and require identical
+    selections and scores."""
+    import duckdb
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext25 import _MMR_K
 
     got = QUERIES["q_mmr_rerank"](spark, sf_dir).collect()
     assert [r.sel_rank for r in got] == list(range(1, _MMR_K + 1))
 
-    rel, sim = _mmr_cand_sims(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    oracle = sorted(con.execute(ORACLE["q_mmr_rerank"]).fetchall())
+    assert sorted((r.sel_rank, r.vec_id, r.mmr_score_e6) for r in got) == oracle
 
-    selected = []
-    first = min(rel, key=lambda v: (-rel[v], v))
-    selected.append((1, first, rel[first]))
-    for step in range(2, _MMR_K + 1):
-        chosen = {s[1] for s in selected}
-        best = None
-        for c in rel:
-            if c in chosen:
-                continue
-            score = rel[c] - max(sim[(c, s)] for s in chosen)
-            if best is None or (-score, c) < (-best[1], best[0]):
-                best = (c, score)
-        selected.append((step, best[0], best[1]))
 
-    assert [(r.sel_rank, r.vec_id, r.mmr_score_e6) for r in got] == selected
-    # rank 1 is the plain dense top-1; later ranks trade relevance for
-    # diversity, so the selection must stay inside the candidate set
-    assert {r.vec_id for r in got} <= set(rel)
+def test_mmr_rerank_fails_soft_on_tiny_corpus(spark, tmp_path):
+    """A corpus with fewer than _MMR_K rankable candidates (including a
+    zero-norm vector whose cosine is NULL) must yield a short, valid
+    selection instead of a driver TypeError (r5 advisory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext25 import _MMR_K
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # the query vector
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero-norm → NULL cosine
+        (3, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    rows = QUERIES["q_mmr_rerank"](spark, str(tmp_path)).collect()
+    assert 0 < len(rows) < _MMR_K
+    assert [r.sel_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert 2 not in {r.vec_id for r in rows}  # NULL-cosine row dropped
 
 
 def test_rag_context_pack_prefix_budget(spark, sf_dir):
