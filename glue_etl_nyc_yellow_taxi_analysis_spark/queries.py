@@ -2167,3 +2167,8 @@ ORACLE.update(ORACLE_EXT25)
 
 QUERIES.update(QUERIES_EXT26)
 ORACLE.update(ORACLE_EXT26)
+
+from .queries_ext27 import ORACLE_EXT27, QUERIES_EXT27  # noqa: E402
+
+QUERIES.update(QUERIES_EXT27)
+ORACLE.update(ORACLE_EXT27)

@@ -67,3 +67,128 @@ def test_frame_sample_slices_and_fanout(spark):
     assert by_id[2][0].frame_md5 == hashlib.md5(b"b" * 31).hexdigest()
     last = [r for r in by_id[3] if r.frame_idx == 4][0]
     assert last.frame_len == 1 and last.frame_md5 == hashlib.md5(b"c").hexdigest()
+
+
+# --------------------------------------------------------------------------
+# REAL stdlib codecs (round 6): PCM16 WAV + 24bpp BMP
+# --------------------------------------------------------------------------
+
+
+def test_parse_wav_roundtrip_and_chunk_walk():
+    """parse_wav must WALK the chunk list (unknown chunks, odd sizes,
+    word alignment), not assume the canonical 44-byte layout, and must
+    decode signed int16 little-endian."""
+    import struct
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    # odd-length LIST chunk forces the word-alignment path
+    payload = multimodal.wav_container(
+        pcm, sample_rate=44100, n_channels=2,
+        extra_chunks=((b"LIST", b"INFOx"), (b"junk", b"\x00" * 7)),
+    )
+    rate, nch, got = multimodal.parse_wav(payload)
+    assert (rate, nch) == (44100, 2)
+    assert got == samples
+
+
+def test_parse_wav_rejects_malformed():
+    import struct
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):  # truncated data chunk
+        good = multimodal.wav_container(b"\x00\x00" * 8)
+        multimodal.parse_wav(good[:-5])
+    with pytest.raises(ValueError):  # no data chunk at all
+        hdr = struct.pack("<4sI4s", b"RIFF", 4, b"WAVE")
+        multimodal.parse_wav(hdr)
+    with pytest.raises(NotImplementedError):  # non-PCM needs ffmpeg
+        mp3ish = multimodal.wav_container(b"ab")
+        # patch audio_format=3 (IEEE float) inside the fmt chunk
+        mp3ish = mp3ish[:20] + b"\x03" + mp3ish[21:]
+        multimodal.parse_wav(mp3ish)
+
+
+def test_parse_bmp_bottom_up_flip_and_padding():
+    """Encoder writes bottom-up rows with padding; the decoder must
+    return the original TOP-DOWN unpadded stream."""
+    w, h = 6, 3  # stride 18 + 2 pad bytes
+    pix = bytes(range(w * h * 3))
+    payload = multimodal.bmp_container(pix, w, h)
+    # rows land bottom-up with 2 pad bytes: verify the raw layout first
+    assert payload[14 + 40 : 14 + 40 + 18] == pix[36:54]  # last row first
+    assert payload[14 + 40 + 18 : 14 + 40 + 20] == b"\x00\x00"
+    got_w, got_h, got = multimodal.parse_bmp(payload)
+    assert (got_w, got_h, got) == (w, h, pix)
+
+
+def test_parse_bmp_top_down_negative_height():
+    """Negative biHeight = top-down storage: no flip on decode."""
+    import struct
+
+    w, h = 6, 2
+    pix = bytes(range(w * h * 3))
+    payload = bytearray(multimodal.bmp_container(pix, w, h))
+    # rewrite as top-down: negate height, store rows in natural order
+    struct.pack_into("<i", payload, 22, -h)
+    row, stride = w * 3, w * 3 + 2
+    for r in range(h):
+        payload[54 + r * stride : 54 + r * stride + row] = pix[
+            r * row : (r + 1) * row
+        ]
+    got_w, got_h, got = multimodal.parse_bmp(bytes(payload))
+    assert (got_w, got_h, got) == (w, h, pix)
+
+
+def test_parse_bmp_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.parse_bmp(b"PNG\x00" * 20)
+    with pytest.raises(ValueError):  # truncated pixel data
+        multimodal.parse_bmp(multimodal.bmp_container(bytes(18), 6, 1)[:-3])
+    with pytest.raises(NotImplementedError):  # 8bpp needs PIL
+        payload = bytearray(multimodal.bmp_container(bytes(18), 6, 1))
+        payload[28] = 8
+        multimodal.parse_bmp(bytes(payload))
+
+
+def test_extract_features_real_decode_dispatch(spark):
+    """fake_decode=False now REALLY decodes WAV/BMP payloads (per-stride
+    means over decoded samples/pixels, not raw container bytes) and
+    still raises NotImplementedError for formats needing codec libs."""
+    import struct
+
+    import pytest
+
+    samples = list(range(-8, 8))
+    wav = multimodal.wav_container(struct.pack("<16h", *samples))
+    pix = bytes(range(36))
+    bmp = multimodal.bmp_container(pix, 6, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(bmp))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: r
+        for r in multimodal.extract_features(df, fake_decode=False).collect()
+    }
+    dim = multimodal.FEATURE_DIM
+    exp_wav = [
+        round(sum(samples[d::dim]) / len(samples[d::dim]), 6)
+        for d in range(dim)
+    ]
+    exp_bmp = [
+        round(sum(pix[d::dim]) / len(pix[d::dim]), 6) for d in range(dim)
+    ]
+    assert list(got[1].features) == exp_wav   # decoded SAMPLES, not bytes
+    assert list(got[2].features) == exp_bmp   # top-down pixel stream
+    jpeg = spark.createDataFrame(
+        [(3, bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        multimodal.extract_features(jpeg, fake_decode=False).collect()
