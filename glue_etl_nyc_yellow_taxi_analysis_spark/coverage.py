@@ -71,9 +71,17 @@ def _recheck_picks(checked: set[str], round_no: int) -> list[str]:
     return [pool[(start + i) % len(pool)] for i in range(min(RECHECK_QUOTA, len(pool)))]
 
 
+# Approximate driver window size: used only to stride the already-checked
+# rotation so successive rounds' windows cover DISJOINT slices of the
+# registry once the never-checked block is exhausted (round 7+), instead
+# of re-verifying the same static prefix every round.
+_WINDOW_STRIDE = 46
+
+
 def driver_order(queries: dict) -> dict:
     """Reorder the registry: PINNED, recheck quota, never-driver-checked
-    (stable order), then already-checked."""
+    (stable order), then already-checked ROTATED by round so the window's
+    tail slots sweep the whole registry across rounds."""
     seen = checked_names()
     next_round = (max((n for n, _ in _round_files()), default=0)) + 1
     pinned = [n for n in PINNED if n in queries]
@@ -84,4 +92,7 @@ def driver_order(queries: dict) -> dict:
     head = set(pinned) | set(recheck)
     fresh = [n for n in queries if n not in seen and n not in head]
     done = [n for n in queries if n in seen and n not in head]
+    if done:
+        k = (next_round * _WINDOW_STRIDE) % len(done)
+        done = done[k:] + done[:k]
     return {n: queries[n] for n in (*pinned, *recheck, *fresh, *done)}

@@ -56,16 +56,20 @@ def stream_files(
     source_dir: str,
     schema: T.StructType,
     fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream: one micro-batch per arriving file set.
 
     ``input_file_name`` travels with the rows so per-file parameters (the
     year/month the Lambda used to regex out of the S3 key) stay derivable
-    via ``paths.year_month_from_path``.
+    via ``paths.year_month_from_path``.  ``max_files_per_trigger`` paces
+    backlog drain (and lets tests exercise multi-batch recovery).
     """
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
         reader = reader.option("header", True)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(source_dir).withColumn("__source_file", F.input_file_name())
 
 
@@ -92,6 +96,8 @@ def monthly_star_ingest(
     schema: T.StructType,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    on_file=None,
 ):
     """End-to-end Job-1 loop: arriving ``yellow_tripdata_YYYY-MM.parquet``
     files → star fact build → partitioned catalog append, one micro-batch at
@@ -114,6 +120,11 @@ def monthly_star_ingest(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         files = [r[0] for r in batch.select("__source_file").distinct().collect()]
         for path in sorted(files):
+            if on_file is not None:
+                # observability/chaos hook: runs BEFORE any write for the
+                # file, so a raise aborts the batch pre-commit and the
+                # checkpoint replays the whole batch on restart
+                on_file(path)
             year, month = year_month_from_path(path)
             raw = batch.filter(F.col("__source_file") == path).drop("__source_file")
             fact = build_fact(raw, year, month)
@@ -125,7 +136,9 @@ def monthly_star_ingest(
                 mode="overwrite",  # dynamic: replaces only this month
             )
 
-    stream = stream_files(spark, source_dir, schema)
+    stream = stream_files(
+        spark, source_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
     return run_ingest(stream, process_batch, checkpoint_dir, available_now)
 
 
