@@ -120,12 +120,77 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator, profile) -> pa.Table:
     )
 
 
+# key columns that must be SHIFTED per replica so the scaled tables keep
+# referential integrity and per-key cardinalities (self-similar scaling:
+# 10 disjoint copies of the sf0.1 key space, the standard way to scale a
+# TPC-H-ish corpus without distorting join fan-outs or group sizes).
+# Shared stride names keep FKs aligned across tables.
+_TPCH_SHIFTS = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+}
+_STRIDE_SOURCES = {
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "order": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+}
+
+
+def gen_tpch(out_dir: str, factor: int) -> None:
+    """Scale the relational tables by ``factor`` via key-shifted replicas;
+    region/nation are fixed dimensions and copy through unchanged."""
+    import duckdb
+    import shutil
+
+    con = duckdb.connect()
+    strides = {
+        name: con.sql(
+            f"SELECT COALESCE(MAX({col}), 0) + 1 FROM '{BASE}/{table}.parquet'"
+        ).fetchone()[0]
+        for name, (table, col) in _STRIDE_SOURCES.items()
+    }
+    for table in ("region", "nation"):
+        shutil.copy(f"{BASE}/{table}.parquet", os.path.join(out_dir, f"{table}.parquet"))
+    for table, shifts in _TPCH_SHIFTS.items():
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM '{BASE}/{table}.parquet'"
+            ).fetchall()
+        ]
+        select = ", ".join(
+            f"{c} + i * {strides[shifts[c]]} AS {c}" if c in shifts else c
+            for c in cols
+        )
+        con.sql(
+            f"COPY (SELECT {select} FROM '{BASE}/{table}.parquet' "
+            f"CROSS JOIN range({factor}) t(i)) TO "
+            f"'{os.path.join(out_dir, table + '.parquet')}' (FORMAT parquet)"
+        )
+        print(f"scaled {table} x{factor}")
+    con.close()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--vectors", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--tpch-factor",
+        type=int,
+        default=0,
+        help="also scale the relational tables by N via key-shifted "
+        "replicas (0 = documents/embeddings only)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -136,6 +201,8 @@ def main():
     emb = gen_embeddings(args.vectors, rng, profile)
     pq.write_table(emb, os.path.join(args.out_dir, "embeddings.parquet"))
     print(f"wrote {args.docs} docs + {args.vectors} vectors to {args.out_dir}")
+    if args.tpch_factor:
+        gen_tpch(args.out_dir, args.tpch_factor)
 
 
 if __name__ == "__main__":

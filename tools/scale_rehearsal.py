@@ -89,8 +89,65 @@ def profile_sf(spark, sf_dir: str) -> dict:
     }
 
 
+def time_suite(spark, sf_dir: str, names) -> dict:
+    """One timed noop-sink run per query (bench.py's loop without the
+    median-of-3 — the rehearsal wants growth FACTORS, not anchors)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    times = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def full_suite(dirs: list[str]) -> None:
+    """r5 verdict item 3: growth factors for the WHOLE headline suite,
+    not just the dedup/retrieval lanes.  Flags any query whose wall time
+    grows more than 10x at 10x rows (latent super-linear stage) — noise
+    floor 0.5s so a 0.05s->0.6s query doesn't count as a scale-killer."""
+    from bench import HEADLINE
+
+    spark = get_spark(app_name="scale-rehearsal-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    base, big = dirs
+    t_base = time_suite(spark, base, HEADLINE)
+    t_big = time_suite(spark, big, HEADLINE)
+    growth = {
+        k: round(t_big[k] / max(t_base[k], 1e-9), 2) for k in t_base
+    }
+    flagged = {
+        k: {"sf0.1_sec": t_base[k], "sf1_sec": t_big[k], "growth": v}
+        for k, v in growth.items()
+        if v > 10.0 and t_big[k] > 0.5
+    }
+    print(json.dumps({"sf_dir": base, "times_sec": t_base}))
+    print(json.dumps({"sf_dir": big, "times_sec": t_big}))
+    print(
+        json.dumps(
+            {
+                "n_queries": len(growth),
+                "total_base_sec": round(sum(t_base.values()), 1),
+                "total_big_sec": round(sum(t_big.values()), 1),
+                "median_growth": round(
+                    sorted(growth.values())[len(growth) // 2], 2
+                ),
+                "max_growth": max(growth.items(), key=lambda kv: kv[1]),
+                "flagged_over_10x": flagged,
+            }
+        )
+    )
+
+
 def main():
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sg_sf1"]
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    dirs = args or ["/root/testdata/sf0.1", "/tmp/sg_sf1"]
+    if "--full" in sys.argv[1:]:
+        full_suite(dirs)
+        return
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     results = [profile_sf(spark, d) for d in dirs]
