@@ -205,6 +205,9 @@ HEADLINE = [
     "q_token_fertility",
     "q_ccnet_buckets",
     "q_minhash_calibration",
+    # round-6 batch: real stdlib codec lanes
+    "q_wav_decode",
+    "q_bmp_decode",
 ]
 
 

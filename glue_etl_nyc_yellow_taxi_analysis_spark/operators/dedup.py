@@ -18,7 +18,7 @@ bit ops) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .partitioning import spread
@@ -427,31 +427,102 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "prefix",
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs within a blocking key.
+    """EXACT n-gram Jaccard pairs (no recall loss) within a blocking key.
+    Returns (id_a, id_b, jaccard_sim).
 
-    Blocking bounds the pair count (per-block O(m²)); for unblocked corpora
-    use MinHash-LSH above.  Returns (id_a, id_b, jaccard_sim).
+    ``method="prefix"`` (default) is an AllPairs/PPJoin-style prefix-
+    filtered similarity join (Bayardo et al. 2007, "Scaling Up All Pairs
+    Similarity Search"): J(A,B) >= τ forces |A∩B| >= ceil(τ·|A|), so two
+    qualifying sets MUST share an element inside their first
+    |S| − ceil(τ·|S|) + 1 shingles under any consistent global order.
+    Ordering each document's shingles by ascending corpus document
+    frequency (rarest first) makes the prefix elements rare, so the
+    shingle-keyed candidate join touches ~near-duplicate pairs instead of
+    every same-block pair.  Candidates are then verified with the same
+    exact jaccard fold — output is bit-identical to the naive join.  The
+    r6 sf1 rehearsal measured the naive blocked join at 14-16x wall
+    growth for 10x rows (fixed block count → per-block m² enumeration);
+    the prefix join's candidate count scales with the planted-duplicate
+    volume instead.
+
+    ``method="allpairs"`` keeps the naive per-block O(m²) join — the
+    oracle-shaped reference path the equivalence tests compare against.
     """
     base = spread(df).select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")]),
         shingles(text_col, n).alias("sh"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    # filter on the RAW jaccard, round only for output — the same order
-    # of operations as minhash_dedup_pairs and the recursive-CTE oracle
-    # (a pair with raw jaccard in [τ−5e-7, τ) must fail BOTH engines)
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.sh"), F.col("b.sh")).alias("__raw_j"),
+    ).withColumn("sz", F.size("sh"))
+
+    # the raw-jaccard-then-round contract shared by both methods (and by
+    # minhash_dedup_pairs and the recursive-CTE oracle): a pair with raw
+    # jaccard in [τ−5e-7, τ) must fail BOTH engines
+    def _verify(pairs_with_sh):
+        return (
+            pairs_with_sh.select(
+                "id_a",
+                "id_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("__raw_j"),
+            )
+            .filter(F.col("__raw_j") >= threshold)
+            .select("id_a", "id_b", F.round("__raw_j", 6).alias("jaccard_sim"))
         )
-        .filter(F.col("__raw_j") >= threshold)
-        .select("id_a", "id_b", F.round("__raw_j", 6).alias("jaccard_sim"))
+
+    if method == "allpairs":
+        a, b = base.alias("a"), base.alias("b")
+        return _verify(
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.id") < F.col("b.id")),
+            ).select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"),
+                F.col("b.sh").alias("sh_b"),
+            )
+        )
+    if method != "prefix":
+        raise ValueError(f"unknown method {method!r}")
+
+    # shingle set + block computed ONCE; three consumers (explode, two
+    # verify join-backs) would otherwise re-run the n-gram construction
+    base = base.localCheckpoint()
+    ex = base.select("id", "block", "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length |S| − floor(τ·|S|) + 1 >= the exact requirement
+    # |S| − ceil(τ·|S|) + 1: floor-for-ceil only LENGTHENS the prefix,
+    # which adds candidates but can never drop a qualifying pair
+    pref = (
+        ex.join(dfreq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "s")
+            ),
+        )
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("id", "block", "s")
     )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return _verify(cand.join(sh_a, "id_a").join(sh_b, "id_b"))
 
 
 def connected_components(

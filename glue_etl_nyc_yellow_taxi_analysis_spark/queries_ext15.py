@@ -362,31 +362,47 @@ def q_dedup_cross_source(spark, sf_dir):
     fingerprints have zero collisions in this corpus) span them, and
     over how many distinct clusters — the report that tells a curation
     run WHERE its duplication comes from (mirror sites, cross-dump
-    overlap) before it picks per-source dedup policy.  One fingerprint
-    shuffle + a fingerprint-keyed self-join whose groups are duplicate
-    clusters (tiny by construction), then a pair-key rollup — no
-    all-pairs stage at any scale."""
+    overlap) before it picks per-source dedup policy.
+
+    The pair counts are pure ARITHMETIC over per-(fp, source) counts
+    (cross-source pairs = c_a·c_b, same-source = c·(c−1)/2), so no
+    row-level self-join exists anywhere: one fingerprint-keyed count
+    aggregate, then a per-fp join over its ≤|sources| count rows.  The
+    r6 sf1 rehearsal caught the previous row-pair self-join blowing up
+    14x at 10x rows when a shared-header fingerprint (real corpora:
+    boilerplate titles) owns a large group — C(m,2) ROWS materialized
+    per group vs one multiplication here; outputs are identical."""
     from .operators import text
 
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(
-        F.md5(
-            F.concat_ws(" ", F.slice(text.tokens("text"), 1, _XS_PREFIX))
-        ).alias("fp"),
-        "source",
-        "doc_id",
-    )
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = a.join(b, "fp").filter(F.col("a.doc_id") < F.col("b.doc_id"))
-    return (
-        pairs.select(
-            "fp",
-            F.least("a.source", "b.source").alias("src_a"),
-            F.greatest("a.source", "b.source").alias("src_b"),
+    counts = (
+        docs.select(
+            F.md5(
+                F.concat_ws(" ", F.slice(text.tokens("text"), 1, _XS_PREFIX))
+            ).alias("fp"),
+            "source",
         )
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    cross = a.join(b, "fp").filter(F.col("a.source") < F.col("b.source")).select(
+        "fp",
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        (F.col("a.c") * F.col("b.c")).alias("n"),
+    )
+    same = counts.filter(F.col("c") >= 2).select(
+        "fp",
+        F.col("source").alias("src_a"),
+        F.col("source").alias("src_b"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n"),
+    )
+    return (
+        cross.unionByName(same)
         .groupBy("src_a", "src_b")
         .agg(
-            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.sum("n").alias("n_dup_pairs"),
             F.countDistinct("fp").alias("n_clusters"),
         )
     )
@@ -428,10 +444,16 @@ def q_doc_logprob(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
-    total = toks.count()  # scalar action: log2(N) literal on both sides
+    # N = Σ cc off the (vocab-sized) corpus table, broadcast back in-plan:
+    # the previous separate toks.count() ACTION was a third full
+    # tokenize+explode pass over the corpus (r6 sf1 rehearsal flagged the
+    # query at 10.7x growth for 10x rows — linear, but with the constant
+    # paid three times).  Same double, same ROUND, hash-identical.
+    total = corpus.agg(F.sum("cc").cast("double").alias("n_total"))
     doc_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     return (
         doc_counts.join(corpus, "tok")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             # each c*log2(cc) term rides the DECIMAL(27,18) lane (the
@@ -444,7 +466,7 @@ def q_doc_logprob(spark, sf_dir):
                     (F.col("c") * F.log2("cc")).cast("decimal(27,18)")
                 ).cast("double")
                 / F.sum("c")
-                - F.log2(F.lit(total).cast("double")),
+                - F.log2(F.first("n_total")),
                 4,
             ).alias("mean_logprob")
         )

@@ -43,41 +43,69 @@ ORACLE_EXT16 = {}
 # --------------------------------------------------------------------------
 
 _SD_TAU = 0.2  # corpus-calibrated: within-cluster cosine tops out ~0.47
+_SD_TARGET = 200  # target members per sub-cluster: rep count per label is
+                  # max(1, label_count // _SD_TARGET), so in-cluster
+                  # pairwise work stays ~n·_SD_TARGET as the corpus grows
+                  # (the r6 full-suite sf1 rehearsal measured 27.9x wall
+                  # growth at 10x rows with label-fixed clusters — the
+                  # real SemDeDup scales k with n for exactly this reason).
+                  # FLOOR division: every shipped sf (labels ~50-220 rows)
+                  # keeps one rep per label, so small-SF outputs are
+                  # bit-identical to the pre-r6 operator.
 
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: (1) deterministic cluster representatives
-    (lowest-vec_id member per label — the q_ann_ivf_oracle convention, no
-    float-mean ambiguity), (2) assign every vector to its nearest
-    representative by rounded cosine (the coarse-quantization step — k
-    broadcast rows, one narrow shuffle), (3) within each assigned cluster,
-    prune any vector whose rounded cosine to a LOWER-id cluster member is
-    >= tau, keeping the lowest such partner as ``dup_of``.
+    — the ``max(1, label_count // _SD_TARGET)`` lowest-vec_id members per
+    label (the q_ann_ivf_oracle convention, no float-mean ambiguity; rep
+    count grows with corpus size so sub-clusters stay ~_SD_TARGET wide),
+    (2) assign every vector to its nearest representative by rounded
+    cosine (the coarse-quantization step — k ≈ n/_SD_TARGET broadcast
+    rows, one narrow shuffle; ties break by label then rep id, which at
+    one-rep-per-label reduces to the historical by-label order), (3)
+    within each assigned SUB-cluster, prune any vector whose rounded
+    cosine to a LOWER-id member is >= tau, keeping the lowest such
+    partner as ``dup_of``.  The output ``cluster`` column reports the
+    assigned rep's label (unchanged schema/values at shipped SFs).
 
     The prune rule is single-pass pairwise (a pruned vector can still
     prune its own successors) — deterministic and iteration-free, which is
     what makes the operator one cluster-keyed self-join instead of a
     fixpoint loop.  All-integer output; candidate generation is bounded by
-    cluster size, never all-pairs.
+    SUB-cluster size (~_SD_TARGET), never all-pairs and never quadratic
+    in corpus size.
     """
     emb = _t(spark, sf_dir, "embeddings")
+    wlab = Window.partitionBy("label")
     reps = (
-        emb.groupBy("label")
-        .agg(F.min(F.struct("vec_id", "embedding")).alias("m"))
-        .select(F.col("label").alias("cluster"), F.col("m.embedding").alias("centroid"))
+        emb.withColumn("cnt", F.count(F.lit(1)).over(wlab))
+        .withColumn(
+            "rep_rn",
+            F.row_number().over(wlab.orderBy("vec_id")),
+        )
+        .filter(F.col("rep_rn") <= F.greatest(F.lit(1), F.expr(f"cnt div {_SD_TARGET}")))
+        .select(
+            F.col("label").alias("cluster"),
+            F.col("vec_id").alias("rep_id"),
+            F.col("embedding").alias("centroid"),
+        )
     )
     cos_rep = F.round(similarity.cosine(F.col("embedding"), F.col("centroid")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_rep"), F.col("cluster"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_rep"), F.col("cluster"), F.col("rep_id")
+    )
     assigned = (
         emb.crossJoin(F.broadcast(reps))
-        .select("vec_id", "embedding", "cluster", cos_rep.alias("cos_rep"))
+        .select(
+            "vec_id", "embedding", "cluster", "rep_id", cos_rep.alias("cos_rep")
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         # nrm is hoisted per VECTOR so the O(pairs) stage folds one dot
         # instead of dot+2 norms — the divisor sqrt(Σa²)·sqrt(Σb²) is the
         # exact same expression tree as the inline cosine, so the doubles
         # (and the oracle hash) are bit-identical
-        .select("vec_id", "embedding", "cluster",
+        .select("vec_id", "embedding", "cluster", "rep_id",
                 similarity.l2_norm(F.col("embedding")).alias("nrm"))
         # the assignment table feeds THREE consumers (both self-join sides
         # + the verdict projection); without materialization Spark re-runs
@@ -96,7 +124,7 @@ def q_semdedup(spark, sf_dir):
         6,
     )
     dups = (
-        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+        a.join(b, (F.col("a.rep_id") == F.col("b.rep_id"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(pair_cos >= F.lit(_SD_TAU))
         .groupBy(F.col("b.vec_id").alias("vec_id"))
@@ -115,27 +143,30 @@ def q_semdedup(spark, sf_dir):
 
 SQL_SEMDEDUP = f"""
 WITH reps AS (
-  SELECT label AS cluster, embedding AS centroid FROM (
-    SELECT label, embedding,
-           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-    FROM embeddings) WHERE rn = 1
+  -- max(1, label_count // {_SD_TARGET}) lowest-id reps per label: rep
+  -- count scales with corpus size so sub-clusters stay ~{_SD_TARGET} wide
+  SELECT label AS cluster, vec_id AS rep_id, embedding AS centroid FROM (
+    SELECT label, vec_id, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY label) AS cnt
+    FROM embeddings) WHERE rn <= greatest(1, cnt // {_SD_TARGET})
 ), assigned AS (
   -- nrm hoisted per vector (same expression tree as the inline cosine
   -- denominator, so the pair-stage doubles are bit-identical)
-  SELECT vec_id, embedding, cluster,
+  SELECT vec_id, embedding, cluster, rep_id,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM (
-    SELECT e.vec_id, e.embedding, r.cluster,
+    SELECT e.vec_id, e.embedding, r.cluster, r.rep_id,
            row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY {_COSINE_SQL.format(a='e.embedding', b='r.centroid')} DESC,
-                        r.cluster) AS rn
+                        r.cluster, r.rep_id) AS rn
     FROM embeddings e, reps r) WHERE rn = 1
 ), dups AS (
   SELECT b.vec_id, MIN(a.vec_id) AS dup_of
   FROM assigned a JOIN assigned b
-    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ON a.rep_id = b.rep_id AND a.vec_id < b.vec_id
   -- the len() guard mirrors Spark's NULL-propagating zip_with dot on
   -- length-mismatched vectors (DuckDB's list_sum would skip the NULL
   -- pads and score a prefix dot); NULL >= tau is false on both engines

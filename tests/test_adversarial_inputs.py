@@ -70,6 +70,11 @@ TEXT_QUERIES = [
     ("q_quality_classifier", 9),
     ("q_batch_padding_plan", None),
     ("q_doc_fingerprint", 9),
+    # real codec lanes: NULL/empty/non-ascii text must encode+decode
+    # clean (the ORACLE equivalence needs ASCII, but the Spark side must
+    # survive any utf-8 — non-ascii payloads exercise multibyte bytes)
+    ("q_wav_decode", 9),
+    ("q_bmp_decode", 9),
 ]
 
 

@@ -211,3 +211,60 @@ def test_minhash_signature_matches_seed_family_replay(spark):
     # column bug collapsed them all to xxhash64(s, element_index))
     rx = dedup.minhash_signatures(df, num_hashes=4, shingle_n=3).collect()[0]
     assert len(set(rx["minhash_sig"])) > 1
+
+
+def test_prefix_join_equals_allpairs_on_hostile_corpus(spark, tmp_path):
+    """The prefix-filtered exact similarity join (r6: the AllPairs/PPJoin
+    re-plan of ngram_jaccard_pairs) must return BIT-identical pairs to
+    the naive blocked O(m²) join on a corpus full of edge shapes: empty/
+    whitespace/sub-n-gram docs, NULL text, NULL block, planted near-dups
+    at/above/below the threshold, and docs with disjoint vocab."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "b1"),
+        (1, "alpha beta gamma delta epsilon eta", "b1"),    # near-dup of 0
+        (2, "alpha beta gamma delta epsilon zeta", "b1"),   # exact dup of 0
+        (3, "totally different words here now", "b1"),
+        (4, "alpha beta gamma delta epsilon zeta", "b2"),   # dup, other block
+        (5, "", "b1"),
+        (6, "   ", "b1"),
+        (7, "hi", "b1"),
+        (8, None, "b1"),                                    # NULL text
+        (9, "alpha beta gamma delta epsilon zeta", None),   # NULL block
+        (10, "one two three four five six seven eight nine ten", "b2"),
+        (11, "one two three four five six seven XXX YYY ZZZ", "b2"),  # ~0.41
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "block": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    got_prefix = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, block_col="block").collect())
+    )
+    got_naive = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(
+                docs, block_col="block", method="allpairs"
+            ).collect(),
+        )
+    )
+    assert got_prefix == got_naive
+    pair_ids = {(a, b) for a, b, _ in got_prefix}
+    assert (0, 1) in pair_ids and (0, 2) in pair_ids and (1, 2) in pair_ids
+    assert not any(4 in p or 9 in p for p in pair_ids)  # block isolation
+    # NULL/empty/whitespace docs all normalize to the single '' shingle
+    # (documented tokens() contract) — they may pair with each OTHER but
+    # never with a real document
+    for a, b in pair_ids:
+        if a in {5, 6, 8} or b in {5, 6, 8}:
+            assert a in {5, 6, 8} and b in {5, 6, 8}, (a, b)
