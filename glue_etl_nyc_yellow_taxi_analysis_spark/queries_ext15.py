@@ -375,35 +375,50 @@ def q_dedup_cross_source(spark, sf_dir):
     from .operators import text
 
     docs = _t(spark, sf_dir, "documents")
-    counts = (
+    # ONE fp-keyed shuffle: collect each fingerprint's source list, derive
+    # per-source counts and all source-pair terms in a single JVM
+    # higher-order fold (cross terms c_a·c_b for src_a < src_b, same-source
+    # C(c,2)) — each fp emits at most one term per source pair, so the
+    # final n_clusters is a plain count, and no row-level self-join exists
+    pairs = (
         docs.select(
             F.md5(
                 F.concat_ws(" ", F.slice(text.tokens("text"), 1, _XS_PREFIX))
             ).alias("fp"),
             "source",
         )
-        .groupBy("fp", "source")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    a, b = counts.alias("a"), counts.alias("b")
-    cross = a.join(b, "fp").filter(F.col("a.source") < F.col("b.source")).select(
-        "fp",
-        F.col("a.source").alias("src_a"),
-        F.col("b.source").alias("src_b"),
-        (F.col("a.c") * F.col("b.c")).alias("n"),
-    )
-    same = counts.filter(F.col("c") >= 2).select(
-        "fp",
-        F.col("source").alias("src_a"),
-        F.col("source").alias("src_b"),
-        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n"),
+        .groupBy("fp")
+        .agg(
+            F.expr(
+                """transform(array_sort(array_distinct(collect_list(source))),
+                     s -> named_struct('source', s,
+                                       'c', size(filter(collect_list(source),
+                                                        z -> z = s))))"""
+            ).alias("sc")
+        )
+        .select(
+            "fp",
+            F.explode(
+                F.expr(
+                    """flatten(transform(sc, (x, i) -> concat(
+                         transform(slice(sc, i + 2, size(sc)), y ->
+                           named_struct('src_a', x.source, 'src_b', y.source,
+                                        'n', x.c * y.c)),
+                         CASE WHEN x.c >= 2
+                              THEN array(named_struct('src_a', x.source,
+                                                      'src_b', x.source,
+                                                      'n', x.c * (x.c - 1) div 2))
+                              ELSE array() END)))"""
+                )
+            ).alias("p"),
+        )
     )
     return (
-        cross.unionByName(same)
+        pairs.select("fp", "p.src_a", "p.src_b", "p.n")
         .groupBy("src_a", "src_b")
         .agg(
             F.sum("n").alias("n_dup_pairs"),
-            F.countDistinct("fp").alias("n_clusters"),
+            F.count("fp").alias("n_clusters"),
         )
     )
 
