@@ -90,3 +90,72 @@ def test_quality_classifier_logit_lane(spark, sf_dir):
     # weights are corpus-calibrated: both verdicts occur
     keeps = {r.keep for r in rows}
     assert keeps == {0, 1}
+
+
+def test_semdedup_rep_count_scales_with_cluster_size(spark, tmp_path):
+    """The r6 scale fix: a label with >= 2x_SD_TARGET members must get
+    multiple representatives (sub-clusters stay ~_SD_TARGET wide) while
+    small labels keep exactly one — removing the scaling would turn the
+    in-cluster pairwise stage quadratic again (27.9x at 10x rows in the
+    sf1 rehearsal)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext16 import _SD_TARGET
+
+    rng = np.random.default_rng(7)
+    n_big, n_small = 2 * _SD_TARGET + 50, 40
+    vecs = rng.normal(0, 0.1, size=(n_big + n_small, 8)).astype(np.float32)
+    labels = [0] * n_big + [1] * n_small
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n_big + n_small), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    rows = QUERIES["q_semdedup"](spark, str(tmp_path)).collect()
+    assert len(rows) == n_big + n_small
+
+    # re-derive the rep sets the operator must have used: label 0 gets
+    # floor(450/200)=2 reps, label 1 gets max(1, 0)=1
+    from pyspark.sql import functions as F
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import similarity
+
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    reps = emb.filter(
+        (F.col("label") == 0) & F.col("vec_id").isin([0, 1])
+        | (F.col("label") == 1) & (F.col("vec_id") == n_big)
+    ).select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("centroid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            "vec_id",
+            "rep_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("centroid")), 6
+            ).alias("cs"),
+        )
+    )
+    # each big-label sub-cluster must be NON-EMPTY and smaller than the
+    # whole label (i.e. the label really split): check via the nearest-rep
+    # assignment over reps {0, 1}
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "rep_id")
+    near = (
+        assigned.filter(F.col("rep_id").isin([0, 1]))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("rep_id")
+        .count()
+        .collect()
+    )
+    sizes = {r.rep_id: r["count"] for r in near}
+    assert set(sizes) == {0, 1}          # both sub-clusters exist
+    assert all(0 < s < n_big for s in sizes.values())
