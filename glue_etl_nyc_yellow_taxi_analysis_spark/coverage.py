@@ -38,6 +38,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PINNED: tuple[str, ...] = (
     "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
     "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST
+    "q_edit_distance",  # r6: match threshold k=10 → 2 (sparse ER output)
 )
 
 RECHECK_QUOTA = 4

@@ -277,37 +277,67 @@ ORACLE_EXT2["q_rolling_anomaly"] = SQL_ROLLING_ANOMALY
 # Edit-distance fuzzy matching
 # --------------------------------------------------------------------------
 
+_ED_K = 2  # match threshold: r1 shipped k=10, which on the synthetic
+           # 5-color-word names matched ~98% of every brand block — a
+           # quadratic-size ANSWER no plan can save (r6 registry-wide sf1
+           # sweep: 25+ min in one task).  k=2 is the meaningful
+           # entity-resolution dial (exact + near-identical names), keeps
+           # the output sparse, and lets the banded DP reject most pairs
+           # after a 5-cell-wide scan.
+
+
 def q_edit_distance(spark, sf_dir):
-    """Blocked fuzzy matching: part names compared by Levenshtein distance
-    WITHIN brand blocks (p_brand equi-key) — the blocking key turns an
-    O(n²) all-pairs comparison into an equi-join plus per-block pairs, the
-    standard entity-resolution shape.  levenshtein() is a JVM built-in on
-    both engines (no UDF).
+    """Blocked fuzzy matching: part names within a brand block whose
+    Levenshtein distance is <= k — the standard entity-resolution shape.
+    Candidate generation is the brand equi-join; per-block pairwise is
+    inherent to exact edit distance on this corpus (a PassJoin segment
+    filter was built and MEASURED in r6: the synthetic 5-color-word names
+    make exact segment pieces collide across whole blocks, so its
+    candidate volume exceeded the naive join's — 8.6s vs 2.3s at sf0.1;
+    low-diversity keys void filter-based candidate schemes, the same
+    lesson as the jaccard size filter).  The levers that DO pay here:
+
+    - ``spread`` the probe side — a single-file part table must not
+      serialize the whole pairwise stage onto one core;
+    - EXACT length prefilter in the join condition: dist <= k forces
+      |len(a) − len(b)| <= k, pruned before any DP runs;
+    - THRESHOLD Levenshtein ``levenshtein(a, b, k)`` (Spark >= 3.5):
+      banded DP that early-exits at cost O(k·min(len)) instead of
+      O(len²), returning −1 above the threshold — the returned distance
+      for kept rows is the true distance, so output is bit-identical to
+      the naive form and the unthresholded DuckDB oracle.
     """
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    from .operators.partitioning import spread
+
+    p = spread(_t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name"))
     a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein("a.p_name", "b.p_name", _ED_K)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name"))
+                <= F.lit(_ED_K)
+            ),
         )
         .select(
             F.col("a.p_brand").alias("brand"),
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
-            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+            dist.alias("dist"),
         )
-        .filter(F.col("dist") <= 10)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _ED_K))
     )
 
 
-SQL_EDIT_DISTANCE = """
+SQL_EDIT_DISTANCE = f"""
 SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name) AS dist
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 10
+WHERE levenshtein(a.p_name, b.p_name) <= {_ED_K}
 """
 
 QUERIES_EXT2["q_edit_distance"] = q_edit_distance

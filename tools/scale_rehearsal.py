@@ -104,18 +104,22 @@ def time_suite(spark, sf_dir: str, names) -> dict:
     return times
 
 
-def full_suite(dirs: list[str]) -> None:
+def full_suite(dirs: list[str], everything: bool = False) -> None:
     """r5 verdict item 3: growth factors for the WHOLE headline suite,
     not just the dedup/retrieval lanes.  Flags any query whose wall time
     grows more than 10x at 10x rows (latent super-linear stage) — noise
-    floor 0.5s so a 0.05s->0.6s query doesn't count as a scale-killer."""
+    floor 0.5s so a 0.05s->0.6s query doesn't count as a scale-killer.
+    ``everything`` sweeps the ENTIRE declared registry instead (the
+    headline list covers ~60% of it; the rest is equally capable of
+    hiding a corpus-constant-bound stage)."""
     from bench import HEADLINE
 
+    names = list(QUERIES) if everything else HEADLINE
     spark = get_spark(app_name="scale-rehearsal-full")
     spark.sparkContext.setLogLevel("ERROR")
     base, big = dirs
-    t_base = time_suite(spark, base, HEADLINE)
-    t_big = time_suite(spark, big, HEADLINE)
+    t_base = time_suite(spark, base, names)
+    t_big = time_suite(spark, big, names)
     growth = {
         k: round(t_big[k] / max(t_base[k], 1e-9), 2) for k in t_base
     }
@@ -143,10 +147,10 @@ def full_suite(dirs: list[str]) -> None:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--full"]
+    args = [a for a in sys.argv[1:] if a not in ("--full", "--all")]
     dirs = args or ["/root/testdata/sf0.1", "/tmp/sg_sf1"]
-    if "--full" in sys.argv[1:]:
-        full_suite(dirs)
+    if "--full" in sys.argv[1:] or "--all" in sys.argv[1:]:
+        full_suite(dirs, everything="--all" in sys.argv[1:])
         return
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
