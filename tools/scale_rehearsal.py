@@ -99,7 +99,14 @@ def time_suite(spark, sf_dir: str, names) -> dict:
     for name in names:
         spark.catalog.clearCache()
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # registry-wide sweeps hit env-gated lanes
+            print(f"ERR {name} @ {sf_dir}: {type(exc).__name__}", file=sys.stderr)
+            times[name] = float("nan")
+            continue
         times[name] = round(time.time() - t0, 2)
     return times
 
@@ -120,9 +127,9 @@ def full_suite(dirs: list[str], everything: bool = False) -> None:
     base, big = dirs
     t_base = time_suite(spark, base, names)
     t_big = time_suite(spark, big, names)
-    growth = {
-        k: round(t_big[k] / max(t_base[k], 1e-9), 2) for k in t_base
-    }
+    ok = [k for k in t_base if t_base[k] == t_base[k] and t_big[k] == t_big[k]]
+    errored = [k for k in t_base if k not in ok]
+    growth = {k: round(t_big[k] / max(t_base[k], 1e-9), 2) for k in ok}
     flagged = {
         k: {"sf0.1_sec": t_base[k], "sf1_sec": t_big[k], "growth": v}
         for k, v in growth.items()
@@ -134,8 +141,9 @@ def full_suite(dirs: list[str], everything: bool = False) -> None:
         json.dumps(
             {
                 "n_queries": len(growth),
-                "total_base_sec": round(sum(t_base.values()), 1),
-                "total_big_sec": round(sum(t_big.values()), 1),
+                "errored": errored,
+                "total_base_sec": round(sum(t_base[k] for k in ok), 1),
+                "total_big_sec": round(sum(t_big[k] for k in ok), 1),
                 "median_growth": round(
                     sorted(growth.values())[len(growth) // 2], 2
                 ),
