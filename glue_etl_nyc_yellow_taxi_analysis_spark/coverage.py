@@ -30,11 +30,11 @@ import re
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only the queries whose Spark or
-# oracle side CHANGED in r6 (the r5-advisory NULLS FIRST alignment).
+# oracle side CHANGED in r6 (NULLS FIRST alignment, edit-distance k).
 # Kept deliberately small: the r6 window's remaining slots must swallow
 # the entire never-driver-checked block — 41 carried over plus the two
-# new codec lanes (43 + 4 recheck + 2 pinned = 49 ≤ ~50) — so cumulative
-# driver coverage reaches 263/263.
+# new codec lanes (3 pinned + 4 recheck + 43 fresh = 50 ≤ window) — so
+# cumulative driver coverage reaches 263/263.
 PINNED: tuple[str, ...] = (
     "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
     "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST

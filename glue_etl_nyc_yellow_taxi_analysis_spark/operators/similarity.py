@@ -300,9 +300,23 @@ def embedding_neardup_pairs(
     Blocking (label / LSH bucket / IVF cell) keeps the pair space linear-ish;
     the unblocked exact variant is a cross join — never run that at scale.
     Returns (id_a, id_b, cosine_sim).
+
+    Per-row L2 norms are hoisted into a column BEFORE the pair join: the
+    naive ``cosine(a.v, b.v)`` runs three O(d) folds per PAIR, two of
+    which (the norms) are per-row quantities — on an m-wide block that is
+    2·C(m,2) redundant folds (the r6 registry-wide sf1 sweep measured the
+    fold cost dominating this lane).  ``try_divide(dot, na·nb)`` is the
+    exact expression ``cosine()`` evaluates, same operand order, so the
+    output is bit-identical.  The pair ENUMERATION itself stays Θ(pairs):
+    a threshold pair-join over continuous embeddings has a
+    quadratic-density answer by nature — this lane is the exact
+    correctness baseline; the banded ANN lanes are the 100 TB path.
     """
     base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
     )
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -310,7 +324,12 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("a.v"), F.col("b.v")), F.col("a.n") * F.col("b.n")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
