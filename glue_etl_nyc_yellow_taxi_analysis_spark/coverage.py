@@ -32,9 +32,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Must re-earn a driver row this round: only the queries whose Spark or
 # oracle side CHANGED in r6 (NULLS FIRST alignment, edit-distance k).
 # Kept deliberately small: the r6 window's remaining slots must swallow
-# the entire never-driver-checked block — 41 carried over plus the two
-# new codec lanes (3 pinned + 4 recheck + 43 fresh = 50 ≤ window) — so
-# cumulative driver coverage reaches 263/263.
+# the never-driver-checked block carried into r6 — 41 from r5 plus the
+# two codec lanes (3 pinned + 4 recheck + 43 fresh = 50 ≤ window).  The
+# three ext28 sketch lanes added later in r6 sit at fresh positions
+# 51-53 (stable registry order puts them last), DELIBERATELY outside
+# this round's window: they earn their driver rows in r7 without
+# displacing the carried-over block, and cumulative coverage still
+# reaches 263/266 checked-at-least-once this round.
 PINNED: tuple[str, ...] = (
     "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
     "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST

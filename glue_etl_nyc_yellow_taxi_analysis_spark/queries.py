@@ -2172,3 +2172,8 @@ from .queries_ext27 import ORACLE_EXT27, QUERIES_EXT27  # noqa: E402
 
 QUERIES.update(QUERIES_EXT27)
 ORACLE.update(ORACLE_EXT27)
+
+from .queries_ext28 import ORACLE_EXT28, QUERIES_EXT28  # noqa: E402
+
+QUERIES.update(QUERIES_EXT28)
+ORACLE.update(ORACLE_EXT28)

@@ -1,0 +1,355 @@
+"""Extended inventory XXVIII — sketch-backed scale operators (round 6).
+
+Three lanes a 100 TB curation pipeline leans on, each built from the
+same deterministic cross-engine hash so the FULL pipeline value-hashes
+against the DuckDB oracle (the md5-lane convention from
+``operators/dedup.py``):
+
+- ``q_bloom_semijoin``: Bloom-filter semi-join reduction — the runtime
+  filter Spark's own ``spark.sql.optimizer.runtime.bloomFilter.enabled``
+  injects, re-expressed as an auditable plan: build a 64 Kbit / k=3
+  filter over the dim keys as a ≤2048-row (word, bits) table, broadcast
+  it, and pre-filter the fact side with three O(1) bit probes before the
+  exact join.  Output counts candidates / true matches / false positives
+  AND pins the no-false-negative invariant the technique rests on.
+- ``q_cms_heavy_hitters``: Count-Min-Sketch heavy hitters — frequency
+  estimation in D×W = 4×1024 counters of FIXED size regardless of corpus
+  size.  The sketch is built from pre-combined token counts (CMS is
+  linear, so map-side partial counts then sketch-add is identical to
+  streaming per-token increments — the shuffle carries one row per
+  DISTINCT token, not per token occurrence).  Estimates are min-over-rows
+  and the lane emits estimate vs exact so the one-sided error
+  (est ≥ exact, always) is value-checked, not assumed.
+- ``q_dp_noisy_counts``: differentially-private count release — a
+  truncated two-sided-geometric (discrete Laplace) mechanism whose noise
+  is drawn via the SEEDED hash-uniform inverse-CDF.  The CDF thresholds
+  are computed ONCE in Python as integer literals shared by both the
+  Spark plan and the SQL oracle, so no libm call happens at query time on
+  either engine (the q_benford lesson: Java and C libm differ by ulps).
+  true_n is emitted alongside for audit only — a production release would
+  project it away.
+
+Cross-engine hash: ``hash32(s)`` = first 8 hex chars of md5(s) as an
+integer.  Spark evaluates it with ``conv(substring(md5(s),1,8),16,10)``;
+DuckDB folds the hex digits with strpos — both sides are pinned equal by
+tests/test_ext28.py before any lane builds on it.
+
+Hot paths here replace per-occurrence work with per-distinct-key work +
+a broadcast of a FIXED-size summary (2048-row bloom words, 4096-row CMS
+counters, 65-entry CDF) — the shapes that survive a 1000-executor scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from .operators import text
+from .queries import TOKS_SQL, _t
+
+QUERIES_EXT28 = {}
+ORACLE_EXT28 = {}
+
+
+def hash32(col):
+    """Deterministic 32-bit unsigned hash as a BIGINT Spark column:
+    integer value of the first 8 hex chars of md5.  Oracle twin:
+    DUCK_HASH32."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# DuckDB has no conv(); fold the 8 hex digits positionally.  Exact: each
+# term ≤ 15·16^7 < 2^32 and the sum < 2^32, inside double's exact-integer
+# range before the BIGINT cast.
+DUCK_HASH32 = (
+    "CAST(list_sum(list_transform(range(0,8), i ->"
+    " (strpos('0123456789abcdef', substr(md5({s}), i+1, 1)) - 1)"
+    " * CAST(power(16, 7-i) AS BIGINT))) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_semijoin
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16  # filter bits
+_BLOOM_K = 3        # hash functions
+_BLOOM_WORD = 32    # bits per word: 1<<31 fits BIGINT on both engines
+                    # (DuckDB raises on CAST(1 AS BIGINT) << 63)
+_SEGMENT = "BUILDING"
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join reduction: orders × building-segment
+    customers.  The filter is a (word, bits) table — ≤ M/32 = 2048 rows
+    whatever the dim cardinality — built with one keyed aggregate and
+    broadcast to the fact scan, where membership is k=3 O(1) bit probes.
+    At 100 TB this is the shape that prunes a shuffle join's fact side
+    before the exchange (Spark's runtime bloomFilter rewrite does exactly
+    this; here the filter is explicit and auditable).  Output is one row:
+    fact/candidate/true-match/false-positive counts, plus the
+    false-NEGATIVE count the oracle pins at zero — a Bloom filter that
+    drops a true match is broken, not merely imprecise."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _SEGMENT)
+        .select(F.col("c_custkey").cast("string").alias("k"))
+    )
+    probes = [
+        (hash32(F.concat(F.lit(f"bloom{j}|"), F.col("k"))) % _BLOOM_M).alias(f"p{j}")
+        for j in range(_BLOOM_K)
+    ]
+    bloom = (
+        cust.select(F.explode(F.array(*probes)).alias("pos"))
+        .select(
+            F.expr(f"pos DIV {_BLOOM_WORD}").alias("w"),
+            F.expr(f"shiftleft(1L, CAST(pos % {_BLOOM_WORD} AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").cast("string").alias("k")
+    )
+    fact = fact.select("o_orderkey", "k", *probes)
+    for j in range(_BLOOM_K):
+        bj = bloom.select(F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}"))
+        fact = fact.join(
+            F.broadcast(bj),
+            F.expr(f"p{j} DIV {_BLOOM_WORD}") == F.col(f"w{j}"),
+            "left",
+        ).withColumn(
+            f"hit{j}",
+            F.expr(
+                f"(shiftright(coalesce(bits{j}, 0L),"
+                f" CAST(p{j} % {_BLOOM_WORD} AS INT)) & 1) = 1"
+            ),
+        )
+    candidate = F.col("hit0") & F.col("hit1") & F.col("hit2")
+    truth = cust.select(F.col("k").alias("tk")).distinct()
+    probed = fact.join(
+        F.broadcast(truth), F.col("k") == F.col("tk"), "left"
+    ).select(
+        candidate.alias("cand"), F.col("tk").isNotNull().alias("is_match")
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return probed.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.when(F.col("cand"), one).otherwise(zero)).alias("n_candidates"),
+        F.sum(F.when(F.col("is_match"), one).otherwise(zero)).alias("n_true"),
+        F.sum(
+            F.when(F.col("cand") & ~F.col("is_match"), one).otherwise(zero)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_match") & ~F.col("cand"), one).otherwise(zero)
+        ).alias("n_false_neg"),
+    )
+
+
+# DuckDB replay of the identical pipeline.  `//` is DuckDB's integer
+# division (Spark spells it DIV); both sides shift within 32-bit words.
+def _duck_probe(j: int, key: str) -> str:
+    seeded = f"'bloom{j}|' || {key}"
+    return f"({DUCK_HASH32.format(s=seeded)} % {_BLOOM_M})"
+
+
+SQL_BLOOM_SEMIJOIN = f"""
+WITH dim AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+  WHERE c_mktsegment = '{_SEGMENT}'
+), pos AS (
+  SELECT unnest([{', '.join(_duck_probe(j, 'k') for j in range(_BLOOM_K))}]) AS pos
+  FROM dim
+), bloom AS (
+  SELECT pos // {_BLOOM_WORD} AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+), fact AS (
+  SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS k,
+         {', '.join(f"{_duck_probe(j, 'k')} AS p{j}" for j in range(_BLOOM_K))}
+  FROM orders
+), probed AS (
+  SELECT f.k,
+         {' AND '.join(
+             f"((COALESCE(b{j}.bits, 0) >> CAST(f.p{j} % {_BLOOM_WORD} AS INTEGER)) & 1) = 1"
+             for j in range(_BLOOM_K))} AS cand,
+         EXISTS (SELECT 1 FROM dim d WHERE d.k = f.k) AS is_match
+  FROM fact f
+  {' '.join(
+      f"LEFT JOIN bloom b{j} ON f.p{j} // {_BLOOM_WORD} = b{j}.w"
+      for j in range(_BLOOM_K))}
+)
+SELECT COUNT(*) AS n_fact,
+       CAST(COALESCE(SUM(CASE WHEN cand THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(CASE WHEN is_match THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_true,
+       CAST(COALESCE(SUM(CASE WHEN cand AND NOT is_match THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_false_pos,
+       CAST(COALESCE(SUM(CASE WHEN is_match AND NOT cand THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_false_neg
+FROM probed
+"""
+
+QUERIES_EXT28["q_bloom_semijoin"] = q_bloom_semijoin
+ORACLE_EXT28["q_bloom_semijoin"] = SQL_BLOOM_SEMIJOIN
+
+
+# ---------------------------------------------------------------------------
+# q_cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4     # hash rows
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters over document tokens.  The sketch
+    is D×W = 4096 counters of FIXED size: the corpus-wide shuffle carries
+    one row per DISTINCT token (CMS is linear, so adding pre-combined
+    partial counts equals streaming increments), and the counter table
+    broadcasts back to score candidates with min-over-rows.  The lane
+    emits estimate AND exact count per token so the sketch's one-sided
+    guarantee (est ≥ exact) is value-hashed; at 100 TB only the sketch
+    and a bounded candidate heap survive, and `exact_n` is exactly the
+    column you drop."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash32(F.concat(F.lit(f"cms{r}|"), F.col("token"))) % _CMS_W).alias(
+                    "pos"
+                ),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    placed = counts.select(
+        "token", "exact_n", F.explode(rows).alias("rp")
+    ).select("token", "exact_n", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    cms = placed.groupBy("r", "pos").agg(F.sum("exact_n").alias("counter"))
+    est = (
+        placed.join(F.broadcast(cms), ["r", "pos"])
+        .groupBy("token")
+        .agg(F.min("counter").alias("est_n"), F.min("exact_n").alias("exact_n"))
+    )
+    return (
+        est.orderBy(F.desc("est_n"), "token")
+        .limit(_CMS_TOPK)
+        .select(
+            "token",
+            F.col("est_n").cast("long").alias("est_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS exact_n
+  FROM (SELECT unnest({TOKS_SQL.format(c='text')}) AS token FROM documents)
+  GROUP BY token
+), placed AS (
+  SELECT token, exact_n, r,
+         {DUCK_HASH32.format(s="'cms' || r || '|' || token")} % {_CMS_W} AS pos
+  FROM counts, range(0, {_CMS_D}) t(r)
+), cms AS (
+  SELECT r, pos, SUM(exact_n) AS counter FROM placed GROUP BY r, pos
+), est AS (
+  SELECT p.token, MIN(c.counter) AS est_n, MIN(p.exact_n) AS exact_n
+  FROM placed p JOIN cms c ON p.r = c.r AND p.pos = c.pos
+  GROUP BY p.token
+)
+SELECT token, CAST(est_n AS BIGINT) AS est_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount
+FROM est ORDER BY est_n DESC, token LIMIT {_CMS_TOPK}
+"""
+
+QUERIES_EXT28["q_cms_heavy_hitters"] = q_cms_heavy_hitters
+ORACLE_EXT28["q_cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
+
+
+# ---------------------------------------------------------------------------
+# q_dp_noisy_counts
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+_DP_Z = 32  # noise truncation: |z| ≤ Z
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """Inverse-CDF thresholds for the truncated discrete Laplace
+    (two-sided geometric), P(z) ∝ exp(-eps·|z|), z ∈ [-Z, Z], as integer
+    cutoffs on a uniform u ∈ [0, 2^32): noise = first z with u < t_z.
+    Computed ONCE driver-side; both engines compare the SAME literals, so
+    query-time arithmetic is pure integer comparison on both sides."""
+    alpha = math.exp(-_DP_EPS)
+    weights = [alpha ** abs(z) for z in range(-_DP_Z, _DP_Z + 1)]
+    total = sum(weights)
+    out = []
+    cum = 0.0
+    for z, wt in zip(range(-_DP_Z, _DP_Z + 1), weights):
+        cum += wt
+        out.append((z, min(int(round(cum / total * 2**32)), 2**32)))
+    out[-1] = (_DP_Z, 2**32)  # close the interval exactly
+    return out
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private per-type event counts (eps=1, sensitivity 1,
+    truncated discrete Laplace).  The noise draw is the seeded
+    hash-uniform of the group key pushed through a 65-entry integer
+    inverse-CDF (see _dp_thresholds) — deterministic, shuffle-free past
+    the count itself, and identical on both engines because the CDF is
+    shared literals, not libm calls.  true_n stays in the output for the
+    oracle audit; the production release projects it away."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("true_n"))
+    u = hash32(F.concat(F.lit("dp5|"), F.col("event_type")))
+    noise = None
+    for z, t in _dp_thresholds():
+        cond = u < F.lit(t)
+        noise = F.when(cond, F.lit(z)) if noise is None else noise.when(cond, F.lit(z))
+    noise = noise.otherwise(F.lit(_DP_Z)).cast("long")
+    return counts.select(
+        "event_type",
+        F.col("true_n").cast("long").alias("true_n"),
+        noise.alias("noise_z"),
+        (F.col("true_n") + noise).cast("long").alias("noisy_n"),
+    )
+
+
+def _dp_case_sql(u_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {z}" for z, t in _dp_thresholds()
+    )
+    return f"CASE {arms} ELSE {_DP_Z} END"
+
+
+SQL_DP_NOISY_COUNTS = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY event_type
+), drawn AS (
+  SELECT event_type, true_n,
+         {_dp_case_sql(DUCK_HASH32.format(s="'dp5|' || event_type"))} AS z
+  FROM counts
+)
+SELECT event_type, CAST(true_n AS BIGINT) AS true_n,
+       CAST(z AS BIGINT) AS noise_z,
+       CAST(true_n + z AS BIGINT) AS noisy_n
+FROM drawn
+"""
+
+QUERIES_EXT28["q_dp_noisy_counts"] = q_dp_noisy_counts
+ORACLE_EXT28["q_dp_noisy_counts"] = SQL_DP_NOISY_COUNTS
