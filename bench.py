@@ -208,6 +208,7 @@ HEADLINE = [
     # round-6 batch: real stdlib codec lanes
     "q_wav_decode",
     "q_bmp_decode",
+    "q_y4m_decode",
     # round-6 second batch: sketch-backed scale operators
     "q_bloom_semijoin",
     "q_cms_heavy_hitters",

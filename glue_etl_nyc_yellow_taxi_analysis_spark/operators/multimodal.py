@@ -8,9 +8,11 @@ processes whole record batches, never single rows.
 Decode support is two-tier:
 
 * REAL, stdlib-only parsers for headerful uncompressed formats —
-  PCM16 WAV (RIFF chunk walk via ``struct``) and 24bpp BMP (BITMAPFILEHEADER
-  + BITMAPINFOHEADER, bottom-up or top-down, row padding stripped).  These
-  back ``decode_wav`` / ``decode_bmp`` and the ``fake_decode=False`` path of
+  PCM16 WAV (RIFF chunk walk via ``struct``), 24bpp BMP (BITMAPFILEHEADER
+  + BITMAPINFOHEADER, bottom-up or top-down, row padding stripped) and
+  YUV4MPEG2 video (stream-header tag walk, per-frame parameter scan,
+  4:2:0 plane split).  These back ``decode_wav`` / ``decode_bmp`` /
+  ``decode_y4m`` and the ``fake_decode=False`` path of
   ``extract_features``; their sample/pixel-level outputs are exact integers,
   value-hash verified against SQL replays of the same bytes.
 * compressed codecs (JPEG/MP3/H.264) need libs absent from this container;
@@ -374,6 +376,191 @@ def decode_bmp(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _BMP_DECODE_SCHEMA)
 
 
+def y4m_container(
+    frames: list[bytes], width: int, height: int, frame_params: tuple = ()
+) -> bytes:
+    """Wrap 4:2:0 frame payloads in a YUV4MPEG2 (Y4M) container.  Each
+    entry of ``frames`` is one frame's Y+U+V planes concatenated
+    (width*height + 2*(width//2)*(height//2) bytes; width/height even).
+    ``frame_params`` = (frame_index, b" Xtag") pairs appended to those
+    frames' FRAME lines — Y4M allows per-frame parameters, and tests use
+    them to prove the parser scans to the newline instead of assuming a
+    fixed 6-byte "FRAME\\n" marker."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    frame_len = width * height + 2 * (width // 2) * (height // 2)
+    params = dict(frame_params)
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    for i, fr in enumerate(frames):
+        if len(fr) != frame_len:
+            raise ValueError(f"frame {i}: {len(fr)} bytes, want {frame_len}")
+        out.append(b"FRAME" + params.get(i, b"") + b"\n" + fr)
+    return b"".join(out)
+
+
+def parse_y4m(data: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]]:
+    """Parse a YUV4MPEG2 stream (stdlib only) → (width, height, frames as
+    (y_plane, u_plane, v_plane) tuples).  Walks the stream header's
+    space-separated tags, then each FRAME marker (scanning past optional
+    per-frame parameters to the newline).  Raises ValueError on malformed
+    or truncated streams and NotImplementedError for chroma samplings
+    other than 4:2:0 (where ffmpeg would take over)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    chroma = "420jpeg"  # the Y4M default when no C tag is present
+    for tag in data[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"C":
+            chroma = val.decode("ascii", "replace")
+    if not width or not height:
+        raise ValueError("missing W/H in stream header")
+    if not chroma.startswith("420"):
+        raise NotImplementedError(
+            f"only 4:2:0 chroma is decoded stdlib-side (C{chroma}); "
+            f"other samplings need ffmpeg"
+        )
+    y_len = width * height
+    c_len = (width // 2) * (height // 2)
+    frame_len = y_len + 2 * c_len
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.find(b"\n", pos + 5)
+        if fnl < 0 or fnl + 1 + frame_len > len(data):
+            raise ValueError("truncated frame")
+        start = fnl + 1
+        frames.append(
+            (
+                data[start : start + y_len],
+                data[start + y_len : start + y_len + c_len],
+                data[start + y_len + c_len : start + frame_len],
+            )
+        )
+        pos = start + frame_len
+    return width, height, frames
+
+
+def documents_as_y4m(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 6,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic Y4M payloads from document text: the byte stream of
+    frame f is text[f*36 : (f+1)*36] (Y plane 24 bytes, then U 6, V 6 at
+    W6 H4 — the plane SPLIT is load-bearing for the decoder), zero-padded
+    in the last frame; n_frames = max(1, n_bytes // 36).  Odd frames get
+    an ``Xodd`` per-frame parameter so the FRAME-line scan is exercised
+    on every multi-frame document."""
+    frame_len = width * height + 2 * (width // 2) * (height // 2)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                n = max(1, len(b) // frame_len)
+                raw = b[: frame_len * n].ljust(frame_len * n, b"\x00")
+                frames = [
+                    raw[f * frame_len : (f + 1) * frame_len] for f in range(n)
+                ]
+                params = tuple((i, b" Xodd") for i in range(1, n, 2))
+                rows.append(
+                    (mid, y4m_container(frames, width, height, params))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+_Y4M_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sum_y", T.LongType(), True),
+        T.StructField("sum_u", T.LongType(), True),
+        T.StructField("sum_v", T.LongType(), True),
+        T.StructField("frame_diff_sum", T.LongType(), True),
+        T.StructField("y_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_y4m(df: DataFrame) -> DataFrame:
+    """REAL video decode lane: parse each payload as a YUV4MPEG2 stream
+    (parse_y4m — header tag walk, per-frame parameter scan, 4:2:0 plane
+    split) and reduce to exact-integer stats: per-plane byte sums, the
+    inter-frame luma delta Σ|y_f - y_{f-1}| (the scene-cut energy
+    q_video_scene_cut thresholds), and an md5 over the comma-joined luma
+    stream.  A parser that mis-splits planes, skips a FRAME parameter
+    wrong, or drops a frame fails the value hash, not just a count."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = parse_y4m(bytes(payload))
+                ys = [fr[0] for fr in frames]
+                diff = sum(
+                    abs(a - b)
+                    for prev, cur in zip(ys, ys[1:])
+                    for a, b in zip(prev, cur)
+                )
+                all_y = b"".join(ys)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        len(frames),
+                        sum(all_y),
+                        sum(b for fr in frames for b in fr[1]),
+                        sum(b for fr in frames for b in fr[2]),
+                        diff,
+                        hashlib.md5(
+                            ",".join(str(b) for b in all_y).encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "sum_y",
+                    "sum_u",
+                    "sum_v",
+                    "frame_diff_sum",
+                    "y_md5",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _Y4M_DECODE_SCHEMA)
+
+
 def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Decode + featurize binary payloads via Arrow-batched mapInPandas.
 
@@ -402,16 +589,19 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
 
     def decode_values(data: bytes):
         """Real decode dispatch by magic bytes: PCM16 WAV → signed
-        samples, 24bpp BMP → top-down pixel bytes; compressed formats
-        still need libs absent from this container."""
+        samples, 24bpp BMP → top-down pixel bytes, YUV4MPEG2 → flat luma
+        stream; compressed formats still need libs absent from this
+        container."""
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return parse_wav(data)[2]
         if data[:2] == b"BM":
             return parse_bmp(data)[2]
+        if data[:9] == b"YUV4MPEG2":
+            return b"".join(fr[0] for fr in parse_y4m(data)[2])
         raise NotImplementedError(
-            "real decode is stdlib-only (PCM16 WAV / 24bpp BMP); other "
-            "formats require image/audio libraries not present in this "
-            "environment — wire PIL/librosa here"
+            "real decode is stdlib-only (PCM16 WAV / 24bpp BMP / Y4M); "
+            "other formats require image/audio libraries not present in "
+            "this environment — wire PIL/librosa/ffmpeg here"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

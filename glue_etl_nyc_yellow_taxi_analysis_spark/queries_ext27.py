@@ -139,3 +139,71 @@ FROM pix
 
 QUERIES_EXT27["q_bmp_decode"] = q_bmp_decode
 ORACLE_EXT27["q_bmp_decode"] = SQL_BMP_DECODE
+
+
+_Y4M_W, _Y4M_H = 6, 4
+_Y4M_Y = _Y4M_W * _Y4M_H                      # 24 luma bytes / frame
+_Y4M_F = _Y4M_Y + 2 * (_Y4M_W // 2) * (_Y4M_H // 2)  # 36 bytes / frame
+
+
+def q_y4m_decode(spark, sf_dir):
+    """Real YUV4MPEG2 video decode: encode document text into Y4M
+    streams (documents_as_y4m — frame f carries text bytes [36f, 36f+36),
+    split Y/U/V 24+6+6, odd frames get an Xodd FRAME parameter), then
+    parse them back with the stdlib stream walker and emit per-plane
+    sums, the inter-frame luma delta (the scene-cut energy), and a luma
+    md5.  Completes the real-decode trio: audio (q_wav_decode), image
+    (q_bmp_decode), video (this)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_y4m(docs, width=_Y4M_W, height=_Y4M_H)
+    return multimodal.decode_y4m(media)
+
+
+# Frame f's byte stream is text[36f : 36f+36) zero-padded (ASCII docs:
+# byte i == char i, the q_audio_energy_windows equivalence); within a
+# frame, bytes [0,24) are Y, [24,30) U, [30,36) V.  The flat luma list
+# yl re-indexes v: luma j lives at v[(j//24)*36 + j%24].  A decoder that
+# leaks chroma into luma, drops the Xodd parameter scan, or mis-counts
+# frames diverges from this replay.
+SQL_Y4M_DECODE = f"""
+WITH sized AS (
+  SELECT doc_id AS media_id, COALESCE(text, '') AS text,
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes
+  FROM documents
+), shaped AS (
+  SELECT media_id, text, n_bytes,
+         greatest(n_bytes // {_Y4M_F}, 1) AS nf
+  FROM sized
+), vals AS (
+  SELECT media_id, nf,
+         list_transform(range(0, {_Y4M_F} * nf), i ->
+           CASE WHEN i < n_bytes THEN ascii(substr(text, i + 1, 1))
+                ELSE 0 END) AS v
+  FROM shaped
+), planes AS (
+  SELECT media_id, nf,
+         list_transform(range(0, {_Y4M_Y} * nf), j ->
+           v[(j // {_Y4M_Y}) * {_Y4M_F} + j % {_Y4M_Y} + 1]) AS yl,
+         list_transform(range(0, 6 * nf), j ->
+           v[(j // 6) * {_Y4M_F} + {_Y4M_Y} + j % 6 + 1]) AS ul,
+         list_transform(range(0, 6 * nf), j ->
+           v[(j // 6) * {_Y4M_F} + {_Y4M_Y} + 6 + j % 6 + 1]) AS vl
+  FROM vals
+)
+SELECT media_id,
+       {_Y4M_W} AS width,
+       {_Y4M_H} AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(list_sum(yl), 0) AS BIGINT) AS sum_y,
+       CAST(COALESCE(list_sum(ul), 0) AS BIGINT) AS sum_u,
+       CAST(COALESCE(list_sum(vl), 0) AS BIGINT) AS sum_v,
+       CAST(COALESCE(list_sum(list_transform(
+              range(0, {_Y4M_Y} * (nf - 1)), j ->
+                abs(yl[j + {_Y4M_Y} + 1] - yl[j + 1]))), 0) AS BIGINT)
+         AS frame_diff_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM planes
+"""
+
+QUERIES_EXT27["q_y4m_decode"] = q_y4m_decode
+ORACLE_EXT27["q_y4m_decode"] = SQL_Y4M_DECODE

@@ -156,6 +156,73 @@ def test_parse_bmp_rejects_malformed():
         multimodal.parse_bmp(bytes(payload))
 
 
+def test_parse_y4m_roundtrip_and_frame_params():
+    """parse_y4m must scan each FRAME line to its newline (per-frame
+    parameters are legal Y4M), split Y/U/V planes at 4:2:0 sizes, and
+    preserve frame order."""
+    w, h = 6, 4
+    f0 = bytes(range(36))
+    f1 = bytes(range(100, 136))
+    payload = multimodal.y4m_container(
+        [f0, f1], w, h, frame_params=((1, b" Xodd"),)
+    )
+    got_w, got_h, frames = multimodal.parse_y4m(payload)
+    assert (got_w, got_h, len(frames)) == (w, h, 2)
+    assert frames[0] == (f0[:24], f0[24:30], f0[30:36])
+    assert frames[1] == (f1[:24], f1[24:30], f1[30:36])
+
+
+def test_parse_y4m_defaults_chroma_and_ignores_unknown_tags():
+    """A header with no C tag defaults to 420jpeg; unknown tags (F, I,
+    A, X...) must be skipped, not choke the parser."""
+    frame = bytes(36)
+    payload = (
+        b"YUV4MPEG2 W6 H4 F30000:1001 It A0:0 Xcustom\nFRAME\n" + frame
+    )
+    got_w, got_h, frames = multimodal.parse_y4m(payload)
+    assert (got_w, got_h, len(frames)) == (6, 4, 1)
+
+
+def test_parse_y4m_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError):  # wrong magic
+        multimodal.parse_y4m(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):  # missing dimensions
+        multimodal.parse_y4m(b"YUV4MPEG2 F25:1\nFRAME\n" + bytes(36))
+    with pytest.raises(ValueError):  # truncated frame payload
+        good = multimodal.y4m_container([bytes(36)], 6, 4)
+        multimodal.parse_y4m(good[:-5])
+    with pytest.raises(ValueError):  # garbage between frames
+        good = multimodal.y4m_container([bytes(36), bytes(36)], 6, 4)
+        broken = good.replace(b"FRAME\n" + bytes(36), b"XRAME\n" + bytes(36), 1)
+        multimodal.parse_y4m(broken)
+    with pytest.raises(NotImplementedError):  # 4:2:2 needs ffmpeg
+        payload = b"YUV4MPEG2 W6 H4 C422\nFRAME\n" + bytes(48)
+        multimodal.parse_y4m(payload)
+
+
+def test_y4m_decode_lane_features(spark):
+    """End-to-end through Spark: a 2-frame doc's luma sums and scene-cut
+    delta computed by hand must match decode_y4m's output."""
+    text = "".join(chr(65 + (i % 26)) for i in range(72))  # 2 full frames
+    docs = spark.createDataFrame([(1, text), (2, "hi")], ["doc_id", "text"])
+    media = multimodal.documents_as_y4m(docs)
+    out = {r.media_id: r for r in multimodal.decode_y4m(media).collect()}
+    b = text.encode()
+    y = b[0:24] + b[36:60]
+    assert out[1].n_frames == 2
+    assert out[1].sum_y == sum(y)
+    assert out[1].sum_u == sum(b[24:30]) + sum(b[60:66])
+    assert out[1].sum_v == sum(b[30:36]) + sum(b[66:72])
+    assert out[1].frame_diff_sum == sum(
+        abs(b[36 + i] - b[i]) for i in range(24)
+    )
+    # short doc: one zero-padded frame, no inter-frame delta
+    assert out[2].n_frames == 1 and out[2].frame_diff_sum == 0
+    assert out[2].sum_y == sum("hi".encode())
+
+
 def test_extract_features_real_decode_dispatch(spark):
     """fake_decode=False now REALLY decodes WAV/BMP payloads (per-stride
     means over decoded samples/pixels, not raw container bytes) and
