@@ -47,6 +47,14 @@ PINNED: tuple[str, ...] = (
 
 RECHECK_QUOTA = 4
 
+# Once the never-driver-checked block shrinks below this, the window is
+# mostly re-verification anyway — widen the recheck rotation so each
+# round's quota covers more of the registry (r5 verdict item 7).  The
+# rotation start already strides with the round number, so a wider
+# quota sweeps MORE DISTINCT queries per round, not the same ones.
+_RECHECK_QUOTA_WIDE = 6
+_FRESH_EXHAUSTED_AT = 10
+
 
 def _round_files() -> list[tuple[int, str]]:
     out = []
@@ -67,14 +75,14 @@ def checked_names() -> set[str]:
     return names
 
 
-def _recheck_picks(checked: set[str], round_no: int) -> list[str]:
-    """Deterministic round-robin: rotate RECHECK_QUOTA previously-checked
+def _recheck_picks(checked: set[str], round_no: int, quota: int) -> list[str]:
+    """Deterministic round-robin: rotate ``quota`` previously-checked
     queries back into the window, advancing with the round number."""
     pool = sorted(checked)
     if not pool:
         return []
-    start = (round_no * RECHECK_QUOTA) % len(pool)
-    return [pool[(start + i) % len(pool)] for i in range(min(RECHECK_QUOTA, len(pool)))]
+    start = (round_no * quota) % len(pool)
+    return [pool[(start + i) % len(pool)] for i in range(min(quota, len(pool)))]
 
 
 # Approximate driver window size: used only to stride the already-checked
@@ -91,8 +99,12 @@ def driver_order(queries: dict) -> dict:
     seen = checked_names()
     next_round = (max((n for n, _ in _round_files()), default=0)) + 1
     pinned = [n for n in PINNED if n in queries]
+    n_fresh = sum(1 for n in queries if n not in seen and n not in pinned)
+    quota = (
+        RECHECK_QUOTA if n_fresh > _FRESH_EXHAUSTED_AT else _RECHECK_QUOTA_WIDE
+    )
     recheck = [
-        n for n in _recheck_picks(seen, next_round)
+        n for n in _recheck_picks(seen, next_round, quota)
         if n in queries and n not in pinned
     ]
     head = set(pinned) | set(recheck)

@@ -49,3 +49,30 @@ def test_pinned_leaves_room_for_recheck_and_fresh():
     never-checked queries."""
     assert len(PINNED) <= 50 - RECHECK_QUOTA
     assert all(p in QUERIES for p in PINNED)
+
+
+def test_recheck_quota_widens_when_fresh_block_exhausted():
+    """r5 verdict item 7: once (almost) everything has a driver row, the
+    recheck rotation must widen from 4 to 6 so round-7+ windows sweep
+    more of the registry instead of re-verifying a static prefix."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.coverage import (
+        _RECHECK_QUOTA_WIDE,
+    )
+
+    seen = checked_names()
+    pinned = set(PINNED)
+    exhausted = {
+        n: QUERIES[n] for n in QUERIES if n in seen or n in pinned
+    }
+    ordered = list(driver_order(exhausted))
+    n_pinned = len([n for n in PINNED if n in exhausted])
+    recheck = ordered[n_pinned : n_pinned + _RECHECK_QUOTA_WIDE]
+    assert len(recheck) == _RECHECK_QUOTA_WIDE
+    assert all(n in seen and n not in pinned for n in recheck)
+    # today's registry still has >10 fresh lanes → quota stays narrow
+    fresh_now = [n for n in QUERIES if n not in seen and n not in pinned]
+    if len(fresh_now) > 10:
+        ordered_now = list(driver_order(QUERIES))
+        tail = ordered_now[len([n for n in PINNED if n in QUERIES]) :]
+        # the 5th window slot after pinned+4 rechecks is a FRESH query
+        assert tail[RECHECK_QUOTA] not in seen
