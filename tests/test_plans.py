@@ -442,3 +442,35 @@ def test_batch_padding_plan_single_keyed_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["q_batch_padding_plan"](spark, sf_dir))
     assert plan.count("+- Exchange") <= 3
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_semijoin_broadcast_probes_only(spark, sf_dir):
+    """The Bloom filter words and the truth dim must BROADCAST to the
+    fact scan (the whole point: the fact side never shuffles for a
+    runtime filter), with every expression JVM-side."""
+    plan = _plan(QUERIES["q_bloom_semijoin"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 word probes + truth
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_heavy_hitters_fixed_sketch_broadcast(spark, sf_dir):
+    """The 4×1024 counter table broadcasts back to the candidate
+    scoring pass; the only corpus-sized shuffle carries one row per
+    DISTINCT token (the CMS-linearity pre-combine)."""
+    plan = _plan(QUERIES["q_cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # ranked output compiles to per-partition top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dp_noisy_counts_single_shuffle_no_python(spark, sf_dir):
+    """One keyed count exchange; the 65-entry inverse-CDF is constant
+    literals folded into the projection — no Python, no extra shuffle
+    (+1 for the spread() widening of the narrow testdata scan)."""
+    plan = _plan(QUERIES["q_dp_noisy_counts"](spark, sf_dir))
+    assert plan.count("+- Exchange") <= 2
+    assert "Python" not in plan and "BatchEvalPython" not in plan

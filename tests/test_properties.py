@@ -180,3 +180,44 @@ def test_weighted_median_property(rows):
             if cum * 2 >= total:
                 assert got[g] == v, (g, pairs, got[g])
                 break
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrips (pure parsers — no Spark in the loop)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.binary(min_size=36, max_size=36), min_size=1, max_size=8
+    ),
+    st.sets(st.integers(min_value=0, max_value=7)),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_container_parse_roundtrip(frames, param_frames):
+    """parse_y4m ∘ y4m_container is the identity on frame payloads, for
+    ANY frame bytes and ANY subset of frames carrying FRAME-line
+    parameters (the parser must never confuse payload bytes — including
+    ones spelling 'FRAME' or '\\n' — with stream structure)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import multimodal
+
+    params = tuple(
+        (i, b" Xp") for i in sorted(param_frames) if i < len(frames)
+    )
+    payload = multimodal.y4m_container(frames, 6, 4, frame_params=params)
+    w, h, got = multimodal.parse_y4m(payload)
+    assert (w, h) == (6, 4)
+    assert [y + u + v for y, u, v in got] == frames
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_wav_container_parse_roundtrip(samples):
+    """parse_wav ∘ wav_container is the identity on int16 samples."""
+    import struct
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import multimodal
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    rate, nch, got = multimodal.parse_wav(multimodal.wav_container(pcm))
+    assert got == samples
