@@ -41,32 +41,20 @@ counters, 65-entry CDF) — the shapes that survive a 1000-executor scan.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
-from .operators import text
+from .operators import sketches, text
 from .queries import TOKS_SQL, _t
 
 QUERIES_EXT28 = {}
 ORACLE_EXT28 = {}
 
 
-def hash32(col):
-    """Deterministic 32-bit unsigned hash as a BIGINT Spark column:
-    integer value of the first 8 hex chars of md5.  Oracle twin:
-    DUCK_HASH32."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
-# DuckDB has no conv(); fold the 8 hex digits positionally.  Exact: each
-# term ≤ 15·16^7 < 2^32 and the sum < 2^32, inside double's exact-integer
-# range before the BIGINT cast.
-DUCK_HASH32 = (
-    "CAST(list_sum(list_transform(range(0,8), i ->"
-    " (strpos('0123456789abcdef', substr(md5({s}), i+1, 1)) - 1)"
-    " * CAST(power(16, 7-i) AS BIGINT))) AS BIGINT)"
-)
+# Primitives live in operators/sketches.py (the reusable library
+# surface); re-exported here because every ext28 oracle interpolates
+# them and tests pin their cross-engine equality.
+hash32 = sketches.hash32
+DUCK_HASH32 = sketches.DUCK_HASH32
 
 
 # ---------------------------------------------------------------------------
@@ -75,19 +63,19 @@ DUCK_HASH32 = (
 
 _BLOOM_M = 1 << 16  # filter bits
 _BLOOM_K = 3        # hash functions
-_BLOOM_WORD = 32    # bits per word: 1<<31 fits BIGINT on both engines
-                    # (DuckDB raises on CAST(1 AS BIGINT) << 63)
+_BLOOM_WORD = sketches.BLOOM_WORD
 _SEGMENT = "BUILDING"
 
 
 def q_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join reduction: orders × building-segment
     customers.  The filter is a (word, bits) table — ≤ M/32 = 2048 rows
-    whatever the dim cardinality — built with one keyed aggregate and
-    broadcast to the fact scan, where membership is k=3 O(1) bit probes.
-    At 100 TB this is the shape that prunes a shuffle join's fact side
-    before the exchange (Spark's runtime bloomFilter rewrite does exactly
-    this; here the filter is explicit and auditable).  Output is one row:
+    whatever the dim cardinality — built with one keyed aggregate
+    (sketches.bloom_build) and broadcast to the fact scan, where
+    membership is k=3 O(1) bit probes (sketches.bloom_probe).  At 100 TB
+    this is the shape that prunes a shuffle join's fact side before the
+    exchange (Spark's runtime bloomFilter rewrite does exactly this;
+    here the filter is explicit and auditable).  Output is one row:
     fact/candidate/true-match/false-positive counts, plus the
     false-NEGATIVE count the oracle pins at zero — a Bloom filter that
     drops a true match is broken, not merely imprecise."""
@@ -96,42 +84,18 @@ def q_bloom_semijoin(spark, sf_dir):
         .filter(F.col("c_mktsegment") == _SEGMENT)
         .select(F.col("c_custkey").cast("string").alias("k"))
     )
-    probes = [
-        (hash32(F.concat(F.lit(f"bloom{j}|"), F.col("k"))) % _BLOOM_M).alias(f"p{j}")
-        for j in range(_BLOOM_K)
-    ]
-    bloom = (
-        cust.select(F.explode(F.array(*probes)).alias("pos"))
-        .select(
-            F.expr(f"pos DIV {_BLOOM_WORD}").alias("w"),
-            F.expr(f"shiftleft(1L, CAST(pos % {_BLOOM_WORD} AS INT))").alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(m)").alias("bits"))
-    )
+    bloom = sketches.bloom_build(cust, "k", _BLOOM_M, _BLOOM_K)
     fact = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey"), F.col("o_custkey").cast("string").alias("k")
     )
-    fact = fact.select("o_orderkey", "k", *probes)
-    for j in range(_BLOOM_K):
-        bj = bloom.select(F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}"))
-        fact = fact.join(
-            F.broadcast(bj),
-            F.expr(f"p{j} DIV {_BLOOM_WORD}") == F.col(f"w{j}"),
-            "left",
-        ).withColumn(
-            f"hit{j}",
-            F.expr(
-                f"(shiftright(coalesce(bits{j}, 0L),"
-                f" CAST(p{j} % {_BLOOM_WORD} AS INT)) & 1) = 1"
-            ),
-        )
-    candidate = F.col("hit0") & F.col("hit1") & F.col("hit2")
+    probed_fact = sketches.bloom_probe(
+        fact, bloom, "k", _BLOOM_M, _BLOOM_K, out_col="cand"
+    )
     truth = cust.select(F.col("k").alias("tk")).distinct()
-    probed = fact.join(
+    probed = probed_fact.join(
         F.broadcast(truth), F.col("k") == F.col("tk"), "left"
     ).select(
-        candidate.alias("cand"), F.col("tk").isNotNull().alias("is_match")
+        F.col("cand"), F.col("tk").isNotNull().alias("is_match")
     )
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
@@ -222,21 +186,8 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("exact_n"))
     )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (hash32(F.concat(F.lit(f"cms{r}|"), F.col("token"))) % _CMS_W).alias(
-                    "pos"
-                ),
-            )
-            for r in range(_CMS_D)
-        ]
-    )
-    placed = counts.select(
-        "token", "exact_n", F.explode(rows).alias("rp")
-    ).select("token", "exact_n", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
-    cms = placed.groupBy("r", "pos").agg(F.sum("exact_n").alias("counter"))
+    placed = sketches.cms_place(counts, "token", "exact_n", _CMS_D, _CMS_W)
+    cms = sketches.cms_build(placed, "exact_n")
     est = (
         placed.join(F.broadcast(cms), ["r", "pos"])
         .groupBy("token")
@@ -289,39 +240,22 @@ _DP_Z = 32  # noise truncation: |z| ≤ Z
 
 
 def _dp_thresholds() -> list[tuple[int, int]]:
-    """Inverse-CDF thresholds for the truncated discrete Laplace
-    (two-sided geometric), P(z) ∝ exp(-eps·|z|), z ∈ [-Z, Z], as integer
-    cutoffs on a uniform u ∈ [0, 2^32): noise = first z with u < t_z.
-    Computed ONCE driver-side; both engines compare the SAME literals, so
-    query-time arithmetic is pure integer comparison on both sides."""
-    alpha = math.exp(-_DP_EPS)
-    weights = [alpha ** abs(z) for z in range(-_DP_Z, _DP_Z + 1)]
-    total = sum(weights)
-    out = []
-    cum = 0.0
-    for z, wt in zip(range(-_DP_Z, _DP_Z + 1), weights):
-        cum += wt
-        out.append((z, min(int(round(cum / total * 2**32)), 2**32)))
-    out[-1] = (_DP_Z, 2**32)  # close the interval exactly
-    return out
+    """Ext28's instantiation of the shared inverse-CDF (see
+    sketches.dp_discrete_laplace_thresholds for the mechanism notes)."""
+    return sketches.dp_discrete_laplace_thresholds(_DP_EPS, _DP_Z)
 
 
 def q_dp_noisy_counts(spark, sf_dir):
     """Differentially-private per-type event counts (eps=1, sensitivity 1,
     truncated discrete Laplace).  The noise draw is the seeded
     hash-uniform of the group key pushed through a 65-entry integer
-    inverse-CDF (see _dp_thresholds) — deterministic, shuffle-free past
+    inverse-CDF (sketches.dp_noise) — deterministic, shuffle-free past
     the count itself, and identical on both engines because the CDF is
     shared literals, not libm calls.  true_n stays in the output for the
     oracle audit; the production release projects it away."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count("*").alias("true_n"))
-    u = hash32(F.concat(F.lit("dp5|"), F.col("event_type")))
-    noise = None
-    for z, t in _dp_thresholds():
-        cond = u < F.lit(t)
-        noise = F.when(cond, F.lit(z)) if noise is None else noise.when(cond, F.lit(z))
-    noise = noise.otherwise(F.lit(_DP_Z)).cast("long")
+    noise = sketches.dp_noise("event_type", _DP_EPS, _DP_Z, seed="dp5")
     return counts.select(
         "event_type",
         F.col("true_n").cast("long").alias("true_n"),

@@ -150,3 +150,38 @@ def test_dp_draw_distribution_tracks_discrete_laplace():
     alpha = math.exp(-_DP_EPS)
     assert abs(p0 - (1 - alpha) / (1 + alpha)) < 0.06
     assert min(zs) < 0 < max(zs)
+
+
+def test_sketch_operators_reusable_api(spark):
+    """The operators/sketches.py surface works on arbitrary tables, not
+    just the ext28 fixtures: bloom never drops members, CMS estimates
+    dominate true counts."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import sketches
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["id"])
+    bloom = sketches.bloom_build(keys, "id", m_bits=4096, k=3)
+    assert bloom.count() <= 4096 // 32
+    probe_rows = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], ["id"]
+    )
+    hits = {
+        r.id: r.member
+        for r in sketches.bloom_probe(
+            probe_rows, bloom, "id", m_bits=4096, k=3, out_col="member"
+        ).collect()
+    }
+    assert all(hits[f"k{i}"] for i in range(50))  # no false negatives
+    # output schema = input columns + flag, nothing leaked
+    assert set(hits) == {f"k{i}" for i in range(100)}
+
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 3), ("c", 7)], ["key", "n"]
+    )
+    placed = sketches.cms_place(counts, "key", "n", d=2, w=16)
+    cms = sketches.cms_build(placed, "n")
+    est = {
+        r.key: r.est_n
+        for r in sketches.cms_estimate(placed, cms, "key").collect()
+    }
+    true = {"a": 10, "b": 3, "c": 7}
+    assert all(est[k] >= v for k, v in true.items())
