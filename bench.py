@@ -213,6 +213,7 @@ HEADLINE = [
     "q_bloom_semijoin",
     "q_cms_heavy_hitters",
     "q_dp_noisy_counts",
+    "q_bloom_pruned_join",
 ]
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import sketches
+
 
 def broadcast_dim_join(
     fact: DataFrame,
@@ -35,6 +37,43 @@ def broadcast_dim_join(
 def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """left rows WITH a match — EXISTS subquery shape (no right columns)."""
     return left.join(right, on, "left_semi")
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join: pre-prune the fact side with a Bloom filter
+    built over the dim keys (operators/sketches.py), then run the exact
+    equi join on the survivors.  SEMANTICALLY TRANSPARENT for inner /
+    semi joins — a Bloom filter has no false negatives, so every
+    matching fact row survives the prune and the exact join removes the
+    false positives; q_bloom_pruned_join pins this by hashing against a
+    PLAIN-join oracle.  At 100 TB the payoff is shuffle volume: the
+    ≤ m/32-row filter broadcasts to the scan and non-matching fact rows
+    (often the vast majority) never enter the join exchange — the same
+    rewrite spark.sql.optimizer.runtime.bloomFilter.enabled injects,
+    exposed here as a composable, auditable operator.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom pruning drops unmatched fact rows pre-join; '{how}' "
+            f"joins would lose them — only inner/left_semi are sound"
+        )
+    bloom = sketches.bloom_build(dim.select(on), on, m_bits, k)
+    pruned = (
+        sketches.bloom_probe(fact, bloom, on, m_bits, k, out_col="__bloom_hit")
+        .filter(F.col("__bloom_hit"))
+        .drop("__bloom_hit")
+    )
+    # join strategy stays with Catalyst/AQE: the FILTER is always tiny
+    # (that's the point), but the dim itself may not be broadcastable —
+    # a pruned sort-merge is exactly what runtime filters buy at scale.
+    return pruned.join(dim, on, how)
 
 
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:

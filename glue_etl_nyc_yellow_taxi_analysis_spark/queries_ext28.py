@@ -43,8 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import sketches, text
-from .queries import TOKS_SQL, _t
+from .operators import joins, sketches, text
+from .queries import DSUM_SQL, TOKS_SQL, _t, dsum
 
 QUERIES_EXT28 = {}
 ORACLE_EXT28 = {}
@@ -159,6 +159,47 @@ FROM probed
 
 QUERIES_EXT28["q_bloom_semijoin"] = q_bloom_semijoin
 ORACLE_EXT28["q_bloom_semijoin"] = SQL_BLOOM_SEMIJOIN
+
+
+def q_bloom_pruned_join(spark, sf_dir):
+    """The runtime filter as a composable operator
+    (joins.bloom_pruned_join): orders pre-pruned by a Bloom filter over
+    the building-segment customer keys, then exactly joined and
+    aggregated.  The ORACLE IS THE PLAIN JOIN — no bloom anywhere in the
+    SQL — so the value hash proves the pruning is semantically
+    transparent (no false negatives, false positives removed by the
+    exact join), which is the entire contract a runtime filter rests
+    on."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _SEGMENT)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    joined = joins.bloom_pruned_join(orders, cust, on="o_custkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BLOOM_PRUNED_JOIN = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{_SEGMENT}'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES_EXT28["q_bloom_pruned_join"] = q_bloom_pruned_join
+ORACLE_EXT28["q_bloom_pruned_join"] = SQL_BLOOM_PRUNED_JOIN
 
 
 # ---------------------------------------------------------------------------

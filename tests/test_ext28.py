@@ -185,3 +185,27 @@ def test_sketch_operators_reusable_api(spark):
     }
     true = {"a": 10, "b": 3, "c": 7}
     assert all(est[k] >= v for k, v in true.items())
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    """Row-for-row equality with the unpruned join, and the unsound
+    join types are refused."""
+    import pytest
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import joins
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    pruned = sorted(
+        map(tuple, joins.bloom_pruned_join(orders, cust, "o_custkey").collect())
+    )
+    plain = sorted(map(tuple, orders.join(cust, "o_custkey").collect()))
+    assert pruned == plain and len(pruned) > 0
+    with pytest.raises(ValueError):
+        joins.bloom_pruned_join(orders, cust, "o_custkey", how="left")
