@@ -47,3 +47,44 @@ def test_no_unhashable_or_decimal_output_columns(schemas):
 def test_oracle_entries_cover_declared_queries_only(schemas):
     orphan = [n for n in ORACLE if n not in schemas]
     assert not orphan, f"oracle SQL for undeclared queries: {orphan}"
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Initial physical plan per declared query (no execution)."""
+    out = {}
+    for name, fn in QUERIES.items():
+        try:
+            out[name] = (
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:  # streaming/stateful lanes that refuse a plan dump
+            out[name] = ""
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    """No declared query may compile to a CartesianProduct — a plan
+    that's quadratic in PARTITIONS is a scale-killer whatever the row
+    counts.  (Tiny deliberate cross joins compile to
+    BroadcastNestedLoopJoin, which is allowed and audited per-query in
+    test_plans.py.)"""
+    offenders = sorted(n for n, p in plans.items() if "CartesianProduct" in p)
+    assert offenders == []
+
+
+# The declared row-batched Python surfaces: UDTF evaluation is
+# BatchEvalPython by construction (Spark has no Arrow UDTF path).
+_PYTHON_EVAL_ALLOWED = {"q_udtf_doc_chunk"}
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    """Row-at-a-time Python (BatchEvalPython outside the declared UDTF
+    lane) is the 10-100x slow path this engine bans: every other Python
+    surface is Arrow-vectorized (mapInPandas/mapInArrow/applyIn*)."""
+    offenders = sorted(
+        n
+        for n, p in plans.items()
+        if "BatchEvalPython" in p and n not in _PYTHON_EVAL_ALLOWED
+    )
+    assert offenders == []
