@@ -214,6 +214,7 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_dp_noisy_counts",
     "q_bloom_pruned_join",
+    "q_sketch_merge",
 ]
 
 

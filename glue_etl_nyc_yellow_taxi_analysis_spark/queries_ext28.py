@@ -272,6 +272,160 @@ QUERIES_EXT28["q_cms_heavy_hitters"] = q_cms_heavy_hitters
 ORACLE_EXT28["q_cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
 
 
+def q_sketch_merge(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes sketches the
+    incremental/distributed statistics path: a CMS built per batch
+    merges by cell-wise SUM, a Bloom filter by word-wise bit OR, and the
+    merge must equal the sketch built over the union in one pass.  The
+    lane splits documents by doc_id parity (stand-in for "yesterday's
+    batch + today's"), builds per-half sketches, merges, and emits
+    cell/word-level equality counts alongside totals — a merge that
+    drops a cell, double-counts, or mixes hash rows fails the value
+    hash.  At 100 TB this is how a standing corpus sketch absorbs a new
+    shard without rescanning history."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(text.tokens("text")).alias("token"),
+    )
+
+    def cms_of(df):
+        counts = df.groupBy("token").agg(F.count("*").alias("n"))
+        placed = sketches.cms_place(counts, "token", "n", _CMS_D, _CMS_W)
+        return sketches.cms_build(placed, "n")
+
+    merged_cms = (
+        cms_of(toks.filter("even")).unionByName(cms_of(toks.filter("NOT even")))
+        .groupBy("r", "pos")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    whole_cms = cms_of(toks)
+    cms_cmp = merged_cms.alias("m").join(
+        whole_cms.alias("w"), ["r", "pos"], "full"
+    ).select(
+        F.coalesce(F.col("m.counter"), F.lit(0)).alias("mc"),
+        F.coalesce(F.col("w.counter"), F.lit(0)).alias("wc"),
+    )
+
+    keys = docs.select(F.col("doc_id").cast("string").alias("k"))
+    even_k = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("k")
+    )
+    odd_k = docs.filter(F.col("doc_id") % 2 != 0).select(
+        F.col("doc_id").cast("string").alias("k")
+    )
+    merged_bloom = (
+        sketches.bloom_build(even_k, "k")
+        .unionByName(sketches.bloom_build(odd_k, "k"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole_bloom = sketches.bloom_build(keys, "k")
+    bloom_cmp = merged_bloom.alias("m").join(
+        whole_bloom.alias("w"), ["w"], "full"
+    ).select(
+        F.coalesce(F.col("m.bits"), F.lit(0)).alias("mb"),
+        F.coalesce(F.col("w.bits"), F.lit(0)).alias("wb"),
+    )
+
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    cms_row = cms_cmp.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("mc") == F.col("wc"), one).otherwise(zero)).alias(
+            "n_equal"
+        ),
+        F.sum("wc").cast("long").alias("total_mass"),
+    ).select(F.lit("cms").alias("sketch"), "n_cells", "n_equal", "total_mass")
+    bloom_row = bloom_cmp.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("mb") == F.col("wb"), one).otherwise(zero)).alias(
+            "n_equal"
+        ),
+        F.sum(F.expr("bit_count(wb)")).cast("long").alias("total_mass"),
+    ).select(F.lit("bloom").alias("sketch"), "n_cells", "n_equal", "total_mass")
+    return cms_row.unionByName(bloom_row)
+
+
+def _duck_cms_of(src: str) -> str:
+    """DuckDB CMS builder over a (token, n) relation expression."""
+    return f"""
+  SELECT r, {DUCK_HASH32.format(s="'cms' || r || '|' || token")} % {_CMS_W} AS pos,
+         SUM(n) AS counter
+  FROM ({src}) , range(0, {_CMS_D}) t(r)
+  GROUP BY 1, 2
+"""
+
+
+def _duck_bloom_of(src: str) -> str:
+    """DuckDB Bloom builder over a single-column (k) relation expression."""
+    probes = ", ".join(
+        f"({DUCK_HASH32.format(s=chr(39) + f'bloom{j}|' + chr(39) + ' || k')}"
+        f" % {_BLOOM_M})"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+  SELECT pos // {_BLOOM_WORD} AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS bits
+  FROM (SELECT unnest([{probes}]) AS pos FROM ({src}))
+  GROUP BY 1
+"""
+
+
+SQL_SKETCH_MERGE = f"""
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS even, unnest({TOKS_SQL.format(c='text')}) AS token
+  FROM documents
+),
+counts_even AS (SELECT token, COUNT(*) AS n FROM toks WHERE even GROUP BY token),
+counts_odd  AS (SELECT token, COUNT(*) AS n FROM toks WHERE NOT even GROUP BY token),
+counts_all  AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+cms_even AS ({_duck_cms_of('SELECT * FROM counts_even')}),
+cms_odd  AS ({_duck_cms_of('SELECT * FROM counts_odd')}),
+cms_all  AS ({_duck_cms_of('SELECT * FROM counts_all')}),
+cms_merged AS (
+  SELECT r, pos, SUM(counter) AS counter
+  FROM (SELECT * FROM cms_even UNION ALL SELECT * FROM cms_odd)
+  GROUP BY r, pos
+),
+cms_cmp AS (
+  SELECT COALESCE(m.counter, 0) AS mc, COALESCE(w.counter, 0) AS wc
+  FROM cms_merged m FULL JOIN cms_all w ON m.r = w.r AND m.pos = w.pos
+),
+keys_even AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents WHERE doc_id % 2 = 0),
+keys_odd  AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents WHERE doc_id % 2 <> 0),
+keys_all  AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents),
+bloom_even AS ({_duck_bloom_of('SELECT * FROM keys_even')}),
+bloom_odd  AS ({_duck_bloom_of('SELECT * FROM keys_odd')}),
+bloom_all  AS ({_duck_bloom_of('SELECT * FROM keys_all')}),
+bloom_merged AS (
+  SELECT w, bit_or(bits) AS bits
+  FROM (SELECT * FROM bloom_even UNION ALL SELECT * FROM bloom_odd)
+  GROUP BY w
+),
+bloom_cmp AS (
+  SELECT COALESCE(m.bits, 0) AS mb, COALESCE(a.bits, 0) AS wb
+  FROM bloom_merged m FULL JOIN bloom_all a ON m.w = a.w
+)
+SELECT 'cms' AS sketch,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COALESCE(SUM(CASE WHEN mc = wc THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_equal,
+       CAST(COALESCE(SUM(wc), 0) AS BIGINT) AS total_mass
+FROM cms_cmp
+UNION ALL
+SELECT 'bloom' AS sketch,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COALESCE(SUM(CASE WHEN mb = wb THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_equal,
+       CAST(COALESCE(SUM(bit_count(wb)), 0) AS BIGINT) AS total_mass
+FROM bloom_cmp
+"""
+
+QUERIES_EXT28["q_sketch_merge"] = q_sketch_merge
+ORACLE_EXT28["q_sketch_merge"] = SQL_SKETCH_MERGE
+
+
 # ---------------------------------------------------------------------------
 # q_dp_noisy_counts
 # ---------------------------------------------------------------------------

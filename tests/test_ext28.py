@@ -209,3 +209,14 @@ def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
     assert pruned == plain and len(pruned) > 0
     with pytest.raises(ValueError):
         joins.bloom_pruned_join(orders, cust, "o_custkey", how="left")
+
+
+def test_sketch_merge_is_lossless(spark, sf_dir):
+    """Per-batch sketches merged (CMS cell-sum, Bloom bit-OR) must equal
+    the one-pass whole-corpus sketch in EVERY cell/word — the property
+    that lets a standing sketch absorb new shards without rescans."""
+    rows = {r.sketch: r for r in QUERIES["q_sketch_merge"](spark, sf_dir).collect()}
+    assert set(rows) == {"cms", "bloom"}
+    for r in rows.values():
+        assert r.n_equal == r.n_cells > 0
+        assert r.total_mass > 0
