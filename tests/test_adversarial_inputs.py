@@ -137,6 +137,13 @@ HOSTILE_ORACLE_QUERIES = [
     "q_embedding_dim_stats",
     "q_similarity_topk",
     "q_semdedup",
+    # sketch lane (r6): tokenize → hash32 → fixed-size summaries; NULL
+    # text must drop identically and non-ascii tokens must hash the
+    # same UTF-8 bytes on both engines.  (The codec decode lanes are
+    # deliberately ABSENT: their oracles replay bytes positionally from
+    # text via ascii(), an equivalence that only holds on ASCII docs.)
+    "q_cms_heavy_hitters",
+    "q_sketch_merge",
 ]
 
 
