@@ -1,9 +1,9 @@
 """Extended inventory XXVIII — sketch-backed scale operators (round 6).
 
-Three lanes a 100 TB curation pipeline leans on, each built from the
+Five lanes a 100 TB curation pipeline leans on, each built from the
 same deterministic cross-engine hash so the FULL pipeline value-hashes
 against the DuckDB oracle (the md5-lane convention from
-``operators/dedup.py``):
+``operators/dedup.py``; primitives in ``operators/sketches.py``):
 
 - ``q_bloom_semijoin``: Bloom-filter semi-join reduction — the runtime
   filter Spark's own ``spark.sql.optimizer.runtime.bloomFilter.enabled``
@@ -28,6 +28,13 @@ against the DuckDB oracle (the md5-lane convention from
   either engine (the q_benford lesson: Java and C libm differ by ulps).
   true_n is emitted alongside for audit only — a production release would
   project it away.
+- ``q_bloom_pruned_join``: the runtime filter as a COMPOSABLE JOIN
+  (joins.bloom_pruned_join) — Bloom-pruned fact → exact join →
+  aggregate, hashed against the PLAIN join as its oracle, proving the
+  pruning semantically transparent.
+- ``q_sketch_merge``: mergeability — per-batch CMS (cell-sum) and Bloom
+  (bit-OR) merges must equal the one-pass whole-corpus sketch in every
+  cell, the absorb-a-shard-without-rescan property.
 
 Cross-engine hash: ``hash32(s)`` = first 8 hex chars of md5(s) as an
 integer.  Spark evaluates it with ``conv(substring(md5(s),1,8),16,10)``;
