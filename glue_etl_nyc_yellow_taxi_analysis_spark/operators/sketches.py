@@ -44,8 +44,10 @@ BLOOM_WORD = 32
 
 
 def _bloom_positions(key: Column, m_bits: int, k: int, prefix: str) -> list[Column]:
+    # double-underscore temp names: probe columns must not collide with
+    # caller columns (bloom_probe restores the caller's schema on exit)
     return [
-        (hash32(F.concat(F.lit(f"{prefix}{j}|"), key)) % m_bits).alias(f"p{j}")
+        (hash32(F.concat(F.lit(f"{prefix}{j}|"), key)) % m_bits).alias(f"__p{j}")
         for j in range(k)
     ]
 
@@ -93,13 +95,13 @@ def bloom_probe(
         bj = bloom.select(F.col("w").alias(f"__w{j}"), F.col("bits").alias(f"__bits{j}"))
         out = out.join(
             F.broadcast(bj),
-            F.expr(f"p{j} DIV {BLOOM_WORD}") == F.col(f"__w{j}"),
+            F.expr(f"__p{j} DIV {BLOOM_WORD}") == F.col(f"__w{j}"),
             "left",
         ).withColumn(
             f"__hit{j}",
             F.expr(
                 f"(shiftright(coalesce(__bits{j}, 0L),"
-                f" CAST(p{j} % {BLOOM_WORD} AS INT)) & 1) = 1"
+                f" CAST(__p{j} % {BLOOM_WORD} AS INT)) & 1) = 1"
             ),
         )
     hit = F.col("__hit0")
