@@ -215,6 +215,7 @@ HEADLINE = [
     "q_dp_noisy_counts",
     "q_bloom_pruned_join",
     "q_sketch_merge",
+    "q_stream_bloom_admission",
 ]
 
 

@@ -433,6 +433,115 @@ QUERIES_EXT28["q_sketch_merge"] = q_sketch_merge
 ORACLE_EXT28["q_sketch_merge"] = SQL_SKETCH_MERGE
 
 
+def q_stream_bloom_admission(spark, sf_dir):
+    """Streaming admission against the STANDING Bloom index: the day's
+    arrivals (doc_id ≡ 0 mod 3) flow through a file-source stream and
+    probe the base corpus's content-fingerprint Bloom filter via
+    stream-static broadcast joins (stateless — the ≤2048-row filter
+    broadcasts into every micro-batch; no watermark, no state store).
+    ``bloom_hit = 0`` admits the document WITHOUT touching history —
+    sound because a Bloom filter has no false negatives, which the
+    output proves per-row by carrying ``truly_seen`` (the exact answer)
+    alongside: a row with hit=0 and seen=1 is impossible, and the oracle
+    hash pins that.  The corpus has no cross-document exact duplicates,
+    so the base ALSO indexes the doc_id ≡ 0 mod 9 slice of the arrivals
+    (re-delivery: the same document arriving again — the exact event
+    admission control exists to catch), guaranteeing both verdict paths
+    are exercised.  This is jobs/corpus_stats.py's persisted index in
+    its operational role."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import stream_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.filter("doc_id % 3 != 0 OR doc_id % 9 = 0")
+        .select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"))
+        .distinct()
+    )
+    bloom = sketches.bloom_build(base, "fp", _BLOOM_M, _BLOOM_K)
+
+    src_dir = tempfile.mkdtemp(prefix="sg_sba_src_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    s_fp = (
+        stream_files(spark, src_dir, raw_schema)
+        .drop("__source_file")
+        .filter("doc_id % 3 = 0")
+        .select(
+            "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+        )
+    )
+    probed = sketches.bloom_probe(s_fp, bloom, "fp", _BLOOM_M, _BLOOM_K, out_col="hit")
+    truth = base.select(F.col("fp").alias("tfp"))
+    ver = probed.join(
+        F.broadcast(truth), probed.fp == truth.tfp, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("hit"), 1).otherwise(0).cast("long").alias("bloom_hit"),
+        F.when(F.col("tfp").isNotNull(), 1).otherwise(0).cast("long").alias(
+            "truly_seen"
+        ),
+    )
+    sink = "sg_stream_bloom_admission"
+    ckpt_dir = tempfile.mkdtemp(prefix="sg_sba_ckpt_")
+    try:
+        q = (
+            ver.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.table(sink)
+
+
+_FP_EXPR = "md5(COALESCE(text, ''))"
+
+SQL_STREAM_BLOOM_ADMISSION = f"""
+WITH base AS (
+  SELECT DISTINCT md5(COALESCE(text, '')) AS fp FROM documents
+  WHERE doc_id % 3 <> 0 OR doc_id % 9 = 0
+), pos AS (
+  SELECT unnest([{', '.join(_duck_probe(j, 'fp') for j in range(_BLOOM_K))}]) AS pos
+  FROM base
+), bloom AS (
+  SELECT pos // {_BLOOM_WORD} AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+), arr AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS fp,
+         {', '.join(f"{_duck_probe(j, _FP_EXPR)} AS p{j}" for j in range(_BLOOM_K))}
+  FROM documents WHERE doc_id % 3 = 0
+), probed AS (
+  SELECT a.doc_id, a.fp,
+         {' AND '.join(
+             f"((COALESCE(b{j}.bits, 0) >> CAST(a.p{j} % {_BLOOM_WORD} AS INTEGER)) & 1) = 1"
+             for j in range(_BLOOM_K))} AS hit
+  FROM arr a
+  {' '.join(
+      f"LEFT JOIN bloom b{j} ON a.p{j} // {_BLOOM_WORD} = b{j}.w"
+      for j in range(_BLOOM_K))}
+)
+SELECT doc_id,
+       CAST(CASE WHEN hit THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM base b WHERE b.fp = probed.fp)
+                 THEN 1 ELSE 0 END AS BIGINT) AS truly_seen
+FROM probed
+"""
+
+QUERIES_EXT28["q_stream_bloom_admission"] = q_stream_bloom_admission
+ORACLE_EXT28["q_stream_bloom_admission"] = SQL_STREAM_BLOOM_ADMISSION
+
+
 # ---------------------------------------------------------------------------
 # q_dp_noisy_counts
 # ---------------------------------------------------------------------------

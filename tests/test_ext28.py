@@ -220,3 +220,18 @@ def test_sketch_merge_is_lossless(spark, sf_dir):
     for r in rows.values():
         assert r.n_equal == r.n_cells > 0
         assert r.total_mass > 0
+
+
+def test_stream_bloom_admission_paths(spark, sf_dir):
+    """Both verdict paths exercised, and the impossible row class
+    (bloom miss on truly-seen content) is absent — the per-row
+    no-false-negative proof the streaming admission rests on."""
+    rows = QUERIES["q_stream_bloom_admission"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(not (r.bloom_hit == 0 and r.truly_seen == 1) for r in rows)
+    # the re-delivered slice (doc_id % 9 == 0) must hit; fresh content
+    # overwhelmingly admits directly
+    assert any(r.bloom_hit == 1 and r.truly_seen == 1 for r in rows)
+    assert any(r.bloom_hit == 0 and r.truly_seen == 0 for r in rows)
+    redelivered = [r for r in rows if r.doc_id % 9 == 0]
+    assert redelivered and all(r.bloom_hit == 1 for r in redelivered)
