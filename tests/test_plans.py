@@ -474,3 +474,14 @@ def test_dp_noisy_counts_single_shuffle_no_python(spark, sf_dir):
     plan = _plan(QUERIES["q_dp_noisy_counts"](spark, sf_dir))
     assert plan.count("+- Exchange") <= 2
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_pruned_join_prunes_before_exchange(spark, sf_dir):
+    """The bloom probe (3 broadcast word-joins) must sit UPSTREAM of the
+    exact join, and on a broadcastable dim the whole pipeline stays
+    exchange-light with zero sort-merge and zero Python."""
+    plan = _plan(QUERIES["q_bloom_pruned_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 probes + the dim join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
