@@ -216,6 +216,11 @@ HEADLINE = [
     "q_bloom_pruned_join",
     "q_sketch_merge",
     "q_stream_bloom_admission",
+    # round-6 third batch: curation-quality + data-skipping lanes
+    "q_kn_bigram_ppl",
+    "q_ngram_novelty",
+    "q_zonemap_prune",
+    "q_hist_equidepth",
 ]
 
 

@@ -59,12 +59,17 @@ def global_index(
     index_col: str = "idx",
     buckets: int = 32,
     start: int = 1,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Add a contiguous global index following ``ORDER BY order_col``.
+    """Add a contiguous global index following ``ORDER BY order_col
+    [, *tiebreak_cols]``.
 
-    ``order_col`` must be numeric and UNIQUE (the caller supplies any
-    tiebreak by pre-combining columns); uniqueness is what makes the
-    index deterministic.
+    ``order_col`` must be numeric; ``(order_col, *tiebreak_cols)`` must be
+    UNIQUE (uniqueness is what makes the index deterministic).  Bucketing
+    uses ``order_col`` alone — buckets are value ranges, so rows equal on
+    ``order_col`` always share a bucket and the intra-bucket window's
+    tiebreak yields the same total order a single-partition
+    ``ORDER BY order_col, *tiebreak_cols`` would.
     """
     bucketed, n_buckets = _range_buckets(df, order_col, buckets)
 
@@ -81,7 +86,7 @@ def global_index(
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, ["__bucket", "__offset"])
 
-    w = Window.partitionBy("__bucket").orderBy(order_col)
+    w = Window.partitionBy("__bucket").orderBy(order_col, *(tiebreak_cols or []))
     return (
         bucketed.join(F.broadcast(off_df), "__bucket")
         .withColumn(

@@ -14,6 +14,10 @@ these operators shape the data so parquet footer min/max stats prune it:
 - ``file_stats`` — per-file row counts and column min/max straight from
   parquet footers (no data read): the evidence for layout decisions and
   the test hook for clustering quality.
+- ``pruned_read`` — the consumer of those stats: a zone-map pruned scan
+  that reads only the files whose footer range overlaps the predicate
+  (file-granularity data skipping, the manifest-pruning move of
+  Iceberg/Delta re-expressed over a plain parquet directory).
 """
 
 from __future__ import annotations
@@ -144,6 +148,7 @@ def file_stats(path: str, cols: list[str]):
             fpath = os.path.join(root, fname)
             md = pq.ParquetFile(fpath).metadata
             stat = {"file": fname, "rows": md.num_rows}
+            stat["path"] = fpath
             for c in cols:
                 lo, hi = None, None
                 for rg in range(md.num_row_groups):
@@ -157,3 +162,41 @@ def file_stats(path: str, cols: list[str]):
                 stat[f"{c}_min"], stat[f"{c}_max"] = lo, hi
             out.append(stat)
     return out
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Zone-map pruned scan: read ONLY the parquet files of ``path`` whose
+    footer ``[min, max]`` for ``col`` overlaps ``[lo, hi]`` — the data-
+    skipping read that partition pruning (F4) performs at directory
+    granularity and table formats (Iceberg/Delta manifests) perform at
+    file granularity.  Returns ``(df, n_files_total, n_files_read)``.
+
+    The pruning decision uses footer statistics ONLY (no data pages
+    read); a file with missing stats for ``col`` is conservatively kept,
+    so pruning can never drop a matching row — the caller still applies
+    the exact predicate, pruning only shrinks the file list.  On a real
+    lake the same overlap test runs against the manifest instead of a
+    local listing; the per-file loop is metadata-sized (one entry per
+    file), never row-sized.
+    """
+    stats = file_stats(path, [col])
+    keep = [
+        s["path"]
+        for s in stats
+        if s[f"{col}_min"] is None
+        or s[f"{col}_max"] is None
+        or not (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)
+    ]
+    if not keep:
+        return (
+            spark.read.parquet(path).where(F.lit(False)),
+            len(stats),
+            0,
+        )
+    return spark.read.parquet(*keep), len(stats), len(keep)

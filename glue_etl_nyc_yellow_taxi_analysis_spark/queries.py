@@ -2177,3 +2177,8 @@ from .queries_ext28 import ORACLE_EXT28, QUERIES_EXT28  # noqa: E402
 
 QUERIES.update(QUERIES_EXT28)
 ORACLE.update(ORACLE_EXT28)
+
+from .queries_ext29 import ORACLE_EXT29, QUERIES_EXT29  # noqa: E402
+
+QUERIES.update(QUERIES_EXT29)
+ORACLE.update(ORACLE_EXT29)

@@ -1,0 +1,331 @@
+"""Extended inventory XXIX — curation-quality + data-skipping lanes
+(round 6, late batch).
+
+Four lanes rounding out the quality-scoring and layout families:
+
+- ``q_kn_bigram_ppl``: Kneser–Ney smoothed bigram LM document scoring —
+  the smoothing family CCNet-grade quality filters actually use (KenLM
+  is modified KN).  Add-1 (``q_doc_ppl_bigram``) over-penalizes unseen
+  mass uniformly; KN discounts observed bigrams by a fixed D and backs
+  off to the CONTINUATION unigram (how many contexts a word completes,
+  not how often it occurs), which is what separates fluent text from
+  frequent-token salad.  With D = 3/4 every probability is a ratio of
+  two INTEGERS (multiply through by 4·N1pp), so each log term is
+  log2(int) − log2(int) — the exact-integer-log trick of
+  ``q_doc_ppl_bigram`` extends unchanged and the per-doc sum routes
+  through DECIMAL(27,18) for order independence.
+- ``q_ngram_novelty``: leave-one-out bigram novelty — the share of a
+  doc's distinct bigrams whose EVERY corpus occurrence lies inside that
+  doc.  Low novelty ⇒ the doc is assembled from corpus-common n-grams
+  (boilerplate / near-dup tail); high novelty ⇒ unique content.  Pure
+  integer lane (counts + one integer division), no floats anywhere.
+- ``q_zonemap_prune``: file-granularity data skipping — write a
+  range-clustered copy of ``orders``, then answer a range predicate by
+  reading ONLY the files whose parquet footer min/max overlaps it
+  (``operators.layout.pruned_read``).  The oracle is the plain
+  full-table predicate: pruning must be semantically invisible.  The
+  actually-skipped-files evidence is pinned in pytest (the oracle
+  cannot see the filesystem).
+- ``q_hist_equidepth``: exact equi-depth histogram of ``events.value``
+  via the two-phase ``global_index`` (now with a tiebreak column) — a
+  bare ``NTILE() OVER (ORDER BY …)`` is a one-task global sort at
+  100 TB.  Bucket = ``((rank−1)·B) div N`` (even-spread integer
+  formula, identical on both engines; deliberately NOT ntile, whose
+  first-buckets-larger remainder rule differs from the even spread).
+
+Scale posture: the KN/novelty shuffles are keyed on bigram / doc_id
+(same shapes as the proven ppl/fingerprint lanes); zone-map pruning
+reads footers only (metadata-sized loop, one entry per file); the
+histogram's only driver traffic is the 32-row bucket-count table the
+two-phase index already pays.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .operators import indexing, layout, text
+from .queries import DSUM_SQL, TOKS_SQL, _t, dsum
+
+QUERIES_EXT29 = {}
+ORACLE_EXT29 = {}
+
+_PPL_DEC18 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,18))"
+
+
+# ---------------------------------------------------------------------------
+# q_kn_bigram_ppl — Kneser–Ney smoothed bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def _doc_bigrams(spark, sf_dir):
+    """(doc_id, w1, w2) — one row per bigram OCCURRENCE (shared by the
+    KN and novelty lanes; same tokenization contract as
+    ``q_doc_ppl_bigram``, queries_ext18.py)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    return d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+_BG_SQL = f"""
+tok AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, unnest(range(1, len(toks))) AS t(i)
+)"""
+
+
+def q_kn_bigram_ppl(spark, sf_dir):
+    """Per-doc mean Kneser–Ney bigram logprob, discount D = 3/4:
+
+        p_KN(w2|w1) = max(c2 − D, 0)/c1 + D·N1L(w1)/c1 · N1R(w2)/N1pp
+
+    where c2 = corpus bigram count, c1 = Σ_w2 c2 (occurrences of w1 as a
+    context), N1L(w1) = distinct continuations of w1, N1R(w2) = distinct
+    contexts completing into w2, N1pp = distinct bigram types.  Multiply
+    through by 4·c1·N1pp and every term is an INTEGER:
+
+        lp = log2(max(4·c2 − 3, 0)·N1pp + 3·N1L·N1R) − log2(4·c1·N1pp)
+
+    so each log is of an exact integer (the q_doc_ppl_bigram determinism
+    contract) and the per-doc sum routes through DECIMAL(27,18).  The
+    count tables shuffle keyed on bigram / w1 / w2; N1pp is ONE scalar
+    (one-row aggregate collect, the documented bounded-collect shape).
+    Scored on its own training corpus, every scored bigram has c2 ≥ 1 —
+    the max() guard documents the formula rather than firing."""
+    bg = _doc_bigrams(spark, sf_dir)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"), F.count(F.lit(1)).alias("n1l")
+    )
+    n1r = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    n1pp = int(c2.count())  # one scalar: distinct bigram types
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    num = (
+        F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0)) * F.lit(n1pp)
+        + F.lit(3) * F.col("n1l") * F.col("n1r")
+    )
+    lp = F.log2(num) - F.log2(F.lit(4) * F.col("c1") * F.lit(n1pp))
+    return (
+        doc_bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(n1r, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.floor(
+                F.sum((F.col("c") * lp).cast("decimal(27,18)")).cast("double")
+                / F.sum("c")
+                * 1e4
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_kn_lp_e4"),
+        )
+    )
+
+
+def _sql_kn_bigram_ppl() -> str:
+    dec = _PPL_DEC18.format(v="c * lp")
+    return f"""
+WITH {_BG_SQL}, c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1l
+  FROM c2 GROUP BY w1
+), n1r AS (
+  SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY w2
+), npp AS (
+  SELECT COUNT(*) AS n1pp FROM c2
+), doc_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2
+), terms AS (
+  SELECT doc_id, c,
+         log2(greatest(4 * c2 - 3, 0) * n1pp + 3 * n1l * n1r)
+           - log2(4 * c1 * n1pp) AS lp
+  FROM doc_bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              JOIN n1r USING (w2), npp
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(floor(CAST(SUM({dec}) AS DOUBLE) / SUM(c) * 1e4 + 0.5) AS BIGINT)
+           AS mean_kn_lp_e4
+FROM terms GROUP BY doc_id
+"""
+
+
+QUERIES_EXT29["q_kn_bigram_ppl"] = q_kn_bigram_ppl
+ORACLE_EXT29["q_kn_bigram_ppl"] = _sql_kn_bigram_ppl()
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_novelty — leave-one-out bigram novelty
+# ---------------------------------------------------------------------------
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc bigram novelty: a doc's distinct bigram is NOVEL when all
+    of its corpus occurrences are inside this doc (doc count == corpus
+    count — the leave-one-out test without a second corpus pass).
+    novelty_e4 = novel_types·10000 div total_types, pure integer
+    division, so the lane carries no floats at all.  Two keyed
+    aggregates + one bigram-keyed join; documents with < 2 tokens have
+    no bigrams and are absent on both engines."""
+    bg = _doc_bigrams(spark, sf_dir)
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c2 = doc_bg.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("c2"))
+    return (
+        doc_bg.join(c2, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum((F.col("c") == F.col("c2")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_e4", F.expr("n_novel * 10000 div n_types").cast("bigint")
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH {_BG_SQL}, doc_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2
+), c2 AS (
+  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM doc_bg GROUP BY w1, w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN c = c2 THEN 1 ELSE 0 END) * 10000
+              // COUNT(*) AS BIGINT) AS novelty_e4
+FROM doc_bg JOIN c2 USING (w1, w2)
+GROUP BY doc_id
+"""
+
+QUERIES_EXT29["q_ngram_novelty"] = q_ngram_novelty
+ORACLE_EXT29["q_ngram_novelty"] = SQL_NGRAM_NOVELTY
+
+
+# ---------------------------------------------------------------------------
+# q_zonemap_prune — footer-stats file skipping
+# ---------------------------------------------------------------------------
+
+_ZM_LO, _ZM_HI = 50000.0, 150000.0
+_ZM_FILES = 8
+
+
+def q_zonemap_prune(spark, sf_dir):
+    """Data skipping at FILE granularity: ``orders`` rewritten
+    range-clustered on ``o_totalprice`` (repartitionByRange → narrow
+    footer min/max per file), then a price-band aggregate answered by
+    ``layout.pruned_read`` — only files whose footer range overlaps the
+    band are opened; the exact predicate still applies on top, so
+    pruning is semantically invisible (the oracle is the plain
+    full-table query).  tests/test_ext29.py pins the files-actually-
+    skipped evidence, which SQL cannot see.  At 100 TB this is the
+    manifest-pruning move of Iceberg/Delta: the footer walk is one
+    metadata entry per file, never a data read."""
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sg_zonemap_") + "/orders"
+    (
+        orders.repartitionByRange(_ZM_FILES, "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    pruned, _n_total, _n_read = layout.pruned_read(
+        spark, out, "o_totalprice", _ZM_LO, _ZM_HI
+    )
+    return (
+        pruned.filter(
+            (F.col("o_totalprice") >= _ZM_LO) & (F.col("o_totalprice") <= _ZM_HI)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+SQL_ZONEMAP_PRUNE = f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {DSUM_SQL.format(col='o_totalprice')} AS sum_price
+FROM orders
+WHERE o_totalprice >= {_ZM_LO} AND o_totalprice <= {_ZM_HI}
+GROUP BY o_orderstatus
+"""
+
+QUERIES_EXT29["q_zonemap_prune"] = q_zonemap_prune
+ORACLE_EXT29["q_zonemap_prune"] = SQL_ZONEMAP_PRUNE
+
+
+# ---------------------------------------------------------------------------
+# q_hist_equidepth — exact equi-depth histogram, two-phase global rank
+# ---------------------------------------------------------------------------
+
+_HIST_B = 10
+
+
+def q_hist_equidepth(spark, sf_dir):
+    """Exact equi-depth (equal-height) histogram of ``events.value`` in
+    B = 10 buckets: bucket = ((rank−1)·B) div N over the total order
+    (value, event_id).  The rank comes from ``indexing.global_index``
+    with a tiebreak column — the two-phase bucketed plan, NOT a bare
+    one-task ``ROW_NUMBER()/NTILE() OVER (ORDER BY …)``.  The even-
+    spread integer formula is pinned on both engines (SQL ntile's
+    first-buckets-larger remainder rule differs, so ntile is
+    deliberately not used).  Emits per-bucket row count, value min/max
+    (raw parquet doubles, no arithmetic) and a decimal-routed sum.
+    NULL values are excluded on both sides (none exist in the testdata;
+    the filter pins the contract)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    n = ev.count()  # column-pruned count; drives the integer bucket formula
+    ranked = indexing.global_index(
+        ev, "value", index_col="rnk", buckets=32, tiebreak_cols=["event_id"]
+    )
+    return (
+        ranked.withColumn(
+            "bucket",
+            F.expr(f"(rnk - 1) * {_HIST_B} div {n}").cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_HIST_EQUIDEPTH = f"""
+WITH v AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL
+), n AS (
+  SELECT COUNT(*) AS n FROM v
+), r AS (
+  SELECT value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk
+  FROM v
+)
+SELECT CAST((rnk - 1) * {_HIST_B} // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       {DSUM_SQL.format(col='value')} AS sum_value
+FROM r, n
+GROUP BY 1
+"""
+
+QUERIES_EXT29["q_hist_equidepth"] = q_hist_equidepth
+ORACLE_EXT29["q_hist_equidepth"] = SQL_HIST_EQUIDEPTH
