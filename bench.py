@@ -221,6 +221,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_zonemap_prune",
     "q_hist_equidepth",
+    "q_weighted_sample",
 ]
 
 

@@ -32,6 +32,11 @@ Four lanes rounding out the quality-scoring and layout families:
   100 TB.  Bucket = ``((rank−1)·B) div N`` (even-spread integer
   formula, identical on both engines; deliberately NOT ntile, whose
   first-buckets-larger remainder rule differs from the even spread).
+- ``q_weighted_sample``: deterministic weighted sampling with
+  replacement (p ∝ n_chars — the token-budget mixture draw): the
+  two-phase running sum assigns each doc a half-open interval of
+  [0, W), K hash32 draws broadcast into an O(K)-probe containment
+  join.  One streaming pass, no shuffle beyond the running sum's.
 
 Scale posture: the KN/novelty shuffles are keyed on bigram / doc_id
 (same shapes as the proven ppl/fingerprint lanes); zone-map pruning
@@ -46,7 +51,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from .operators import indexing, layout, text
+from .operators import indexing, layout, sketches, text
 from .queries import DSUM_SQL, TOKS_SQL, _t, dsum
 
 QUERIES_EXT29 = {}
@@ -329,3 +334,84 @@ GROUP BY 1
 
 QUERIES_EXT29["q_hist_equidepth"] = q_hist_equidepth
 ORACLE_EXT29["q_hist_equidepth"] = SQL_HIST_EQUIDEPTH
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample — deterministic weighted sampling with replacement
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITH replacement, p(doc) ∝ n_chars — the
+    token-budget mixture draw (sample documents proportional to their
+    size, the per-source quota move of dataset-mixture recipes), made
+    DETERMINISTIC so it oracle-checks: draw k's position is
+    hash32('draw:k') mod total_weight, and each doc owns the half-open
+    interval [cum − w, cum) of the global running sum.  Intervals
+    partition [0, W) exactly, so every draw resolves to exactly one doc.
+
+    Scale shape: the running sum is the two-phase
+    ``indexing.global_running_sum`` (never a one-task window); the draws
+    table is K = 100 rows crossed with a 1-row broadcast total; the
+    interval-containment join is a broadcast nested-loop of K rows
+    against the fact — one streaming pass with an O(K) probe per row,
+    the ``range_join_bands`` contract.  Zero-weight/NULL docs are
+    excluded on both engines (they own empty intervals by definition)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .select("doc_id", "n_chars")
+    )
+    cum = indexing.global_running_sum(d, "doc_id", "n_chars", out_col="hi")
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("w"))
+    draws = (
+        spark.range(_WS_K)
+        .select(F.col("id").cast("bigint").alias("draw_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "draw_id",
+            (
+                sketches.hash32(
+                    F.concat(F.lit("draw:"), F.col("draw_id").cast("string"))
+                )
+                % F.col("w")
+            ).alias("pos"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(draws),
+            (F.col("pos") >= F.col("hi") - F.col("n_chars"))
+            & (F.col("pos") < F.col("hi")),
+        )
+        .select("draw_id", "doc_id", "n_chars")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), c AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS hi
+  FROM d
+), tot AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS w FROM d
+), draws AS (
+  -- the outer index must NOT be named i: DUCK_HASH32's list_transform
+  -- lambda binds i and would silently shadow it (caught by the first
+  -- oracle run: every draw hashed the digit position, not the draw id)
+  SELECT CAST(k AS BIGINT) AS draw_id,
+         {sketches.DUCK_HASH32.format(s="'draw:' || CAST(k AS VARCHAR)")}
+           % w AS pos
+  FROM range(0, {_WS_K}) t(k), tot
+)
+SELECT draw_id, c.doc_id, c.n_chars
+FROM draws JOIN c ON pos >= hi - c.n_chars AND pos < hi
+"""
+
+QUERIES_EXT29["q_weighted_sample"] = q_weighted_sample
+ORACLE_EXT29["q_weighted_sample"] = SQL_WEIGHTED_SAMPLE

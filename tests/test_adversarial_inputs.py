@@ -149,6 +149,9 @@ HOSTILE_ORACLE_QUERIES = [
     # the all-repeat + long single-vocab docs stress the count joins
     "q_kn_bigram_ppl",
     "q_ngram_novelty",
+    # NULL/zero n_chars docs own empty intervals and must vanish from the
+    # draw space identically on both engines
+    "q_weighted_sample",
 ]
 
 

@@ -194,6 +194,36 @@ def test_hist_equidepth_avoids_global_window(spark, sf_dir):
     assert "__bucket" in plan
 
 
+def test_weighted_sample_matches_independent_python_replay(spark, sf_dir):
+    import hashlib
+
+    rows = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in _t(spark, sf_dir, "documents")
+        .filter("n_chars IS NOT NULL AND n_chars > 0")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    total = sum(w for _d, w in rows)
+    # cumulative half-open intervals in doc_id order
+    ivals, acc = [], 0
+    for d, w in rows:
+        ivals.append((acc, acc + w, d, w))
+        acc += w
+    expect = {}
+    for k in range(100):
+        h = int(hashlib.md5(f"draw:{k}".encode()).hexdigest()[:8], 16)
+        pos = h % total
+        hit = [(d, w) for lo, hi, d, w in ivals if lo <= pos < hi]
+        assert len(hit) == 1
+        expect[k] = hit[0]
+    got = {
+        r["draw_id"]: (r["doc_id"], r["n_chars"])
+        for r in QUERIES["q_weighted_sample"](spark, sf_dir).collect()
+    }
+    assert got == expect  # exactly one doc per draw, weight-proportional
+
+
 def test_global_index_tiebreak_matches_single_window(spark):
     # duplicate order-col values: the tiebreak column must reproduce the
     # single-partition ORDER BY (k, tie) total order exactly
