@@ -135,6 +135,25 @@ def full_suite(dirs: list[str], everything: bool = False) -> None:
         for k, v in growth.items()
         if v > 10.0 and t_big[k] > 0.5
     }
+    # Second look for flagged queries: wall growth alone can't separate a
+    # plan defect from a query whose OUTPUT is super-linear by semantics
+    # (threshold-pair enumeration like embedding_neardup / edit_distance
+    # legitimately emits ~n² rows).  Count output rows at both scales;
+    # a query is only a SUSPECT when wall time grows faster than its own
+    # output — work per emitted row must not grow with corpus size.
+    for k, info in flagged.items():
+        try:
+            n_base = QUERIES[k](spark, base).count()
+            n_big = QUERIES[k](spark, big).count()
+        except Exception:
+            info["verdict"] = "suspect (output count failed)"
+            continue
+        out_growth = round(n_big / max(n_base, 1), 2)
+        info["out_rows"] = [n_base, n_big]
+        info["out_growth"] = out_growth
+        info["verdict"] = (
+            "output-bound" if info["growth"] <= out_growth else "suspect"
+        )
     print(json.dumps({"sf_dir": base, "times_sec": t_base}))
     print(json.dumps({"sf_dir": big, "times_sec": t_big}))
     print(
