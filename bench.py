@@ -222,6 +222,7 @@ HEADLINE = [
     "q_zonemap_prune",
     "q_hist_equidepth",
     "q_weighted_sample",
+    "q_lsa_topic",
 ]
 
 

@@ -102,27 +102,31 @@ def q_kn_bigram_ppl(spark, sf_dir):
 
     so each log is of an exact integer (the q_doc_ppl_bigram determinism
     contract) and the per-doc sum routes through DECIMAL(27,18).  The
-    count tables shuffle keyed on bigram / w1 / w2; N1pp is ONE scalar
-    (one-row aggregate collect, the documented bounded-collect shape).
-    Scored on its own training corpus, every scored bigram has c2 ≥ 1 —
-    the max() guard documents the formula rather than firing."""
+    count tables shuffle keyed on bigram / w1 / w2; N1pp rides as a
+    1-row aggregate cross-joined broadcast — NOT a separate ``count()``
+    action, which would pay one extra full tokenize+shuffle pass just
+    for the scalar (the q_doc_logprob third-pass defect the r6 sf1
+    sweep caught).  Scored on its own training corpus, every scored
+    bigram has c2 ≥ 1 — the max() guard documents the formula rather
+    than firing."""
     bg = _doc_bigrams(spark, sf_dir)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").cast("bigint").alias("c1"), F.count(F.lit(1)).alias("n1l")
     )
     n1r = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
-    n1pp = int(c2.count())  # one scalar: distinct bigram types
+    npp = c2.agg(F.count(F.lit(1)).alias("n1pp"))  # distinct bigram types
     doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     num = (
-        F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0)) * F.lit(n1pp)
+        F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0)) * F.col("n1pp")
         + F.lit(3) * F.col("n1l") * F.col("n1r")
     )
-    lp = F.log2(num) - F.log2(F.lit(4) * F.col("c1") * F.lit(n1pp))
+    lp = F.log2(num) - F.log2(F.lit(4) * F.col("c1") * F.col("n1pp"))
     return (
         doc_bg.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .join(n1r, "w2")
+        .crossJoin(F.broadcast(npp))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),
@@ -415,3 +419,146 @@ FROM draws JOIN c ON pos >= hi - c.n_chars AND pos < hi
 
 QUERIES_EXT29["q_weighted_sample"] = q_weighted_sample
 ORACLE_EXT29["q_weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# q_lsa_topic — dominant LSA component over sparse tf-idf triples
+# ---------------------------------------------------------------------------
+
+_LSA_ITERS = 2
+# (38,15), not the kmeans/PCA (27,18): un-normalized tf-idf mat-vec
+# products reach ~1e10 at sf0.1 (9 integer digits overflow — found by a
+# real ANSI NUMERIC_VALUE_OUT_OF_RANGE at sf0.1, invisible at sf0.001);
+# 23 integer digits + per-half-step unit normalization bound every
+# accumulated element far below the lane's range at any corpus size.
+_LSA_DEC = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(38,15))"
+
+
+def q_lsa_topic(spark, sf_dir):
+    """Dominant latent-semantic component of the corpus: power iteration
+    for the top right-singular vector of the tf-idf TERM-DOC matrix,
+    kept SPARSE as (doc_id, term, w) triples — the matrix-free
+    ``v' = Aᵀ(A v)`` where each half-step is one keyed join + one keyed
+    aggregate (term-keyed then doc-keyed), never a dense row vector or a
+    t×t Gram matrix.  This is the sparse sibling of q_pca_power: same
+    exact-lane discipline (idf = log2(N) − log2(df) is a difference of
+    exact-integer logs; every accumulation routes through
+    DECIMAL(38,15) — see _LSA_DEC for why not (27,18); normalizations
+    are IEEE-exact sqrt), replayed by a generated chained-CTE oracle.
+    ``u`` is unit-normalized each half-step, so ``sigma_e6`` is the top
+    SINGULAR VALUE estimate ‖Aᵀû‖ and no accumulated element can
+    outgrow the decimal lane at any corpus size.  At 100 TB the triples
+    table is the inverted index the retrieval stack already builds; v
+    is vocabulary-sized and rides broadcast joins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log2(F.col("n_docs")) - F.log2(F.col("df")))
+            ).alias("w"),
+        )
+        # the triples table feeds 2 half-steps × 2 iterations plus the
+        # norm aggregates (~9 consumers): materialize the tokenize+tf
+        # chain ONCE (the ext23/ext26 localCheckpoint pattern) — at
+        # 100 TB this is the inverted index you'd persist anyway
+        .localCheckpoint()
+    )
+    v = dfc.select("term", F.lit(1.0).alias("v"))
+    dec = lambda c: F.sum(c.cast("decimal(38,15)")).cast("double")  # noqa: E731
+    for _ in range(_LSA_ITERS):
+        u_raw = (
+            a.join(F.broadcast(v), "term")
+            .groupBy("doc_id")
+            .agg(dec(F.col("w") * F.col("v")).alias("u"))
+        )
+        un2 = u_raw.agg(dec(F.col("u") * F.col("u")).alias("un2"))
+        u = u_raw.crossJoin(F.broadcast(un2)).select(
+            "doc_id", (F.col("u") / F.sqrt("un2")).alias("u")
+        )
+        s = (
+            a.join(u, "doc_id")
+            .groupBy("term")
+            .agg(dec(F.col("w") * F.col("u")).alias("s"))
+        )
+        norm2 = s.agg(dec(F.col("s") * F.col("s")).alias("norm2"))
+        v = s.crossJoin(F.broadcast(norm2)).select(
+            "term", (F.col("s") / F.sqrt("norm2")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(norm2)).select(
+        "term",
+        F.floor(F.col("v") * 1e9 + F.lit(0.5)).cast("bigint").alias("loading_e9"),
+        F.floor(F.sqrt("norm2") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sigma_e6"),
+    )
+
+
+def build_lsa_oracle_sql(iters: int = _LSA_ITERS) -> str:
+    dec = _LSA_DEC
+    step = """, r{i} AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM({wu}) AS DOUBLE) AS u
+  FROM a JOIN v{prev} USING (term) GROUP BY doc_id
+), m{i} AS MATERIALIZED (
+  SELECT CAST(SUM({uu}) AS DOUBLE) AS un2 FROM r{i}
+), u{i} AS MATERIALIZED (
+  SELECT doc_id, u / sqrt(un2) AS u FROM r{i}, m{i}
+), s{i} AS MATERIALIZED (
+  SELECT term, CAST(SUM({ws}) AS DOUBLE) AS s
+  FROM a JOIN u{i} USING (doc_id) GROUP BY term
+), n{i} AS MATERIALIZED (
+  SELECT CAST(SUM({ss}) AS DOUBLE) AS norm2 FROM s{i}
+), v{i} AS MATERIALIZED (
+  SELECT term, s / sqrt(norm2) AS v FROM s{i}, n{i}
+)"""
+    parts = [f"""
+WITH tok AS (
+  SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, term
+), dfc AS MATERIALIZED (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), a AS MATERIALIZED (
+  SELECT doc_id, term, tf * (log2(n_docs) - log2(df)) AS w
+  FROM tf JOIN dfc USING (term), nd
+), v0 AS (
+  SELECT term, CAST(1.0 AS DOUBLE) AS v FROM dfc
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            step.format(
+                i=i,
+                prev=i - 1,
+                wu=dec.format(v="w * v"),
+                uu=dec.format(v="u * u"),
+                ws=dec.format(v="w * u"),
+                ss=dec.format(v="s * s"),
+            )
+        )
+    parts.append(f"""
+SELECT term,
+       CAST(floor(v * 1e9 + 0.5) AS BIGINT) AS loading_e9,
+       CAST(floor(sqrt(norm2) * 1e6 + 0.5) AS BIGINT) AS sigma_e6
+FROM v{iters}, n{iters}
+""")
+    return "".join(parts)
+
+
+QUERIES_EXT29["q_lsa_topic"] = q_lsa_topic
+ORACLE_EXT29["q_lsa_topic"] = build_lsa_oracle_sql()

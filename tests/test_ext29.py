@@ -224,6 +224,57 @@ def test_weighted_sample_matches_independent_python_replay(spark, sf_dir):
     assert got == expect  # exactly one doc per draw, weight-proportional
 
 
+def test_lsa_topic_matches_independent_numpy_replay(spark, sf_dir):
+    """Float replay with a ±2e-9 loading tolerance: the replay sums in
+    arbitrary order (plain float adds), while the lane's decimal routing
+    is order-free — agreement inside a few ulps is the correctness bar;
+    bit-exactness vs the DuckDB oracle is check_oracle's job."""
+    import math
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf = defaultdict(Counter)
+    for r in docs:
+        tf[r["doc_id"]].update(_py_tokens(r["text"]))
+    dfc = Counter()
+    for did in tf:
+        dfc.update(set(tf[did]))
+    n = len(docs)
+    terms = sorted(dfc)
+    tidx = {t: i for i, t in enumerate(terms)}
+    triples = [
+        (did, tidx[t], c * (math.log2(n) - math.log2(dfc[t])))
+        for did in tf
+        for t, c in tf[did].items()
+    ]
+    v = np.ones(len(terms))
+    for _ in range(2):
+        u = defaultdict(float)
+        for did, ti, w in triples:
+            u[did] += w * v[ti]
+        un = math.sqrt(sum(x * x for x in u.values()))
+        u = {did: x / un for did, x in u.items()}
+        s = np.zeros(len(terms))
+        for did, ti, w in triples:
+            s[ti] += w * u[did]
+        norm2 = float(np.dot(s, s))
+        v = s / math.sqrt(norm2)
+    got = {
+        r["term"]: (r["loading_e9"], r["sigma_e6"])
+        for r in QUERIES["q_lsa_topic"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(terms)
+    sigma = math.floor(math.sqrt(norm2) * 1e6 + 0.5)
+    for t in terms:
+        assert abs(got[t][0] - math.floor(v[tidx[t]] * 1e9 + 0.5)) <= 2
+        assert abs(got[t][1] - sigma) <= 2
+    # a unit vector: sum of squared loadings ~ 1 (e18 scale)
+    tot = sum(l * l for l, _ in got.values())
+    assert abs(tot - 1e18) < 1e13
+
+
 def test_global_index_tiebreak_matches_single_window(spark):
     # duplicate order-col values: the tiebreak column must reproduce the
     # single-partition ORDER BY (k, tie) total order exactly

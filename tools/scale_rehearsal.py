@@ -135,13 +135,27 @@ def full_suite(dirs: list[str], everything: bool = False) -> None:
         for k, v in growth.items()
         if v > 10.0 and t_big[k] > 0.5
     }
-    # Second look for flagged queries: wall growth alone can't separate a
-    # plan defect from a query whose OUTPUT is super-linear by semantics
-    # (threshold-pair enumeration like embedding_neardup / edit_distance
-    # legitimately emits ~n² rows).  Count output rows at both scales;
-    # a query is only a SUSPECT when wall time grows faster than its own
-    # output — work per emitted row must not grow with corpus size.
-    for k, info in flagged.items():
+    # Second look for flagged queries — two false-flag classes observed:
+    # (a) one-sample noise: the pass times each query ONCE, so a GC pause
+    #     or OS flush can inflate a single number 20x (q_event_sessionize
+    #     measured 19s in a pass, 0.9s in isolation).  Re-time flagged
+    #     queries min-of-2 and drop flags that don't reproduce.
+    # (b) super-linear OUTPUT by semantics: threshold-pair enumeration
+    #     (embedding_neardup, edit_distance) legitimately emits ~n² rows.
+    #     Count output rows at both scales; a query is only a SUSPECT
+    #     when wall time grows faster than its own output — work per
+    #     emitted row must not grow with corpus size.
+    for k, info in list(flagged.items()):
+        re_base = min(
+            time_suite(spark, base, [k])[k] for _ in range(2)
+        )
+        re_big = min(time_suite(spark, big, [k])[k] for _ in range(2))
+        re_growth = round(re_big / max(re_base, 1e-9), 2)
+        info["retimed_sec"] = [re_base, re_big]
+        info["retimed_growth"] = re_growth
+        if not (re_growth > 10.0 and re_big > 0.5):
+            info["verdict"] = "not reproduced (one-sample noise)"
+            continue
         try:
             n_base = QUERIES[k](spark, base).count()
             n_big = QUERIES[k](spark, big).count()
@@ -152,7 +166,7 @@ def full_suite(dirs: list[str], everything: bool = False) -> None:
         info["out_rows"] = [n_base, n_big]
         info["out_growth"] = out_growth
         info["verdict"] = (
-            "output-bound" if info["growth"] <= out_growth else "suspect"
+            "output-bound" if re_growth <= out_growth else "suspect"
         )
     print(json.dumps({"sf_dir": base, "times_sec": t_base}))
     print(json.dumps({"sf_dir": big, "times_sec": t_big}))
