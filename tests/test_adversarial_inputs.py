@@ -152,6 +152,9 @@ HOSTILE_ORACLE_QUERIES = [
     # NULL/zero n_chars docs own empty intervals and must vanish from the
     # draw space identically on both engines
     "q_weighted_sample",
+    # decimal-routed float lane: NULL text drops, the [""] empty-doc term
+    # and single-token docs must weight identically on both engines
+    "q_lsa_topic",
 ]
 
 
