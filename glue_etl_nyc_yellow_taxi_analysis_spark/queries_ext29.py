@@ -1,7 +1,8 @@
 """Extended inventory XXIX — curation-quality + data-skipping lanes
 (round 6, late batch).
 
-Four lanes rounding out the quality-scoring and layout families:
+Six lanes rounding out the quality-scoring, sampling, and layout
+families:
 
 - ``q_kn_bigram_ppl``: Kneser–Ney smoothed bigram LM document scoring —
   the smoothing family CCNet-grade quality filters actually use (KenLM
@@ -37,6 +38,11 @@ Four lanes rounding out the quality-scoring and layout families:
   two-phase running sum assigns each doc a half-open interval of
   [0, W), K hash32 draws broadcast into an O(K)-probe containment
   join.  One streaming pass, no shuffle beyond the running sum's.
+- ``q_lsa_topic``: dominant latent-semantic component by sparse
+  matrix-free power iteration over (doc, term, tf·idf) triples — the
+  sparse sibling of q_pca_power (keyed join + keyed aggregate per
+  half-step, DECIMAL(38,15) accumulations, unit-normalized u so sigma
+  estimates the top singular value, chained-CTE oracle).
 
 Scale posture: the KN/novelty shuffles are keyed on bigram / doc_id
 (same shapes as the proven ppl/fingerprint lanes); zone-map pruning
