@@ -223,6 +223,11 @@ HEADLINE = [
     "q_hist_equidepth",
     "q_weighted_sample",
     "q_lsa_topic",
+    # round-6 fourth batch: web-curation + eval-metric lanes
+    "q_url_canonicalize",
+    "q_keyword_tag",
+    "q_token_budget_pack",
+    "q_bleu_pairs",
 ]
 
 

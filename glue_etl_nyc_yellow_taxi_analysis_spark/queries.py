@@ -2182,3 +2182,8 @@ from .queries_ext29 import ORACLE_EXT29, QUERIES_EXT29  # noqa: E402
 
 QUERIES.update(QUERIES_EXT29)
 ORACLE.update(ORACLE_EXT29)
+
+from .queries_ext30 import ORACLE_EXT30, QUERIES_EXT30  # noqa: E402
+
+QUERIES.update(QUERIES_EXT30)
+ORACLE.update(ORACLE_EXT30)

@@ -155,6 +155,13 @@ HOSTILE_ORACLE_QUERIES = [
     # decimal-routed float lane: NULL text drops, the [""] empty-doc term
     # and single-token docs must weight identically on both engines
     "q_lsa_topic",
+    # ext30 web-curation lanes: NULL source ⇒ NULL URL group / NULL
+    # window partition, NULL text ⇒ zero tokens & no gram rows, NULL
+    # n_chars ⇒ NULLS LAST ordering — each must resolve identically
+    "q_url_canonicalize",
+    "q_keyword_tag",
+    "q_token_budget_pack",
+    "q_bleu_pairs",
 ]
 
 
