@@ -228,6 +228,10 @@ HEADLINE = [
     "q_keyword_tag",
     "q_token_budget_pack",
     "q_bleu_pairs",
+    # round-6 fifth batch: HLL sketch, exact AUC, l-diversity
+    "q_hll_distinct",
+    "q_quality_auc",
+    "q_l_diversity",
 ]
 
 

@@ -2187,3 +2187,8 @@ from .queries_ext30 import ORACLE_EXT30, QUERIES_EXT30  # noqa: E402
 
 QUERIES.update(QUERIES_EXT30)
 ORACLE.update(ORACLE_EXT30)
+
+from .queries_ext31 import ORACLE_EXT31, QUERIES_EXT31  # noqa: E402
+
+QUERIES.update(QUERIES_EXT31)
+ORACLE.update(ORACLE_EXT31)

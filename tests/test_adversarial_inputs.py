@@ -162,6 +162,12 @@ HOSTILE_ORACLE_QUERIES = [
     "q_keyword_tag",
     "q_token_budget_pack",
     "q_bleu_pairs",
+    # ext31: NULL text drops from shingles/bigrams identically; a corpus
+    # with no 'dup' marker must yield NULL AUC (not 0/0) on both
+    # engines; NULL n_chars is excluded from l counts by both
+    "q_hll_distinct",
+    "q_quality_auc",
+    "q_l_diversity",
 ]
 
 
