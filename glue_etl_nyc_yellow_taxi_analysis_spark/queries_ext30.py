@@ -101,19 +101,14 @@ _MESSY_URL_SQL = """
 """
 
 
-def q_url_canonicalize(spark, sf_dir):
-    """Canonicalize planted messy URLs from the RAW STRING alone (the
-    parse must not peek at the columns that built the URL), then dedup
-    by canonical form: lowercase host, strip default :443, strip
-    fragment, strip one trailing slash (path case PRESERVED — RFC 3986
-    says only scheme+host are case-insensitive), drop utm_* params,
-    sort survivors.  NULL source ⇒ NULL URL ⇒ one NULL canonical group
-    on both engines.  Output: canonical_url, n_docs, n_variants (how
-    many distinct messy spellings collapsed), first_doc."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", _messy_url().alias("url")
-    )
-    nofrag = F.regexp_replace("url", "#.*$", "")
+def canonical_url(url) -> F.Column:
+    """Canonical form of a raw https URL string column: lowercase host,
+    strip default :443 port, strip fragment, strip one trailing slash
+    (path case PRESERVED — RFC 3986 says only scheme+host are
+    case-insensitive), drop utm_* params, sort survivors.  NULL in ⇒
+    NULL out.  Shared by q_url_canonicalize and jobs.web_ingest."""
+    url = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_replace(url, "#.*$", "")
     hostport = F.regexp_extract(nofrag, "^https://([^/?#]+)", 1)
     host = F.lower(F.regexp_replace(hostport, ":443$", ""))
     path = F.regexp_extract(nofrag, "^https://[^/?#]+(/[^?#]*)", 1)
@@ -124,14 +119,26 @@ def q_url_canonicalize(spark, sf_dir):
         lambda x: (F.substring(x, 1, 4) != "utm_") & (x != ""),
     )
     qs_norm = F.concat_ws("&", F.array_sort(params))
-    canon = F.concat(
+    return F.concat(
         F.lit("https://"),
         host,
         path_norm,
         F.when(qs_norm != "", F.concat(F.lit("?"), qs_norm)).otherwise(F.lit("")),
     )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Canonicalize planted messy URLs from the RAW STRING alone (the
+    parse must not peek at the columns that built the URL), then dedup
+    by canonical form — see ``canonical_url``.  NULL source ⇒ NULL URL
+    ⇒ one NULL canonical group on both engines.  Output:
+    canonical_url, n_docs, n_variants (how many distinct messy
+    spellings collapsed), first_doc."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
     return (
-        d.select("doc_id", "url", canon.alias("canonical_url"))
+        d.select("doc_id", "url", canonical_url("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -200,18 +207,12 @@ _TOPICS: tuple[tuple[str, tuple[str, ...]], ...] = (
 _TAG_MIN = 10
 
 
-def q_keyword_tag(spark, sf_dir):
-    """Tag each doc with every topic whose keyword occurrence count
-    reaches _TAG_MIN.  The dictionary is literal arrays (broadcast by
-    construction, O(1) plan size); counting is one HOF filter per topic
-    over the shared token array — zero shuffles, pure codegen.  NULL
-    text ⇒ NULL token array ⇒ NULL counts ⇒ no tags ('' / 0) on both
-    engines."""
-    d = _t(spark, sf_dir, "documents")
-    toks = text.tokens("text")
-    d = d.select("doc_id", toks.alias("toks"))
-    tag_cols = []
-    cnt_cols = []
+def keyword_tags(toks) -> F.Column:
+    """Array of topic names whose keyword OCCURRENCE count in the token
+    array reaches _TAG_MIN — compact (no NULL slots), possibly empty;
+    NULL token array ⇒ empty.  Shared by q_keyword_tag and
+    jobs.web_ingest."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
 
     def _in_kws(kws):
         # one-parameter lambda via closure — a `kws=kws` default would
@@ -219,16 +220,28 @@ def q_keyword_tag(spark, sf_dir):
         # verify-recipe HOF gotcha)
         return lambda x: x.isin(*kws)
 
+    tag_cols = []
     for name, kws in _TOPICS:
-        cnt = F.size(F.filter(F.col("toks"), _in_kws(kws)))
+        cnt = F.size(F.filter(toks, _in_kws(kws)))
         tag_cols.append(F.when(cnt >= _TAG_MIN, F.lit(name)))
-        cnt_cols.append(F.when(cnt >= _TAG_MIN, F.lit(1)).otherwise(F.lit(0)))
-    tags_arr = F.array_compact(F.array(*tag_cols))
-    n_tags = sum(cnt_cols[1:], cnt_cols[0])
+    return F.array_compact(F.array(*tag_cols))
+
+
+def q_keyword_tag(spark, sf_dir):
+    """Tag each doc with every topic whose keyword occurrence count
+    reaches _TAG_MIN — see ``keyword_tags``.  The dictionary is literal
+    arrays (broadcast by construction, O(1) plan size); counting is one
+    HOF filter per topic over the shared token array — zero shuffles,
+    pure codegen.  NULL text ⇒ NULL token array ⇒ NULL counts ⇒ no
+    tags ('' / 0) on both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    tags_arr = keyword_tags("toks")
     return d.select(
         "doc_id",
         F.concat_ws(",", tags_arr).alias("tags"),
-        n_tags.cast("bigint").alias("n_tags"),
+        F.size(tags_arr).cast("bigint").alias("n_tags"),
     )
 
 

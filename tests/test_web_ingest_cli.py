@@ -1,0 +1,96 @@
+"""End-to-end web-ingest CLI: documents in → URL-deduped, topic-routed,
+budget-packed partitioned corpus out, with exact accounting and the
+terminal-state notification.  Mirrors test_corpus_stats_cli for the
+web on-ramp."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import text
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# small enough to bind AFTER URL dedup (sf0.001 leaves ~4 survivors
+# per source at ~60 tokens each)
+_BUDGET = 150
+
+
+def test_web_ingest_cli(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="sg_web_")
+    out = f"{work}/web"
+    notify = f"{work}/state.jsonl"
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "glue_etl_nyc_yellow_taxi_analysis_spark.jobs.web_ingest",
+            "--docs", docs_path,
+            "--output", out,
+            "--budget", str(_BUDGET),
+            "--notify-jsonl", notify,
+        ],
+        cwd=work,
+        env={**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"},
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    card_line = [
+        l for l in r.stdout.splitlines() if l.startswith("ingest card: ")
+    ][0]
+    card = json.loads(card_line.removeprefix("ingest card: "))
+    n_in = spark.read.parquet(docs_path).count()
+
+    # accounting must balance exactly
+    assert card["n_docs_in"] == n_in
+    assert (
+        card["n_url_dups_removed"] + card["n_budget_dropped"] + card["n_admitted"]
+        == n_in
+    )
+    assert card["n_url_dups_removed"] > 0  # canonicalization must collapse some
+    assert card["n_budget_dropped"] > 0    # the budget must bind
+    assert sum(card["topic_counts"].values()) == card["n_admitted"]
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == card["n_admitted"]
+
+    # no two admitted docs share a canonical URL
+    dup = (
+        corpus.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+    # every source's admitted token total respects the budget
+    toks = corpus.select(
+        "source",
+        F.coalesce(text.token_count("text").cast("bigint"), F.lit(0)).alias("t"),
+    )
+    over = toks.groupBy("source").agg(F.sum("t").alias("s")).filter(
+        F.col("s") > _BUDGET
+    )
+    assert over.count() == 0
+
+    # partition layout: one directory per primary topic in the card
+    parts = {
+        p.removeprefix("primary_topic=")
+        for p in os.listdir(f"{out}/corpus")
+        if p.startswith("primary_topic=")
+    }
+    assert parts == set(card["topic_counts"])
+
+    # terminal-state seam fired SUCCEEDED exactly once
+    states = [json.loads(l) for l in open(notify)]
+    assert [s["state"] for s in states] == ["SUCCEEDED"]
