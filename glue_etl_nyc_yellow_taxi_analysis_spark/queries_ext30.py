@@ -112,7 +112,9 @@ def canonical_url(url) -> F.Column:
     hostport = F.regexp_extract(nofrag, "^https://([^/?#]+)", 1)
     host = F.lower(F.regexp_replace(hostport, ":443$", ""))
     path = F.regexp_extract(nofrag, "^https://[^/?#]+(/[^?#]*)", 1)
-    path_norm = F.regexp_replace(path, "/$", "")
+    # ALL trailing slashes, not one: 'https://h//' must canonicalize in
+    # a single pass (idempotence pinned by hypothesis)
+    path_norm = F.regexp_replace(path, "/+$", "")
     qs = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(qs, "&"),
@@ -162,7 +164,7 @@ WITH raw AS (
              ':443$', '')) AS host,
          regexp_replace(
              regexp_extract(nofrag, '^https://[^/?#]+(/[^?#]*)', 1),
-             '/$', '') AS path_norm,
+             '/+$', '') AS path_norm,
          COALESCE(array_to_string(
              list_sort(list_filter(
                  string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),

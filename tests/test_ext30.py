@@ -54,7 +54,7 @@ def _py_canonicalize(url):
     parts = urlsplit(url)
     host = parts.netloc.lower()
     host = host[: -len(":443")] if host.endswith(":443") else host
-    path = parts.path[:-1] if parts.path.endswith("/") else parts.path
+    path = parts.path.rstrip("/")
     params = sorted(
         p for p in parts.query.split("&") if p and not p.startswith("utm_")
     )

@@ -114,3 +114,57 @@ def test_pattern_count_matches_python_re(seqs):
     }
     for i, s in enumerate(seqs):
         assert got[i] == len(re.findall(r"v[ces]*p", s))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties (ext30)
+# ---------------------------------------------------------------------------
+
+_HOSTCHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-.",
+    min_size=1,
+    max_size=20,
+).filter(lambda s: not s.startswith(".") and not s.endswith("."))
+_PATHSEG = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-.",
+    max_size=8,
+)
+_PARAM = st.tuples(
+    st.sampled_from(["a", "b", "z", "utm_source", "utm_campaign", "q"]),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=6),
+)
+
+
+@st.composite
+def _urls(draw):
+    host = draw(_HOSTCHARS)
+    port = draw(st.sampled_from(["", ":443"]))
+    segs = draw(st.lists(_PATHSEG, max_size=3))
+    path = "".join("/" + s for s in segs)
+    trail = draw(st.sampled_from(["", "/"]))
+    params = draw(st.lists(_PARAM, max_size=4))
+    qs = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#top", "#sec-2"]))
+    return f"https://{host}{port}{path}{trail}" + (f"?{qs}" if qs else "") + frag
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_urls(), min_size=1, max_size=40))
+def test_url_canonicalize_idempotent_and_clean(urls):
+    """canon(canon(u)) == canon(u), and no canonical form retains a
+    fragment, default port, utm_* param, or non-root trailing slash."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext30 import canonical_url
+
+    spark = _SPARK
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = df.select("i", canonical_url("url").alias("c1"))
+    twice = once.select("i", "c1", canonical_url("c1").alias("c2"))
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], (r["c1"], r["c2"])
+        assert "#" not in r["c1"]
+        assert ":443" not in r["c1"]
+        assert "utm_" not in r["c1"]
+        if len(r["c1"]) > len("https://x"):
+            assert not r["c1"].endswith("//")
