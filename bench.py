@@ -232,6 +232,10 @@ HEADLINE = [
     "q_hll_distinct",
     "q_quality_auc",
     "q_l_diversity",
+    # round-6 sixth batch: ROUGE pairs, Kendall tau, blocklist gate
+    "q_rouge_pairs",
+    "q_rank_correlation",
+    "q_blocklist_filter",
 ]
 
 

@@ -2192,3 +2192,8 @@ from .queries_ext31 import ORACLE_EXT31, QUERIES_EXT31  # noqa: E402
 
 QUERIES.update(QUERIES_EXT31)
 ORACLE.update(ORACLE_EXT31)
+
+from .queries_ext32 import ORACLE_EXT32, QUERIES_EXT32  # noqa: E402
+
+QUERIES.update(QUERIES_EXT32)
+ORACLE.update(ORACLE_EXT32)

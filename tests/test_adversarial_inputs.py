@@ -168,6 +168,13 @@ HOSTILE_ORACLE_QUERIES = [
     "q_hll_distinct",
     "q_quality_auc",
     "q_l_diversity",
+    # ext32: NULL-text docs must drop from ROUGE pairing (no grams) and
+    # count as clean 0-token docs in the blocklist gate; sub-bigram docs
+    # force NULL rouge-2 (never 0/0); NULL n_chars/n_types rank under
+    # NULLS FIRST identically on both engines
+    "q_rouge_pairs",
+    "q_rank_correlation",
+    "q_blocklist_filter",
 ]
 
 
