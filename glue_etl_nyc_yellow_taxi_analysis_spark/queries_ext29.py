@@ -70,11 +70,11 @@ _PPL_DEC18 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,18))"
 # q_kn_bigram_ppl — Kneser–Ney smoothed bigram LM scoring
 # ---------------------------------------------------------------------------
 
-def _doc_bigrams(spark, sf_dir):
-    """(doc_id, w1, w2) — one row per bigram OCCURRENCE (shared by the
-    KN and novelty lanes; same tokenization contract as
-    ``q_doc_ppl_bigram``, queries_ext18.py)."""
-    d = _t(spark, sf_dir, "documents")
+def bigrams_of(d):
+    """(doc_id, w1, w2) — one row per bigram OCCURRENCE of a documents
+    FRAME (frame-level so CLI jobs can reuse the lane on arbitrary
+    parquet; same tokenization contract as ``q_doc_ppl_bigram``,
+    queries_ext18.py)."""
     toks = text.tokens("text")
     n = F.size(toks)
     pairs = F.arrays_zip(
@@ -83,6 +83,12 @@ def _doc_bigrams(spark, sf_dir):
     return d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+
+
+def _doc_bigrams(spark, sf_dir):
+    """Registry-facing wrapper: bigrams of the sf_dir documents table
+    (shared by the KN and novelty lanes)."""
+    return bigrams_of(_t(spark, sf_dir, "documents"))
 
 
 _BG_SQL = f"""

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from .operators import text
 from .queries import TOKS_SQL, _t
-from .queries_ext29 import _BG_SQL, _doc_bigrams
+from .queries_ext29 import _BG_SQL, bigrams_of
 
 QUERIES_EXT30 = {}
 ORACLE_EXT30 = {}
@@ -349,18 +349,18 @@ ORACLE_EXT30["q_token_budget_pack"] = SQL_TOKEN_BUDGET_PACK
 # q_bleu_pairs — clipped n-gram precision between adjacent docs
 # ---------------------------------------------------------------------------
 
-def q_bleu_pairs(spark, sf_dir):
-    """BLEU-2-shaped modified n-gram precision: candidate = each doc,
-    reference = the next doc_id in the same source (LEAD pairing — the
-    corpus-scale eval shape where (output, reference) rows are already
-    paired).  For n in {1,2}: p_n = Σ_g min(c_cand(g), c_ref(g)) /
-    Σ_g c_cand(g), integer-divided to ppm; bleu2_e6 =
+def bleu_pair_metrics(d):
+    """BLEU-2-shaped modified n-gram precision over a documents FRAME
+    (frame-level so jobs.eval_report can reuse the lane): candidate =
+    each doc, reference = the next doc_id in the same source (LEAD
+    pairing — the corpus-scale eval shape where (output, reference)
+    rows are already paired).  For n in {1,2}: p_n = Σ_g min(c_cand(g),
+    c_ref(g)) / Σ_g c_cand(g), integer-divided to ppm; bleu2_e6 =
     floor(sqrt(p1_e6·p2_e6)) — the product is an exact integer ≤ 1e12
     and sqrt is correctly rounded, so both engines floor the same
     value.  Docs with <2 tokens have no bigrams: p2/bleu2 are NULL,
     never 0/0.  Shuffles are keyed on doc_id / (ref, gram); the pair
     table is LEAD-adjacent, so work is O(corpus), not O(pairs²)."""
-    d = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     pairs = (
@@ -381,7 +381,7 @@ def q_bleu_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bi = (
-        _doc_bigrams(spark, sf_dir)
+        bigrams_of(d)
         .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -427,6 +427,12 @@ def q_bleu_pairs(spark, sf_dir):
         .cast("bigint")
         .alias("bleu2_e6"),
     )
+
+
+def q_bleu_pairs(spark, sf_dir):
+    """Registry-facing wrapper: BLEU pair metrics over the sf_dir
+    documents table (see ``bleu_pair_metrics``)."""
+    return bleu_pair_metrics(_t(spark, sf_dir, "documents"))
 
 
 SQL_BLEU_PAIRS = f"""

@@ -188,18 +188,18 @@ ORACLE_EXT31["q_hll_distinct"] = SQL_HLL_DISTINCT
 # q_quality_auc — exact tie-aware ROC-AUC vs generator ground truth
 # ---------------------------------------------------------------------------
 
-def q_quality_auc(spark, sf_dir):
+def quality_auc_of(d):
     """AUC of the mean-bigram-df dup-ness score against the 'dup'
-    marker.  Grouped Mann-Whitney, everything doubled to stay
-    integral: auc_e6 = Σ_g pos_g·(2·neg_<g + neg_g) · 1e6
+    marker, over a documents FRAME (frame-level so jobs.eval_report
+    can reuse the lane).  Grouped Mann-Whitney, everything doubled to
+    stay integral: auc_e6 = Σ_g pos_g·(2·neg_<g + neg_g) · 1e6
     div (2·P·N).  The only ordered pass is the two-phase
     global_running_sum over the per-score GROUP table (bounded by
     distinct score values), never a one-task window over docs.  Docs
     with <2 tokens have no bigrams and drop from scoring on both
     engines."""
     bg = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", text.tokens("text").alias("toks"))
+        d.select("doc_id", text.tokens("text").alias("toks"))
         .select(
             "doc_id",
             F.explode(
@@ -227,7 +227,7 @@ def q_quality_auc(spark, sf_dir):
             )
         )
     )
-    lab = _t(spark, sf_dir, "documents").select(
+    lab = d.select(
         "doc_id",
         F.array_contains(text.tokens("text"), "dup")
         .cast("bigint")
@@ -253,6 +253,12 @@ def q_quality_auc(spark, sf_dir):
         .cast("bigint")
         .alias("auc_e6"),
     )
+
+
+def q_quality_auc(spark, sf_dir):
+    """Registry-facing wrapper: dup-ness ROC-AUC over the sf_dir
+    documents table (see ``quality_auc_of``)."""
+    return quality_auc_of(_t(spark, sf_dir, "documents"))
 
 
 SQL_QUALITY_AUC = f"""

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .operators import text
 from .queries import TOKS_SQL, _t
-from .queries_ext29 import _BG_SQL, _doc_bigrams
+from .queries_ext29 import _BG_SQL, bigrams_of
 
 QUERIES_EXT32 = {}
 ORACLE_EXT32 = {}
@@ -61,17 +61,18 @@ def _lead_pairs(d):
     )
 
 
-def q_rouge_pairs(spark, sf_dir):
+def rouge_pair_metrics(d):
     """ROUGE-1/2 between each doc (candidate) and the next doc_id in
-    its source (reference).  For n in {1,2}: m_n = Σ_g min(c_cand(g),
-    c_ref(g)); recall r_n = m_n/ref_len; F1 = 2·m_n/(cand_len+ref_len)
+    its source (reference), over a documents FRAME (frame-level so
+    jobs.eval_report can reuse the lane).  For n in {1,2}: m_n =
+    Σ_g min(c_cand(g), c_ref(g)); recall r_n = m_n/ref_len; F1 =
+    2·m_n/(cand_len+ref_len)
     (P = m/c and R = m/r make 2PR/(P+R) collapse exactly).  Integer ppm
     outputs; rouge-2 is NULL when either side has no bigrams (<2
     tokens), NULL-text docs carry no grams and drop from pairing on
     both engines.  Shuffles are keyed on doc_id / (ref_id, g); the
     overlap join is inner (min is 0 unless both counts > 0) with a
     left join back to the pair base for zero-overlap pairs."""
-    d = _t(spark, sf_dir, "documents")
     pairs = _lead_pairs(d)
     uni = (
         d.select("doc_id", F.explode(text.tokens("text")).alias("g"))
@@ -79,7 +80,7 @@ def q_rouge_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bi = (
-        _doc_bigrams(spark, sf_dir)
+        bigrams_of(d)
         .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -158,6 +159,12 @@ def q_rouge_pairs(spark, sf_dir):
     )
 
 
+def q_rouge_pairs(spark, sf_dir):
+    """Registry-facing wrapper: ROUGE pair metrics over the sf_dir
+    documents table (see ``rouge_pair_metrics``)."""
+    return rouge_pair_metrics(_t(spark, sf_dir, "documents"))
+
+
 SQL_ROUGE_PAIRS = f"""
 WITH {_BG_SQL}, pairs AS (
   SELECT cand, ref_id FROM (
@@ -219,15 +226,16 @@ ORACLE_EXT32["q_rouge_pairs"] = SQL_ROUGE_PAIRS
 _TAU_K = 20  # per-source sample bound: all-pairs work is sources · K²
 
 
-def q_rank_correlation(spark, sf_dir):
+def rank_agreement_of(d):
     """Kendall tau-a per source between the chars-ranking and the
-    distinct-token-type ranking of the K smallest doc_ids.  Ranks are
+    distinct-token-type ranking of the K smallest doc_ids, over a
+    documents FRAME (frame-level so jobs.eval_report can reuse the
+    lane).  Ranks are
     row_number (doc_id tiebreak ⇒ unique ⇒ no tau-b tie correction and
     C + D = K(K−1)/2 exactly); tau_e6 = (C − D)·1e6 div (C + D).  The
     K-bound applies BEFORE the pair join, so the only quadratic term
     is K² per source; sources with one selected doc emit no row (no
     pairs) on both engines."""
-    d = _t(spark, sf_dir, "documents")
     w_sel = Window.partitionBy("source").orderBy("doc_id")
     t = (
         d.select(
@@ -281,6 +289,12 @@ def q_rank_correlation(spark, sf_dir):
     )
 
 
+def q_rank_correlation(spark, sf_dir):
+    """Registry-facing wrapper: Kendall tau-a rank agreement over the
+    sf_dir documents table (see ``rank_agreement_of``)."""
+    return rank_agreement_of(_t(spark, sf_dir, "documents"))
+
+
 SQL_RANK_CORRELATION = f"""
 WITH sel AS (
   SELECT source, doc_id, n_chars,
@@ -322,15 +336,16 @@ ORACLE_EXT32["q_rank_correlation"] = SQL_RANK_CORRELATION
 _BLOCKLIST: tuple[str, ...] = ("dup", "spark", "warp")
 
 
-def q_blocklist_filter(spark, sf_dir):
-    """Per-source blocklist accounting: docs flagged (≥1 blocked-token
+def blocklist_stats_of(d):
+    """Per-source blocklist accounting over a documents FRAME
+    (frame-level so jobs.eval_report can reuse the lane): docs flagged
+    (≥1 blocked-token
     occurrence), total blocked occurrences, kept docs, and the flagged
     share in basis points.  The blocklist is a compile-time literal in
     a JVM lambda filter — no join, no Python, and the only shuffle is
     the final per-source aggregate.  NULL text is a clean doc (0 hits,
     0 tokens) on both engines."""
     in_list = ", ".join(f"'{w}'" for w in _BLOCKLIST)
-    d = _t(spark, sf_dir, "documents")
     per_doc = d.select(
         "source", text.tokens("text").alias("toks")
     ).select(
@@ -356,6 +371,12 @@ def q_blocklist_filter(spark, sf_dir):
         .cast("bigint")
         .alias("flagged_share_e4"),
     )
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Registry-facing wrapper: blocklist accounting over the sf_dir
+    documents table (see ``blocklist_stats_of``)."""
+    return blocklist_stats_of(_t(spark, sf_dir, "documents"))
 
 
 _BL_IN = ", ".join(f"'{w}'" for w in _BLOCKLIST)
