@@ -236,6 +236,9 @@ HEADLINE = [
     "q_rouge_pairs",
     "q_rank_correlation",
     "q_blocklist_filter",
+    # round-6 seventh batch: graded NDCG@10 + windowless MRR
+    "q_ndcg_at_k",
+    "q_mrr",
 ]
 
 

@@ -2197,3 +2197,8 @@ from .queries_ext32 import ORACLE_EXT32, QUERIES_EXT32  # noqa: E402
 
 QUERIES.update(QUERIES_EXT32)
 ORACLE.update(ORACLE_EXT32)
+
+from .queries_ext33 import ORACLE_EXT33, QUERIES_EXT33  # noqa: E402
+
+QUERIES.update(QUERIES_EXT33)
+ORACLE.update(ORACLE_EXT33)

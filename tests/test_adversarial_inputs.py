@@ -175,6 +175,12 @@ HOSTILE_ORACLE_QUERIES = [
     "q_rouge_pairs",
     "q_rank_correlation",
     "q_blocklist_filter",
+    # ext33: NULL text drops from candidate generation identically; a
+    # query with candidates but no fully-relevant doc must emit
+    # rr_e6 = 0 (never a dropped row), and per-query NDCG pools of
+    # 1-2 docs exercise the k > pool-size edge on both engines
+    "q_ndcg_at_k",
+    "q_mrr",
 ]
 
 
