@@ -34,11 +34,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Kept deliberately small: the r6 window's remaining slots must swallow
 # the never-driver-checked block carried into r6 — 41 from r5 plus the
 # two codec lanes (3 pinned + 4 recheck + 43 fresh = 50 ≤ window).  The
-# seven late-r6 lanes (q_y4m_decode + the six ext28 sketch lanes) sit
-# at fresh positions 51-57 (stable registry order puts them last),
-# DELIBERATELY outside this round's window: they earn their driver rows
-# in r7 without displacing the carried-over block, and cumulative
-# coverage still reaches 263/270 checked-at-least-once this round.
+# late-r6 lanes (q_y4m_decode, the ext28 sketch family, ext29-33's
+# curation/eval/ranking batches) sit at fresh positions 51+ (stable
+# registry order puts them last), DELIBERATELY outside this round's
+# window: they earn their driver rows in r7+ without displacing the
+# carried-over block, and cumulative coverage still reaches 263/288
+# checked-at-least-once this round, with every remaining lane green
+# under the local bit-exact gate (tools/check_oracle.py).
 PINNED: tuple[str, ...] = (
     "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
     "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST
