@@ -81,6 +81,102 @@ def _norm(v):
     return str(v)
 
 
+# ---------------------------------------------------------------------------
+# events lanes — the ordering-sensitive class (NULLS FIRST, tied
+# timestamps, exact-gap boundaries; the r4/r5 advisory territory)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_T0 = _dt.datetime(2024, 1, 1, 10, 0, 0)
+
+# offsets cluster around the 1800s session gap and repeat exactly so
+# tied (user_id, ts) pairs and exact-boundary gaps occur often; None
+# exercises the NULLS FIRST ordering contract
+_ts = st.one_of(
+    st.none(),
+    st.sampled_from([0, 100, 100, 600, 1800, 1801, 3600, 3601]).map(
+        lambda s: _T0 + _dt.timedelta(seconds=s)
+    ),
+)
+# integers-as-floats, halves and 0.1 still exercise the decimal-routed
+# float lanes without hunting libm corners this gate isn't about
+_val = st.one_of(
+    st.none(),
+    st.sampled_from([0.0, 1.0, 2.5, -3.25, 0.1, 10.0]),
+)
+_event = st.tuples(
+    _ts,
+    st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+    st.one_of(st.none(), st.sampled_from(("view", "click", "purchase"))),
+    _val,
+    st.one_of(st.none(), st.sampled_from(('{"k": 1}', "{}", '{"k": 2}'))),
+)
+_events_corpus = st.lists(_event, min_size=1, max_size=20)
+
+_EVENT_LANES = (
+    "q_session_windows",
+    "q_event_sessionize",
+    "q_lag_lead_delta",
+    "q_running_total",
+    "q_islands_gaps",
+    "q_markov_transitions",
+    "q_time_weighted_avg",
+    "q_ewma_smooth",
+    "q_scd2_history",
+    "q_scd2_pit",
+    "q_trailing_window_range",
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_events_corpus)
+def test_random_events_cross_engine_agreement(corpus):
+    d = tempfile.mkdtemp(prefix="sg_hyp_ev_")
+    try:
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(corpus)), pa.int64()),
+                "ts": pa.array(
+                    [r[0] for r in corpus], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[1] for r in corpus], pa.int64()),
+                "event_type": pa.array([r[2] for r in corpus], pa.string()),
+                "value": pa.array([r[3] for r in corpus], pa.float64()),
+                "props": pa.array([r[4] for r in corpus], pa.string()),
+            }
+        )
+        pq.write_table(ev, os.path.join(d, "events.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        for name in _EVENT_LANES:
+            df = QUERIES[name](_SPARK, d)
+            cols = df.columns
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            s_lines = sorted(
+                "|".join(_norm(r[i]) for i in order) for r in df.collect()
+            )
+            res = con.execute(ORACLE[name])
+            o_cols = [c[0] for c in res.description]
+            oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+            d_lines = sorted(
+                "|".join(_norm(r[i]) for i in oo) for r in res.fetchall()
+            )
+            assert sorted(cols) == sorted(o_cols), name
+            assert s_lines == d_lines, (
+                f"{name} diverged on a {len(corpus)}-event random corpus:\n"
+                f"spark={s_lines[:5]}\nduck={d_lines[:5]}"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @settings(
     max_examples=6,
     deadline=None,
