@@ -239,6 +239,11 @@ HEADLINE = [
     # round-6 seventh batch: graded NDCG@10 + windowless MRR
     "q_ndcg_at_k",
     "q_mrr",
+    # round-6 eighth batch: full-outer lane, sqrt-temperature mixture,
+    # dialect-shared GROUP BY ALL
+    "q_join_full_outer",
+    "q_mixture_temperature",
+    "q_sql_group_by_all",
 ]
 
 

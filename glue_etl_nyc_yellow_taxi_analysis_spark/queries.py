@@ -2202,3 +2202,8 @@ from .queries_ext33 import ORACLE_EXT33, QUERIES_EXT33  # noqa: E402
 
 QUERIES.update(QUERIES_EXT33)
 ORACLE.update(ORACLE_EXT33)
+
+from .queries_ext34 import ORACLE_EXT34, QUERIES_EXT34  # noqa: E402
+
+QUERIES.update(QUERIES_EXT34)
+ORACLE.update(ORACLE_EXT34)

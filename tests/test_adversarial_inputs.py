@@ -181,6 +181,9 @@ HOSTILE_ORACLE_QUERIES = [
     # 1-2 docs exercise the k > pool-size edge on both engines
     "q_ndcg_at_k",
     "q_mrr",
+    # ext34: NULL text contributes 0 tokens; a NULL source forms its
+    # own weight group on both engines
+    "q_mixture_temperature",
 ]
 
 

@@ -68,6 +68,7 @@ _LANES = (
     "q_ndcg_at_k",
     "q_mrr",
     "q_l_diversity",
+    "q_mixture_temperature",
 )
 
 
