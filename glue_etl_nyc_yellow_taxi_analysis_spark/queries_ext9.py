@@ -308,8 +308,12 @@ def q_event_pattern(spark, sf_dir):
 
 SQL_EVENT_PATTERN = """
 WITH seqs AS (
+  -- COALESCE: string_agg over an all-NULL group is NULL, but the
+  -- engine contract (array_join semantics) is "NULL letters drop;
+  -- an all-NULL user owns the EMPTY sequence" (hypothesis-gate find)
   SELECT user_id, COUNT(*) AS n_events,
-         string_agg(substr(event_type, 1, 1), '' ORDER BY ts NULLS FIRST, event_id)
+         COALESCE(string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts NULLS FIRST, event_id), '')
            AS seq
   FROM events GROUP BY user_id
 )

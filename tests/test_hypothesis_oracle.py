@@ -69,6 +69,9 @@ _LANES = (
     "q_mrr",
     "q_l_diversity",
     "q_mixture_temperature",
+    # window + NULLS-ordering risk: per-source longest-first admission
+    # orders by n_chars, which the generator NULLs freely
+    "q_token_budget_pack",
 )
 
 
@@ -127,6 +130,15 @@ _EVENT_LANES = (
     "q_scd2_history",
     "q_scd2_pit",
     "q_trailing_window_range",
+    # second tranche: the r6-rewritten dedup-keyed oracle, funnel/
+    # attribution orderings, the as-of join's backward probe, and the
+    # interval self-overlap — all tiebreak/NULL-sensitive
+    "q_dedup_keyed",
+    "q_funnel",
+    "q_attribution",
+    "q_event_pattern",
+    "q_asof_join",
+    "q_interval_overlap",
 )
 
 
