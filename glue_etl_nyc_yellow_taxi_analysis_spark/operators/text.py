@@ -140,11 +140,22 @@ def content_fingerprint(c: Column | str) -> Column:
 def ordered_shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-grams of normalized text IN DOCUMENT ORDER (with repeats) —
     the winnowing input; ``shingles`` below is the distinct-set variant for
-    Jaccard/minhash."""
+    Jaccard/minhash.
+
+    CONTRACT (hypothesis-gate finding): NULL text yields the EMPTY
+    stream ``[]``.  Without the guard, greatest() swallows the NULL
+    size and concat_ws('', slice(NULL)) manufactures one '' shingle —
+    while every DuckDB oracle's list_distinct/unnest drops the NULL
+    slice, so a corpus whose ONLY ''-shingle source is a NULL-text doc
+    diverged (masked on fixtures where genuinely-empty docs also
+    contribute '').  Empty text keeps its one ''-shingle on BOTH
+    engines (the tokens [''] contract)."""
     toks = tokens(c)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    return F.when(toks.isNull(), F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
 
 
@@ -183,11 +194,20 @@ def winnow_hashes(c: Column | str, n: int = 3) -> Column:
 
 def winnow_minima(hashes: Column | str, window: int = 4) -> Column:
     """Stage 2 of staged winnowing: distinct sliding-window minima over an
-    (already materialized) ordered hash array."""
+    (already materialized) ordered hash array.
+
+    An EMPTY hash array yields NO fingerprints — without the guard,
+    greatest() pins the sequence at [0] and array_min(slice([], 1, w))
+    manufactures one NULL fingerprint (the ordered_shingles NULL-text
+    finding, one level up)."""
     h = F.col(hashes) if isinstance(hashes, str) else hashes
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(h, i + 1, window)),
+    mins = F.when(
+        F.size(h) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(h, i + 1, window)),
+        )
     )
     return F.array_distinct(mins)
 

@@ -351,11 +351,19 @@ def q_bitmap_distinct(spark, sf_dir):
     approximately).  Oracle is the plain COUNT(DISTINCT).
     """
     ev = _t(spark, sf_dir, "events")
+    # NULL ids contribute an empty word, not a NULL bitmap: COUNT
+    # (DISTINCT) ignores NULL but KEEPS the group, so a group with only
+    # NULL ids must yield 0, never NULL (hypothesis-gate find)
     words = ev.groupBy(
-        "event_type", F.shiftright("user_id", 5).alias("word_idx")
+        "event_type",
+        F.coalesce(F.shiftright("user_id", 5), F.lit(0)).alias("word_idx"),
     ).agg(
         F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            F.expr(
+                "CASE WHEN user_id IS NULL THEN CAST(0 AS BIGINT)"
+                " ELSE shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 32 AS INT)) END"
+            )
         ).alias("word")
     )
     return words.groupBy("event_type").agg(

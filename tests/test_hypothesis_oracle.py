@@ -72,6 +72,19 @@ _LANES = (
     # window + NULLS-ordering risk: per-source longest-first admission
     # orders by n_chars, which the generator NULLs freely
     "q_token_budget_pack",
+    # text-stat + hash + LM lanes: empty-token contract ([""] for
+    # empty text), cross-engine md5 hashing, exact-integer log2 LM
+    "q_text_stats",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_hll_distinct",
+    "q_kn_bigram_ppl",
+    "q_quality_auc",
+    # the shingle-contract class (ordered_shingles NULL-text finding):
+    # winnowing and the boilerplate DF join must drop NULL-text docs
+    # identically on both engines
+    "q_winnow_fingerprints",
+    "q_boilerplate_ratio",
 )
 
 
@@ -139,6 +152,17 @@ _EVENT_LANES = (
     "q_event_pattern",
     "q_asof_join",
     "q_interval_overlap",
+    # third tranche: window frames, JSON extraction over NULL props,
+    # truncation/bitops, the two-phase global index, skew profiling
+    "q_sliding_windows",
+    "q_date_trunc",
+    "q_json_extract",
+    "q_variant_json",
+    "q_global_index",
+    "q_bitwise_ops",
+    "q_salt_plan",
+    "q_bitmap_distinct",
+    "q_range_join_bands",
 )
 
 
