@@ -1234,7 +1234,12 @@ def q_doc_chunk(spark, sf_dir):
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(40)
     )
-    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, 50))
+    # NULL text chunks to NOTHING on both engines — without the guard,
+    # greatest() swallows the NULL size and posexplode emits one
+    # phantom ''-chunk row (the ordered_shingles class; sweep finding)
+    chunks = F.when(
+        toks.isNull(), F.array().cast("array<array<string>>")
+    ).otherwise(F.transform(starts, lambda s: F.slice(toks, s + 1, 50)))
     return (
         docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
         .select(
@@ -1250,9 +1255,10 @@ SQL_DOC_CHUNK = f"""
 WITH t AS (
     SELECT doc_id, {TOKS_SQL.format(c='text')} AS toks FROM documents
 ), s AS (
+    -- NULL text chunks to nothing (mirrors the Spark-side guard)
     SELECT doc_id, toks,
            unnest(range(0, greatest(len(toks), 1), 40)) AS st
-    FROM t
+    FROM t WHERE toks IS NOT NULL
 )
 SELECT doc_id,
        st // 40 AS chunk_idx,

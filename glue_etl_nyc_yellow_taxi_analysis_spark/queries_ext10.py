@@ -393,12 +393,20 @@ def q_quality_filter_funnel(spark, sf_dir):
         (r1 & r2 & r3).alias("p123"),
         (r1 & r2 & r3 & r4).alias("p1234"),
     )
+    # NULL predicates (NULL text/n_chars) count as "did not pass", so a
+    # source of only-NULL docs reports 0 passes, not NULL — matching the
+    # oracle's CASE WHEN (degenerate-corpus sweep finding)
+    def _passes(col, name):
+        return (
+            F.sum(F.when(F.col(col), 1).otherwise(0)).cast("long").alias(name)
+        )
+
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("p1").cast("int")).cast("long").alias("pass_len"),
-        F.sum(F.col("p12").cast("int")).cast("long").alias("pass_wordlen"),
-        F.sum(F.col("p123").cast("int")).cast("long").alias("pass_stopword"),
-        F.sum(F.col("p1234").cast("int")).cast("long").alias("pass_ttr"),
+        _passes("p1", "pass_len"),
+        _passes("p12", "pass_wordlen"),
+        _passes("p123", "pass_stopword"),
+        _passes("p1234", "pass_ttr"),
     )
 
 

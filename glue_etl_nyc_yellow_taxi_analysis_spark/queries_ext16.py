@@ -331,6 +331,11 @@ def _bpe_train(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.col("l"), F.col("r"))
             .first()
         )
+        if best is None:
+            # no adjacent pair left anywhere (degenerate corpus: every
+            # word is a single symbol) — training stops, apply uses the
+            # merges learned so far (degenerate-corpus sweep finding)
+            break
         merges.append((it, best["l"], best["r"], best["cnt"]))
         pat = F.lit(f" {best['l']} {best['r']} ")
         rep = F.lit(f" {best['l']}{best['r']} ")
@@ -387,13 +392,18 @@ WITH w0 AS (
 ), b{i} AS (
   SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
 ), w{i} AS (
+  -- LEFT JOIN + CASE: an empty b{i} (no pair repeats) passes words
+  -- through UNCHANGED, mirroring the trainer's early break — a plain
+  -- cross join would silently empty the vocabulary (sweep finding)
   SELECT word, freq,
-         trim(replace(replace(' ' || spaced || ' ',
-                              ' ' || b.l || ' ' || b.r || ' ',
-                              ' ' || b.l || b.r || ' '),
-                      ' ' || b.l || ' ' || b.r || ' ',
-                      ' ' || b.l || b.r || ' ')) AS spaced
-  FROM w{i - 1}, b{i} b
+         CASE WHEN b.l IS NULL THEN spaced
+              ELSE trim(replace(replace(' ' || spaced || ' ',
+                                        ' ' || b.l || ' ' || b.r || ' ',
+                                        ' ' || b.l || b.r || ' '),
+                                ' ' || b.l || ' ' || b.r || ' ',
+                                ' ' || b.l || b.r || ' '))
+         END AS spaced
+  FROM w{i - 1} LEFT JOIN b{i} b ON TRUE
 )""")
     return "".join(parts)
 

@@ -185,16 +185,25 @@ def q_zipf_fit(spark, sf_dir):
         F.sum(dec(x * y)).alias("sxy"),
         F.sum(dec(x * x)).alias("sxx"),
     )
-    slope = (
-        F.col("n") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / (
-        F.col("n") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # degenerate regressions (one point / zero spread) yield NULL, not a
+    # crash: DuckDB's double x/0 is NULL, and Spark ANSI raises — guard
+    # the denominator explicitly (degenerate-corpus sweep finding)
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    slope = F.when(
+        den != 0,
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / den,
     )
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n")
+    intercept = F.when(
+        F.col("n") > 0,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n"),
+    )
     return sums.select(
         F.col("n").alias("n_points"),
         F.floor(slope * 1e6 + F.lit(0.5)).cast("bigint").alias("slope_e6"),

@@ -147,16 +147,24 @@ def q_heaps_fit(spark, sf_dir):
         F.sum(dec(x * y)).alias("sxy"),
         F.sum(dec(x * x)).alias("sxx"),
     )
-    slope = (
-        F.col("n") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / (
-        F.col("n") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # NULL on a degenerate regression, never a crash (DuckDB's double
+    # x/0 is NULL; Spark ANSI raises — the q_zipf_fit guard)
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    slope = F.when(
+        den != 0,
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / den,
     )
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n")
+    intercept = F.when(
+        F.col("n") > 0,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n"),
+    )
     return sums.select(
         F.col("n").alias("n_points"),
         F.floor(slope * 1e6 + F.lit(0.5)).cast("bigint").alias("beta_e6"),

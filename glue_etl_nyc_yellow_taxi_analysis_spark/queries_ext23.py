@@ -127,8 +127,10 @@ WITH base AS (
   FROM st
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       CAST(len(starts) AS BIGINT) AS n_spans,
-       CAST(len(covered) AS BIGINT) AS n_masked,
+       -- NULL text masks nothing: 0 spans / 0 masked (the Spark side's
+       -- empty-array lanes), while n_tokens stays NULL on both engines
+       CAST(COALESCE(len(starts), 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(len(covered), 0) AS BIGINT) AS n_masked,
        CASE WHEN n > 0
             THEN CAST(len(covered) AS BIGINT) * 1000000 // n
             ELSE 0 END AS mask_ppm,
@@ -695,8 +697,11 @@ def q_length_moments(spark, sf_dir):
         + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
         - 3 * mu * mu * mu * mu
     )
-    g1 = m3 / (m2 * F.sqrt(m2))
-    g2 = m4 / (m2 * m2) - 3
+    # zero-variance sources (every doc the same length) have undefined
+    # shape moments: NULL, never a crash (DuckDB's double x/0 is NULL;
+    # Spark ANSI raises — degenerate-corpus sweep finding)
+    g1 = F.when(m2 != 0, m3 / (m2 * F.sqrt(m2)))
+    g2 = F.when(m2 != 0, m4 / (m2 * m2) - 3)
     return sums.select(
         "source",
         "n",

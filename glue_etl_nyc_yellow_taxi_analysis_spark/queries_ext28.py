@@ -337,19 +337,25 @@ def q_sketch_merge(spark, sf_dir):
 
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
+    # COALESCE: an empty corpus has 0-cell sketches and the sums over
+    # zero rows must report 0, not NULL (degenerate-corpus sweep find)
     cms_row = cms_cmp.agg(
         F.count("*").cast("long").alias("n_cells"),
-        F.sum(F.when(F.col("mc") == F.col("wc"), one).otherwise(zero)).alias(
-            "n_equal"
-        ),
-        F.sum("wc").cast("long").alias("total_mass"),
+        F.coalesce(
+            F.sum(F.when(F.col("mc") == F.col("wc"), one).otherwise(zero)),
+            zero,
+        ).alias("n_equal"),
+        F.coalesce(F.sum("wc"), zero).cast("long").alias("total_mass"),
     ).select(F.lit("cms").alias("sketch"), "n_cells", "n_equal", "total_mass")
     bloom_row = bloom_cmp.agg(
         F.count("*").cast("long").alias("n_cells"),
-        F.sum(F.when(F.col("mb") == F.col("wb"), one).otherwise(zero)).alias(
-            "n_equal"
-        ),
-        F.sum(F.expr("bit_count(wb)")).cast("long").alias("total_mass"),
+        F.coalesce(
+            F.sum(F.when(F.col("mb") == F.col("wb"), one).otherwise(zero)),
+            zero,
+        ).alias("n_equal"),
+        F.coalesce(F.sum(F.expr("bit_count(wb)")), zero)
+        .cast("long")
+        .alias("total_mass"),
     ).select(F.lit("bloom").alias("sketch"), "n_cells", "n_equal", "total_mass")
     return cms_row.unionByName(bloom_row)
 

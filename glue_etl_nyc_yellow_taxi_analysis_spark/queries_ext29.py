@@ -497,8 +497,12 @@ def q_lsa_topic(spark, sf_dir):
             .agg(dec(F.col("w") * F.col("v")).alias("u"))
         )
         un2 = u_raw.agg(dec(F.col("u") * F.col("u")).alias("un2"))
+        # an all-zero tf-idf matrix (single doc / identical docs ⇒ every
+        # idf 0) has no dominant component: NULL loadings, never a crash
+        # (DuckDB's double x/0 is NULL; Spark ANSI raises — sweep find)
         u = u_raw.crossJoin(F.broadcast(un2)).select(
-            "doc_id", (F.col("u") / F.sqrt("un2")).alias("u")
+            "doc_id",
+            F.when(F.col("un2") != 0, F.col("u") / F.sqrt("un2")).alias("u"),
         )
         s = (
             a.join(u, "doc_id")
@@ -507,7 +511,10 @@ def q_lsa_topic(spark, sf_dir):
         )
         norm2 = s.agg(dec(F.col("s") * F.col("s")).alias("norm2"))
         v = s.crossJoin(F.broadcast(norm2)).select(
-            "term", (F.col("s") / F.sqrt("norm2")).alias("v")
+            "term",
+            F.when(F.col("norm2") != 0, F.col("s") / F.sqrt("norm2")).alias(
+                "v"
+            ),
         )
     return v.crossJoin(F.broadcast(norm2)).select(
         "term",
