@@ -1452,13 +1452,18 @@ def q_approx_stats(spark, sf_dir):
     ).select(
         "event_type",
         "n_events",
-        (
+        # a group with no non-NULL values has nothing to bound: the
+        # verdict is vacuously TRUE, matching the oracle's constant
+        # (degenerate-corpus sweep finding)
+        F.coalesce(
             F.abs(F.col("approx_users") - F.col("ex_users"))
-            <= F.greatest(0.15 * F.col("ex_users"), F.lit(2.0))
+            <= F.greatest(0.15 * F.col("ex_users"), F.lit(2.0)),
+            F.lit(True),
         ).alias("users_within_3rsd"),
-        (
+        F.coalesce(
             F.abs(F.col("approx_med_value") - F.col("ex_med"))
-            <= 0.05 * F.abs(F.col("ex_med")) + 1e-6
+            <= 0.05 * F.abs(F.col("ex_med")) + 1e-6,
+            F.lit(True),
         ).alias("med_within_5pct"),
     )
 

@@ -228,7 +228,10 @@ def q_observe_metrics(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("max_value"),
         # observe rejects DISTINCT aggregates — conditional count instead
-        F.sum((F.col("event_type") == "purchase").cast("long"))
+        # (when/otherwise: a NULL event_type is "not a purchase", so an
+        # all-NULL slice counts 0, not NULL — sweep finding)
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
         .alias("n_purchases"),
     )
     # the "real" job this pass performs; noop sink forces execution
@@ -236,14 +239,20 @@ def q_observe_metrics(spark, sf_dir):
         "noop"
     ).mode("overwrite").save()
     m = obs.get
+
+    # all-NULL value column ⇒ NULL bounds, matching the oracle's
+    # MIN/MAX-over-nothing (degenerate-corpus sweep finding)
+    def _f(v):
+        return None if v is None else float(v)
+
     return spark.createDataFrame(
         [
             (
                 m["n_rows"],
                 m["n_null_props"],
                 m["n_null_value"],
-                float(m["min_value"]),
-                float(m["max_value"]),
+                _f(m["min_value"]),
+                _f(m["max_value"]),
                 m["n_purchases"],
             )
         ],

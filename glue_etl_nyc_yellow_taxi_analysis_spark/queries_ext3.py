@@ -658,11 +658,15 @@ def q_sketch_rollup(spark, sf_dir):
     # KLL lacks an N-ary union aggregate in this build (kll_sketch_merge_*
     # is a binary scalar), so quantile sketches build per final group —
     # still one pass, still mergeable pairwise for incremental loads
+    # CASE: kll_sketch_get_quantile_double RAISES on the NULL buffer an
+    # all-NULL value group produces — skip the probe when the group has
+    # no values (degenerate-corpus sweep finding)
     quant = ev.groupBy("event_type").agg(
         F.round(
             F.expr(
-                "kll_sketch_get_quantile_double("
-                "kll_sketch_agg_double(value), 0.5)"
+                "CASE WHEN count(value) > 0 THEN"
+                " kll_sketch_get_quantile_double("
+                "kll_sketch_agg_double(value), 0.5) END"
             ),
             4,
         ).alias("est_med_value")
@@ -671,19 +675,28 @@ def q_sketch_rollup(spark, sf_dir):
         F.countDistinct("user_id").alias("ex_users"),
         F.expr("percentile(value, 0.5)").alias("ex_med"),
     )
+    # eqNullSafe joins: a NULL event_type is a real group on both
+    # engines and must survive the facet joins
+    q2, e2 = quant.withColumnRenamed("event_type", "qk"), exact.withColumnRenamed(
+        "event_type", "ek"
+    )
     return (
-        rolled.join(quant, "event_type")
-        .join(exact, "event_type")
+        rolled.join(q2, rolled["event_type"].eqNullSafe(q2["qk"]))
+        .join(e2, rolled["event_type"].eqNullSafe(e2["ek"]))
         .select(
             "event_type",
             "n_events",
-            (
+            # groups with no users / no values have nothing to bound:
+            # vacuously TRUE, matching the oracle's constant
+            F.coalesce(
                 F.abs(F.col("est_users") - F.col("ex_users"))
-                <= F.greatest(0.05 * F.col("ex_users"), F.lit(2.0))
+                <= F.greatest(0.05 * F.col("ex_users"), F.lit(2.0)),
+                F.lit(True),
             ).alias("users_within_5pct"),
-            (
+            F.coalesce(
                 F.abs(F.col("est_med_value") - F.col("ex_med"))
-                <= 0.10 * F.abs(F.col("ex_med")) + 1e-6
+                <= 0.10 * F.abs(F.col("ex_med")) + 1e-6,
+                F.lit(True),
             ).alias("med_within_10pct"),
         )
     )

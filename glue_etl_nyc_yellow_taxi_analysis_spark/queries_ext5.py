@@ -419,6 +419,13 @@ def q_pagerank(spark, sf_dir):
         edges.select("dst")
     ).distinct().cache()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # no transition pairs at all (≤1 event per user): an empty graph
+        # ranks nothing — empty result, not a driver ZeroDivisionError
+        # (degenerate-corpus sweep finding)
+        return nodes.select(
+            "node", F.lit(0.0).alias("pagerank")
+        ).where(F.lit(False))
     # literals sized tightly: a wide damping decimal would push the
     # (damping × contribution) product past precision 38 and Spark would
     # truncate the result to scale 7 (~1e-6/iteration error); DECIMAL(3,2)

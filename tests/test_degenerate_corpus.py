@@ -100,19 +100,16 @@ def corpus_dir(request):
     return d
 
 
-@pytest.mark.parametrize("name", _docs_only_lanes())
-def test_degenerate_corpus_agreement(spark, corpus_dir, name):
-    df = QUERIES[name](spark, corpus_dir)
+def _agree(spark, d, name, views):
+    df = QUERIES[name](spark, d)
     cols = df.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     s_lines = sorted(
         "|".join(_norm(r[i]) for i in order) for r in df.collect()
     )
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{corpus_dir}/{t}.parquet'"
-        )
+    for t in views:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     res = con.execute(ORACLE[name])
     o_cols = [c[0] for c in res.description]
     oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
@@ -121,3 +118,78 @@ def test_degenerate_corpus_agreement(spark, corpus_dir, name):
     )
     assert sorted(cols) == sorted(o_cols)
     assert s_lines == d_lines
+
+
+@pytest.mark.parametrize("name", _docs_only_lanes())
+def test_degenerate_corpus_agreement(spark, corpus_dir, name):
+    _agree(spark, corpus_dir, name, ("documents", "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# events half — the second sweep (round 6) found five more: a pagerank
+# ZeroDivisionError on an edgeless graph, a KLL quantile crash on an
+# all-NULL value group, NULL-vs-zero bounds verdicts, an observe-metrics
+# float(None) crash, and a NULL-group join drop in the sketch rollup.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_T = _dt.datetime(2024, 1, 1, 10, 0, 0)
+_EV_SKIP = {
+    # streaming lanes: startup cost, covered by their own drain tests
+    "q_stream_ingest", "q_stream_dedup", "q_stream_sessions",
+    "q_stream_stateful", "q_stream_join", "q_stream_static_join",
+    "q_stream_upsert_apply", "q_session_window_native",
+    # write-path lanes need a warehouse/catalog, not just a parquet dir
+    "q_partitioned_write_prune", "q_warehouse_roundtrip",
+    "q_warehouse_load_plan",
+    # dynamic pivot: schema follows the DATA by declared contract — its
+    # fixed oracle only matches the gate fixture's event-type set
+    "q_pivot_dynamic",
+}
+
+_EVENT_CORPORA = {
+    "ev_allnull": [(None, None, None, None, None)],
+    "ev_ties": [
+        (_T, 1, "view", 1.0, "{}"),
+        (_T, 1, "view", 1.0, "{}"),
+        (_T, 1, "click", None, None),
+        (None, 1, "view", 2.5, "{}"),
+        (None, None, None, None, None),
+        (_T + _dt.timedelta(seconds=1801), 2, "purchase", 0.0, "{}"),
+    ],
+}
+
+
+def _events_only_lanes():
+    tables = r"\b(region|nation|customer|supplier|part|orders|lineitem|documents|embeddings)\b"
+    out = []
+    for name, sql in ORACLE.items():
+        if sql is None or name in _EV_SKIP:
+            continue
+        if not re.search(tables, sql) and "events" in sql:
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module", params=sorted(_EVENT_CORPORA))
+def events_dir(request):
+    rows = _EVENT_CORPORA[request.param]
+    d = tempfile.mkdtemp(prefix=f"sg_degen_{request.param}_")
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(ev, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", _events_only_lanes())
+def test_degenerate_events_agreement(spark, events_dir, name):
+    _agree(spark, events_dir, name, ("events",))
