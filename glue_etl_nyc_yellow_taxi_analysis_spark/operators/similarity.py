@@ -385,13 +385,16 @@ def kmeans_train(
     more than ``tol`` in centroid space; lineage is truncated per round.
     Returns (cluster, centroid, n_points).
     """
-    init = (
+    # explicit schema: toDF's type inference CANNOT_DETERMINE_TYPE on an
+    # empty corpus (degenerate-corpus sweep finding) — an empty input
+    # trains an empty centroid table instead of crashing
+    init = embeddings.sparkSession.createDataFrame(
         embeddings.orderBy(id_col)
         .limit(k)
         .select(F.col(vec_col).alias("centroid"))
         .rdd.zipWithIndex()
-        .map(lambda t: (t[1], [float(x) for x in t[0].centroid]))
-        .toDF(["cluster", "centroid"])
+        .map(lambda t: (t[1], [float(x) for x in t[0].centroid])),
+        "cluster bigint, centroid array<double>",
     )
     cents = init.localCheckpoint()
     for _ in range(max_iter):
@@ -584,8 +587,13 @@ def pca_power_exact(
         norm2 = F.aggregate(
             F.transform("sv", lambda e: e * e), F.lit(0.0), lambda acc, t: acc + t
         )
+        # an all-zero matrix (e.g. every vector zero) has no principal
+        # direction: NULL loadings, never an ANSI DIVIDE_BY_ZERO (the
+        # q_lsa_topic guard; degenerate-corpus sweep finding)
         vdf = arr.select(
-            F.transform("sv", lambda e: e / F.sqrt(norm2)).alias("v"),
+            F.transform(
+                "sv", lambda e: F.try_divide(e, F.sqrt(norm2))
+            ).alias("v"),
             norm2.alias("norm2"),
         ).localCheckpoint()
     # ‖X v_{k-1}‖ = the power-iteration eigenvalue estimate for the

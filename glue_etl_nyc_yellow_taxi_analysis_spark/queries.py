@@ -1169,14 +1169,26 @@ def q_normalize_embeddings(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     normed = F.col("__normed")
+    # an EMPTY vector has no norm/components: every facet is NULL,
+    # matching DuckDB's empty-list sums — and element_at(.., 1) must not
+    # probe the empty array under ANSI (degenerate-corpus sweep finding)
+    nonempty = F.size("embedding") > 0
     return (
         emb.withColumn("__normed", l2_normalize(F.col("embedding")))
         .select(
             "vec_id",
-            F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
-            F.round(F.element_at(normed, 1), 6).alias("first_component"),
-            F.round(
-                F.aggregate(normed, F.lit(0.0), lambda acc, x: acc + x * x), 6
+            F.when(nonempty, F.round(l2_norm(F.col("embedding")), 6)).alias(
+                "norm"
+            ),
+            F.when(nonempty, F.round(F.element_at(normed, 1), 6)).alias(
+                "first_component"
+            ),
+            F.when(
+                nonempty,
+                F.round(
+                    F.aggregate(normed, F.lit(0.0), lambda acc, x: acc + x * x),
+                    6,
+                ),
             ).alias("unit_check"),
         )
     )

@@ -1052,7 +1052,13 @@ def q_kmeans_train(spark, sf_dir):
     sf0.001/0.01/0.1), the cluster sizes partition the corpus exactly,
     and every centroid norm is positive and ≤ the max point norm (a mean
     of points cannot leave their norm ball).  The bit-replicable trainer
-    twin is q_kmeans_oracle (decimal-sum lane, chained-CTE replay)."""
+    twin is q_kmeans_oracle (decimal-sum lane, chained-CTE replay).
+
+    CONTRACT: the bounds oracle is pinned to the gate fixture's
+    distribution (k = 8 surviving clusters, nonzero norms) — corpora
+    with fewer than k distinct points or all-zero vectors diverge from
+    it BY DESIGN (the q_pivot_dynamic class); the trainer itself fails
+    soft on them (explicit init schema, empty-safe loop)."""
     from .operators.similarity import kmeans_train
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -162,15 +162,24 @@ def q_embedding_quantize(spark, sf_dir):
     # ties on decimal halves differ between Spark (HALF_UP on the decimal
     # repr) and DuckDB (caught by the strict gate: 8.05e-7 rounded to
     # 8.1e-7 vs 8e-7)
+    # empty-vector guard: sequence(0, size-1) with size 0 DESCENDS to
+    # [0, -1] (Spark's start>stop default step is -1) and element_at
+    # then probes the empty array — an empty vector has no MSE: NULL,
+    # matching DuckDB's empty-list sums (degenerate-corpus sweep find)
     return (
         emb.crossJoin(F.broadcast(bounds))
         .select(
             "vec_id",
-            F.floor(
-                F.expr(f"aggregate({per_dim_sqerr}, 0.0D, (acc, x) -> acc + x)")
-                / F.size("embedding")
-                * F.lit(1e12)
-                + F.lit(0.5)
+            F.when(
+                F.size("embedding") > 0,
+                F.floor(
+                    F.expr(
+                        f"aggregate({per_dim_sqerr}, 0.0D, (acc, x) -> acc + x)"
+                    )
+                    / F.size("embedding")
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ),
             )
             .cast("long")
             .alias("mse_e12"),

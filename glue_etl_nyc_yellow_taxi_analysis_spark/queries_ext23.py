@@ -608,15 +608,18 @@ def q_embedding_outliers(spark, sf_dir):
             (F.col("n2").cast("decimal(38,0)") * F.col("n2"))
         ).alias("ss"),
     )
-    z = (
-        (F.col("n2") - F.col("s").cast("double") / F.col("n"))
-        / F.sqrt(
-            (
-                F.col("n") * F.col("ss").cast("double")
-                - F.col("s").cast("double") * F.col("s").cast("double")
-            )
-            / (F.col("n") * F.col("n"))
+    # zero norm-variance (one vector, or all norms identical) has no
+    # z-score: band NULL, never an ANSI DIVIDE_BY_ZERO (DuckDB's double
+    # x/0 is NULL — degenerate-corpus sweep finding)
+    sd = F.sqrt(
+        (
+            F.col("n") * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
         )
+        / (F.col("n") * F.col("n"))
+    )
+    z = F.when(
+        sd != 0, (F.col("n2") - F.col("s").cast("double") / F.col("n")) / sd
     )
     return (
         n2.crossJoin(F.broadcast(stats))

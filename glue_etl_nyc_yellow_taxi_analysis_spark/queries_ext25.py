@@ -194,7 +194,13 @@ def q_mmr_rerank(spark, sf_dir):
     scheduler overhead (measured 2.5s → the floor at sf0.1); the bounded
     collect is the correct plan at 100 TB too.  Every comparison is
     exact integer, so the selection is bit-replicable — the oracle
-    replays the whole greedy loop through chained CTEs."""
+    replays the whole greedy loop through chained CTEs.
+
+    CONTRACT: the fail-soft below DROPS unrankable candidates (NULL
+    cosine from zero-norm / ragged vectors) while the CTE oracle ranks
+    them with NULL scores — corpora where every candidate is unrankable
+    diverge from the oracle BY DESIGN (the q_pivot_dynamic class); on
+    any corpus with rankable vectors the two agree exactly."""
     rel, sim = _mmr_cand_sims(spark, sf_dir)
     # Fail-soft on degenerate corpora (r5 advisory): a NULL cosine
     # (zero-norm / length-mismatched embedding) yields rel_e6/sim_e6 of

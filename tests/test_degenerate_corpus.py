@@ -193,3 +193,78 @@ def events_dir(request):
 @pytest.mark.parametrize("name", _events_only_lanes())
 def test_degenerate_events_agreement(spark, events_dir, name):
     _agree(spark, events_dir, name, ("events",))
+
+
+# ---------------------------------------------------------------------------
+# embeddings half — the third sweep (round 6) found five crash classes:
+# ANSI div-by-zero in the outlier z-score (zero norm-variance) and the
+# PCA normalize (all-zero matrix), element_at probing an EMPTY vector
+# (quantize/normalize — sequence(0, -1) DESCENDS in Spark), and toDF
+# type inference failing on an empty centroid list.
+# ---------------------------------------------------------------------------
+
+# documented corpus-contract lanes (the q_pivot_dynamic class):
+# q_kmeans_train's bounds oracle pins the gate fixture's k=8/nonzero
+# norms; q_mmr_rerank's fail-soft drops unrankable candidates its CTE
+# oracle would rank with NULL scores.  The ragged 'em_mixed' corpus
+# additionally excludes the fixed-dim stack (ANN / PCA / the kmeans
+# decimal twin) — ragged vectors are out of the embedding-table schema
+# contract (q_embedding_dim_stats is the ragged-safe profiler).
+_EMB_SKIP = {"q_kmeans_train", "q_mmr_rerank"}
+_EMB_RAGGED_SKIP = _EMB_SKIP | {
+    "q_ann_lsh_oracle", "q_ann_ivf_oracle", "q_ann_recall_oracle",
+    "q_kmeans_oracle", "q_pca_power",
+}
+
+_EMB_CORPORA = {
+    "em_one": ([([0.1] * 8, 0)], _EMB_SKIP),
+    "em_zeros": ([([0.0] * 8, 0), ([0.0] * 8, 1)], _EMB_SKIP),
+    "em_empty": ([([], 0)], _EMB_SKIP),
+    "em_mixed": (
+        [
+            ([], 0),
+            ([0.0] * 8, 1),
+            ([0.1] * 8, 0),
+            ([0.1] * 8, 0),
+            ([-0.2] * 8, 1),
+            ([0.1, 0.2], 2),
+        ],
+        _EMB_RAGGED_SKIP,
+    ),
+}
+
+
+def _emb_only_lanes():
+    tables = r"\b(region|nation|customer|supplier|part|orders|lineitem|documents|events)\b"
+    out = []
+    for name, sql in ORACLE.items():
+        if sql is None:
+            continue
+        if not re.search(tables, sql) and "embeddings" in sql:
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module", params=sorted(_EMB_CORPORA))
+def emb_dir(request):
+    rows, _ = _EMB_CORPORA[request.param]
+    d = tempfile.mkdtemp(prefix=f"sg_degen_{request.param}_")
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [r[0] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+    return d, _EMB_CORPORA[request.param][1]
+
+
+@pytest.mark.parametrize("name", _emb_only_lanes())
+def test_degenerate_embeddings_agreement(spark, emb_dir, name):
+    d, skip = emb_dir
+    if name in skip:
+        pytest.skip("documented corpus-contract lane for this corpus")
+    _agree(spark, d, name, ("embeddings",))
