@@ -563,7 +563,15 @@ def pca_power_exact(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda v: v.cast("double")).alias("x"),
     )
-    dims = len(emb.select("x").first()[0])
+    first = emb.select("x").first()
+    if first is None or first[0] is None:
+        # empty table (or NULL leading vector): no matrix, no principal
+        # direction — empty result, not a driver TypeError (empty-tables
+        # sweep finding)
+        return emb.sparkSession.createDataFrame(
+            [], "dim int, loading_e9 bigint, eigval_e6 bigint"
+        )
+    dims = len(first[0])
     vdf = emb.sparkSession.range(1).select(
         F.array(*[F.lit(1.0) for _ in range(dims)]).alias("v")
     )

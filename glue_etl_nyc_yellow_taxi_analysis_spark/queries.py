@@ -1664,7 +1664,12 @@ def q_partitioned_write_prune(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="sg_prune_")
     write_partitioned_parquet(li, out, partition_by=["ship_year"])
-    back = spark.read.parquet(out).filter(F.col("ship_year") == 1996)
+    # explicit schema on the read-back (the catalog would supply it in
+    # production): an EMPTY write leaves no files to infer from, which
+    # otherwise raises UNABLE_TO_INFER_SCHEMA (empty-tables sweep find)
+    back = spark.read.schema(li.schema).parquet(out).filter(
+        F.col("ship_year") == 1996
+    )
     return back.groupBy("ship_year").agg(
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice").alias("sum_price"),

@@ -211,6 +211,15 @@ def q_observe_metrics(spark, sf_dir):
     from pyspark.sql import Observation
 
     ev = _t(spark, sf_dir, "events")
+    if ev.isEmpty():
+        # a zero-task observed job trips a JVM assertion in obs.get
+        # (empty-tables sweep finding) — emit what the declarative twin
+        # yields on empty input: COUNT 0, every SUM/MIN/MAX NULL
+        return spark.createDataFrame(
+            [(0, None, None, None, None, None)],
+            "n_rows long, n_null_props long, n_null_value long,"
+            " min_value double, max_value double, n_purchases long",
+        )
     obs = Observation("dq")
     observed = ev.observe(
         obs,

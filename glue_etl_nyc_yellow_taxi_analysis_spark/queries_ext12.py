@@ -223,6 +223,13 @@ def q_stream_sessions(spark, sf_dir):
     from .queries import _events
 
     mx = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    if mx is None:
+        # no timestamped events to flush: the drained stream has no
+        # sessions — empty result, not a NoneType+timedelta crash
+        # (empty-tables sweep finding)
+        return spark.createDataFrame(
+            [], "user_id bigint, n_sessions bigint, n_events bigint"
+        )
     # TWO flush files: the watermark computed at the end of batch N is
     # applied (state evicted, sessions emitted) in batch N+1 — the first
     # flush advances the watermark, the second gives the engine the
