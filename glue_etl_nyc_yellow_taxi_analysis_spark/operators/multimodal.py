@@ -279,7 +279,14 @@ def decode_wav(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, nch, samples = parse_wav(bytes(payload))
+                # per-row fail-soft: ONE corrupt payload must yield one
+                # NULL-stats row, never kill the whole 100 TB job (an
+                # exception here aborts every task retry)
+                try:
+                    rate, nch, samples = parse_wav(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error):
+                    rows.append((mid,) + (None,) * 7)
+                    continue
                 zc = sum(
                     1
                     for a, b in zip(samples, samples[1:])
@@ -344,7 +351,12 @@ def decode_bmp(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, pix = parse_bmp(bytes(payload))
+                # per-row fail-soft (see wav_decode_stats)
+                try:
+                    w, h, pix = parse_bmp(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error):
+                    rows.append((mid,) + (None,) * 7)
+                    continue
                 rows.append(
                     (
                         mid,
@@ -520,7 +532,12 @@ def decode_y4m(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, frames = parse_y4m(bytes(payload))
+                # per-row fail-soft (see wav_decode_stats)
+                try:
+                    w, h, frames = parse_y4m(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error):
+                    rows.append((mid,) + (None,) * 8)
+                    continue
                 ys = [fr[0] for fr in frames]
                 diff = sum(
                     abs(a - b)

@@ -259,3 +259,42 @@ def test_extract_features_real_decode_dispatch(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real decode"):
         multimodal.extract_features(jpeg, fake_decode=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# corrupt-payload fail-soft (round 6): one bad container must yield one
+# NULL-stats row, never abort the mapInPandas task (which would kill the
+# whole job after retries at scale)
+# ---------------------------------------------------------------------------
+
+def test_decoders_fail_soft_on_corrupt_payloads(spark):
+    import struct
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.multimodal import (
+        bmp_container,
+        decode_bmp,
+        decode_wav,
+        decode_y4m,
+        wav_container,
+        y4m_container,
+    )
+
+    good = {
+        "wav": wav_container(struct.pack("<3h", 100, -100, 50)),
+        "bmp": bmp_container(bytes(range(12)), 2, 2),
+        "y4m": y4m_container([bytes([10] * 4 + [20] + [30])], 2, 2),
+    }
+    bad = [b"", b"garbage-not-a-container", good["wav"][:10]]
+    for kind, fn in (("wav", decode_wav), ("bmp", decode_bmp), ("y4m", decode_y4m)):
+        payloads = [(0, good[kind])] + [(i + 1, b) for i, b in enumerate(bad)]
+        df = spark.createDataFrame(
+            payloads, "media_id long, payload binary"
+        )
+        rows = {r["media_id"]: r for r in fn(df).collect()}
+        assert len(rows) == 4  # every payload yields exactly one row
+        ok = rows[0]
+        assert all(v is not None for v in ok.asDict().values()), kind
+        for i in (1, 2, 3):
+            vals = rows[i].asDict()
+            vals.pop("media_id")
+            assert all(v is None for v in vals.values()), (kind, i)
