@@ -45,6 +45,16 @@ PINNED: tuple[str, ...] = (
     "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
     "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST
     "q_edit_distance",  # r6: match threshold k=10 → 2 (sparse ER output)
+    # late-r6 degenerate-corpus hardening CHANGED these lanes' ORACLES
+    # (the hash definition, not just the plan) — their committed driver
+    # rows predate the change and must be re-earned:
+    "q_event_pattern",  # oracle: all-NULL user ⇒ COALESCE to empty seq
+    "q_bitmap_distinct",  # spark: NULL ids contribute empty words
+    "q_doc_chunk",  # oracle: NULL text chunks to nothing
+    "q_udtf_doc_chunk",  # shares SQL_DOC_CHUNK
+    "q_span_mask_plan",  # oracle: COALESCE span/mask counts to 0
+    "q_bpe_merge_train",  # oracle: LEFT JOIN pass-through merge step
+    "q_bpe_apply",  # shares the chained-CTE trainer replay
 )
 
 RECHECK_QUOTA = 4
