@@ -258,10 +258,23 @@ def lsh_ann_topk(
     def sigs(v):
         import pandas as pd
 
-        mat = np.stack(v.to_numpy())  # (batch, dim)
-        bits = (mat @ all_planes >= 0).reshape(len(mat), num_tables, num_planes)
-        packed = (bits * weights).sum(axis=2)  # (batch, L)
-        return pd.Series(list(packed))
+        # per-row fail-soft: a vector whose length does not match the
+        # plane matrix (ragged/empty embedding) cannot be hashed — NULL
+        # signatures (the row drops from every bucket) instead of a
+        # numpy shape error that kills the whole job (same-label/ragged
+        # probe finding)
+        arrs = [np.asarray(x, dtype="float64") for x in v.to_numpy()]
+        good = [i for i, a in enumerate(arrs) if a.shape == (all_planes.shape[0],)]
+        out = [None] * len(arrs)
+        if good:
+            mat = np.stack([arrs[i] for i in good])  # (n_good, dim)
+            bits = (mat @ all_planes >= 0).reshape(
+                len(good), num_tables, num_planes
+            )
+            packed = (bits * weights).sum(axis=2)  # (n_good, L)
+            for j, i in enumerate(good):
+                out[i] = packed[j]
+        return pd.Series(out)
 
     data = embeddings.select(
         id_col, vec_col, F.posexplode(sigs(F.col(vec_col))).alias("__tbl", "__sig")

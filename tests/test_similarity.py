@@ -122,3 +122,31 @@ def test_kmeans_exact_lane_properties(spark, sf_dir):
     assert sum(r.n_points for r in out) == emb.count()
     again = kmeans_train_exact(emb.repartition(7), k=4, iters=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_lsh_signatures_fail_soft_on_mismatched_dims(spark):
+    """A vector whose length differs from the plane matrix (ragged or
+    empty embedding) must drop from every LSH bucket — NULL signature,
+    never a numpy shape error through the Arrow batch (round-6 probe)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="sg_lsh_ragged_")
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array(
+                [[0.1] * 64, [], [0.2] * 64, [0.1, 0.2], [0.3] * 64],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([3] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+    rows = QUERIES["q_similarity_ann_lsh"](spark, d).collect()
+    ids = {r["vec_id"] for r in rows}
+    assert rows  # the well-formed vectors still rank
+    assert 1 not in ids and 3 not in ids  # unhashable vectors dropped
