@@ -29,33 +29,17 @@ import re
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Must re-earn a driver row this round: only the queries whose Spark or
-# oracle side CHANGED in r6 (NULLS FIRST alignment, edit-distance k).
-# Kept deliberately small: the r6 window's remaining slots must swallow
-# the never-driver-checked block carried into r6 — 41 from r5 plus the
-# two codec lanes (3 pinned + 4 recheck + 43 fresh = 50 ≤ window).  The
-# late-r6 lanes (q_y4m_decode, the ext28 sketch family, ext29-33's
-# curation/eval/ranking batches) sit at fresh positions 51+ (stable
-# registry order puts them last), DELIBERATELY outside this round's
-# window: they earn their driver rows in r7+ without displacing the
-# carried-over block, and cumulative coverage still reaches 263/288
-# checked-at-least-once this round, with every remaining lane green
-# under the local bit-exact gate (tools/check_oracle.py).
-PINNED: tuple[str, ...] = (
-    "q_dedup_keyed",  # r6: oracle rewritten struct-min → NULLS FIRST row_number
-    "q_session_windows",  # r6: oracle windows now ORDER BY ts NULLS FIRST
-    "q_edit_distance",  # r6: match threshold k=10 → 2 (sparse ER output)
-    # late-r6 degenerate-corpus hardening CHANGED these lanes' ORACLES
-    # (the hash definition, not just the plan) — their committed driver
-    # rows predate the change and must be re-earned:
-    "q_event_pattern",  # oracle: all-NULL user ⇒ COALESCE to empty seq
-    "q_bitmap_distinct",  # spark: NULL ids contribute empty words
-    "q_doc_chunk",  # oracle: NULL text chunks to nothing
-    "q_udtf_doc_chunk",  # shares SQL_DOC_CHUNK
-    "q_span_mask_plan",  # oracle: COALESCE span/mask counts to 0
-    "q_bpe_merge_train",  # oracle: LEFT JOIN pass-through merge step
-    "q_bpe_apply",  # shares the chained-CTE trainer replay
-)
+# Must re-earn a driver row this round: only queries whose Spark or
+# oracle side changed since their latest committed driver row.  The ten
+# r6-pinned oracle-change lanes all re-earned green rows in
+# CORRECTNESS_r06, so round 7 pins NOTHING — the whole head of the
+# window goes to closing the evidence tail.  Round-7 accounting:
+# 0 pinned + 4 recheck + 34 carried-over never-driver-checked (the r5/r6
+# additions that outpaced the r6 window) + the few new r7 lanes ≈ 40 of
+# ~50 slots, with margin.  Registry growth this round is budgeted to
+# (window − tail − recheck) so the tail CLOSES instead of rolling over:
+# done = CORRECTNESS_r07 leaves zero never-checked queries.
+PINNED: tuple[str, ...] = ()
 
 RECHECK_QUOTA = 4
 

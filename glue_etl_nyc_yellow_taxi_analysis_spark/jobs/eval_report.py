@@ -60,10 +60,15 @@ def build_report(spark, docs_path: str, output: str) -> dict:
     if n_docs == 0:
         raise ValueError(f"no documents under {docs_path!r}")
 
-    # 1. pair metrics: both lanes derive from the same LEAD pairing and
-    #    drop NULL-text pairs identically, so the join is inner
+    # 1. pair metrics: both lanes derive from the same LEAD pairing but
+    #    do NOT drop NULL-text pairs identically — BLEU left-joins the
+    #    reference side (a NULL-text ref still emits p1_e6=0) while
+    #    ROUGE inner-joins the ref token length (that pair drops) — so
+    #    the join must be FULL OUTER: n_pairs counts the union, and the
+    #    per-lane means already exclude the other lane's NULLs via
+    #    count(col).
     pair = bleu_pair_metrics(docs).join(
-        rouge_pair_metrics(docs), ["cand", "ref_id"]
+        rouge_pair_metrics(docs), ["cand", "ref_id"], "full_outer"
     )
     pair.write.mode("overwrite").parquet(f"{output}/pair_metrics.parquet")
     pair = spark.read.parquet(f"{output}/pair_metrics.parquet")
@@ -75,9 +80,12 @@ def build_report(spark, docs_path: str, output: str) -> dict:
         )
         .cast("long")
         .alias("mean_bleu2_e6"),
-        F.expr("sum(f1_e6) div count(f1_e6)").cast("long").alias(
-            "mean_rouge_f1_e6"
-        ),
+        F.expr(
+            "CASE WHEN count(f1_e6) > 0 THEN"
+            " sum(f1_e6) div count(f1_e6) END"
+        )
+        .cast("long")
+        .alias("mean_rouge_f1_e6"),
         F.expr(
             "CASE WHEN count(f2_e6) > 0 THEN"
             " sum(f2_e6) div count(f2_e6) END"

@@ -100,8 +100,10 @@ def run_ingest(spark, docs_path: str, output: str, budget: int = 1000) -> dict:
     admitted = packed.filter(F.col("__cum") <= budget)
 
     # 4. write partitioned by primary topic + exact accounting
+    #    (drop BOTH window internals — __tok is still needed below for
+    #    the accounting aggregate, so drop only on the write branch)
     out_path = f"{output}/corpus"
-    admitted.drop("__cum").write.mode("overwrite").partitionBy(
+    admitted.drop("__cum", "__tok").write.mode("overwrite").partitionBy(
         "primary_topic"
     ).parquet(out_path)
 

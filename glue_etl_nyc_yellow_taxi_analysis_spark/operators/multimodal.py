@@ -432,8 +432,13 @@ def parse_y4m(data: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]]:
             height = int(val)
         elif key == b"C":
             chroma = val.decode("ascii", "replace")
-    if not width or not height:
+    if width is None or height is None:
         raise ValueError("missing W/H in stream header")
+    # A corrupt header like W-2 must raise, not loop: a non-positive
+    # frame_len would make the FRAME walk below advance pos backwards
+    # (or not at all) and spin forever accumulating frames.
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive dimensions W{width} H{height}")
     if not chroma.startswith("420"):
         raise NotImplementedError(
             f"only 4:2:0 chroma is decoded stdlib-side (C{chroma}); "

@@ -106,7 +106,12 @@ def canonical_url(url) -> F.Column:
     strip default :443 port, strip fragment, strip one trailing slash
     (path case PRESERVED — RFC 3986 says only scheme+host are
     case-insensitive), drop utm_* params, sort survivors.  NULL in ⇒
-    NULL out.  Shared by q_url_canonicalize and jobs.web_ingest."""
+    NULL out, and a non-https / malformed URL ALSO maps to NULL:
+    regexp_extract returns '' on no match, so without the scheme guard
+    every such doc would canonicalize to the constant 'https://' and
+    URL-dedup would silently keep ONE survivor out of all of them —
+    NULL instead passes each through dedup untouched.  Shared by
+    q_url_canonicalize and jobs.web_ingest."""
     url = F.col(url) if isinstance(url, str) else url
     nofrag = F.regexp_replace(url, "#.*$", "")
     hostport = F.regexp_extract(nofrag, "^https://([^/?#]+)", 1)
@@ -121,12 +126,17 @@ def canonical_url(url) -> F.Column:
         lambda x: (F.substring(x, 1, 4) != "utm_") & (x != ""),
     )
     qs_norm = F.concat_ws("&", F.array_sort(params))
-    return F.concat(
-        F.lit("https://"),
-        host,
-        path_norm,
-        F.when(qs_norm != "", F.concat(F.lit("?"), qs_norm)).otherwise(F.lit("")),
-    )
+    return F.when(
+        url.rlike("^https://[^/?#]"),
+        F.concat(
+            F.lit("https://"),
+            host,
+            path_norm,
+            F.when(qs_norm != "", F.concat(F.lit("?"), qs_norm)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )  # no otherwise(): non-matching and NULL inputs both yield NULL
 
 
 def q_url_canonicalize(spark, sf_dir):

@@ -284,17 +284,38 @@ def test_decoders_fail_soft_on_corrupt_payloads(spark):
         "bmp": bmp_container(bytes(range(12)), 2, 2),
         "y4m": y4m_container([bytes([10] * 4 + [20] + [30])], 2, 2),
     }
-    bad = [b"", b"garbage-not-a-container", good["wav"][:10]]
+    bad = [
+        b"",
+        b"garbage-not-a-container",
+        good["wav"][:10],
+        # negative W tag: parse_y4m must REJECT it (ValueError → NULL
+        # row), not loop forever — a negative frame_len would walk pos
+        # backwards and accumulate frames unboundedly
+        b"YUV4MPEG2 W-2 H2\nFRAME\n" + bytes(64),
+    ]
     for kind, fn in (("wav", decode_wav), ("bmp", decode_bmp), ("y4m", decode_y4m)):
         payloads = [(0, good[kind])] + [(i + 1, b) for i, b in enumerate(bad)]
         df = spark.createDataFrame(
             payloads, "media_id long, payload binary"
         )
         rows = {r["media_id"]: r for r in fn(df).collect()}
-        assert len(rows) == 4  # every payload yields exactly one row
+        assert len(rows) == 5  # every payload yields exactly one row
         ok = rows[0]
         assert all(v is not None for v in ok.asDict().values()), kind
-        for i in (1, 2, 3):
+        for i in (1, 2, 3, 4):
             vals = rows[i].asDict()
             vals.pop("media_id")
             assert all(v is None for v in vals.values()), (kind, i)
+
+
+def test_parse_y4m_rejects_nonpositive_dimensions():
+    """A W/H tag ≤ 0 must raise immediately: a non-positive frame_len
+    would otherwise advance the FRAME walk backwards (W-2 H2 ⇒
+    frame_len = -6) and spin forever accumulating frames."""
+    import pytest
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.multimodal import parse_y4m
+
+    for header in (b"W-2 H2", b"W2 H-2", b"W0 H2", b"W2 H0"):
+        with pytest.raises(ValueError, match="dimensions|missing"):
+            parse_y4m(b"YUV4MPEG2 " + header + b"\nFRAME\n" + bytes(64))
