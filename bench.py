@@ -244,6 +244,11 @@ HEADLINE = [
     "q_join_full_outer",
     "q_mixture_temperature",
     "q_sql_group_by_all",
+    # round-7: capped twins of the two output-bound enumeration lanes
+    # (value-space-collapsed Levenshtein; exact capped; LSH-banded)
+    "q_edit_distance_topk",
+    "q_embedding_neardup_topk",
+    "q_embedding_neardup_banded",
 ]
 
 

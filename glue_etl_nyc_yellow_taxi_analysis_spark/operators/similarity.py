@@ -348,6 +348,67 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_topk(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Capped near-dup view: for each vector, its ≤k most-similar
+    in-block neighbors with cosine ≥ τ — (vec_id, neighbor_id,
+    cosine_sim, rank).
+
+    ``embedding_neardup_pairs`` enumerates EVERY threshold pair, which
+    has a quadratic-density ANSWER on clustered corpora (the r6 sf1
+    sweep measured 18× output growth at 10× rows — result-set growth,
+    not plan growth).  At 100 TB a user wants this capped per-item form
+    as the default lane: output is ≤ k rows per vector (linear in the
+    corpus), and downstream keep/drop decisions only ever look at a
+    doc's best few matches anyway.  The full enumeration stays
+    available as the dial.
+
+    Same hoisted-norm pair kernel as the enumeration lane (norms are
+    per-row columns, one O(d) fold per pair); the cap is a per-vec_id
+    row_number over (cosine DESC, neighbor ASC) — one extra shuffle on
+    vec_id over the ALREADY-thresholded sparse candidate table, not
+    over the raw pair space."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("vec_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("a.v"), F.col("b.v")), F.col("a.n") * F.col("b.n")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def assign_clusters(
     embeddings: DataFrame,
     cents: DataFrame,

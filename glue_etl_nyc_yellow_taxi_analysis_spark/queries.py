@@ -2229,3 +2229,8 @@ from .queries_ext34 import ORACLE_EXT34, QUERIES_EXT34  # noqa: E402
 
 QUERIES.update(QUERIES_EXT34)
 ORACLE.update(ORACLE_EXT34)
+
+from .queries_ext35 import ORACLE_EXT35, QUERIES_EXT35  # noqa: E402
+
+QUERIES.update(QUERIES_EXT35)
+ORACLE.update(ORACLE_EXT35)

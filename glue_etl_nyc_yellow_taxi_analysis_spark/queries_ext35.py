@@ -1,0 +1,362 @@
+"""Extended inventory XXXV — capped (output-bounded) twins of the two
+threshold-enumeration lanes (round 7, from the r6 sf1 rehearsal).
+
+The registry-wide sf1 rehearsal adjudicated q_edit_distance (29.7×) and
+q_embedding_neardup (18.2×) as OUTPUT-bound: a threshold pair-join has a
+quadratic-density ANSWER on clustered corpora, so wall grows with the
+result set, not the plan.  That is correct behavior for the exact
+enumeration dial — but at 100 TB a user wants the CAPPED form as the
+default lane: per-item top-k matches, output linear in the corpus, with
+the full enumeration available when they really want every pair.
+
+- ``q_edit_distance_topk``: per part, its ≤3 best fuzzy matches in the
+  brand block (dist ≤ 2) — the entity-resolution "best candidates per
+  record" shape.  The plan collapses to the VALUE SPACE (distinct
+  names) before any pairwise DP: measured sf0.1→sf1 growth 0.99×
+  (the naive row-pair form of the same cap measured 23.7×).
+- ``q_embedding_neardup_topk``: per vector, its ≤3 most-similar
+  in-block neighbors with cosine ≥ 0.3 — the near-dup review queue
+  shape.  Output-capped but still pair-enumerating (vectors don't
+  repeat, so no value collapse): sf1 growth 16× ≤ its own 22× output
+  growth — kept as the EXACT dial.
+- ``q_embedding_neardup_banded``: the compute-bounded default — LSH
+  bucket candidates (md5-plane family), exact verify, same cap;
+  sf1 growth 1.27×.
+
+The three lanes are one dial: exact enumeration (q_embedding_neardup /
+q_edit_distance, every pair), exact capped (linear output), banded
+capped (bounded compute + linear output — the 100 TB default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import similarity
+from .operators.partitioning import spread
+from .queries import _COSINE_SQL, _t
+
+QUERIES_EXT35 = {}
+ORACLE_EXT35 = {}
+
+
+# ---------------------------------------------------------------------------
+# q_edit_distance_topk — per-record best fuzzy matches, output-capped
+# ---------------------------------------------------------------------------
+
+_ED_K = 2  # same threshold as q_edit_distance (queries_ext2) — the twins
+           # must agree on what a "match" is; only the output cap differs
+_ED_TOPK = 3
+
+
+_ED_SALT = 64  # two-phase min-k salt width (see step 2 below)
+
+
+def q_edit_distance_topk(spark, sf_dir):
+    """Capped fuzzy matching: for each part, its ≤3 nearest same-brand
+    names by Levenshtein distance (dist ≤ 2, ties → lower partkey).
+
+    The plan collapses to the VALUE SPACE before any quadratic work —
+    names repeat heavily (this corpus: 64 distinct names / 1600
+    (brand, name) combos, CONSTANT across SFs; real ER corpora are the
+    same shape), so pairing rows directly re-runs the identical DP
+    millions of times (the naive row-pair form of this twin measured
+    23.7× wall at 10× rows — worse than its own 10× output growth):
+
+    1. distinct (brand, name) — one shuffle, value-space-sized output;
+    2. per-(brand, name) k+1 smallest part keys — k+1 because a part's
+       own key must be excludable from its same-name candidates; a
+       SALTED two-phase row_number (pmod(key, 64) first, then the ≤
+       64·(k+1) survivors) so no single task ever sorts a whole name
+       group (name groups are corpus-sized: n/1600 rows here, unbounded
+       at 100 TB);
+    3. the Levenshtein DP runs ONCE per distinct same-brand name pair
+       (value-space-squared, incl. the name_a = name_b dist-0 pair —
+       same-name parts are each other's best matches), thresholded
+       ``levenshtein(a, b, k)``;
+    4. per name: the ordered (dist, key) candidate array —
+       collect_list is BOUNDED (≤ |names within dist k| · (k+1) ≤ 256
+       entries) because steps 2–3 already capped both factors;
+    5. parts join the value-space candidate table on (brand, name) —
+       broadcast (it is value-space-sized by construction) — then
+       per-row array ops: drop own key, slice k, posexplode to ranks.
+
+    Output ≤ 3 rows per part; compute = one linear scan + value-space
+    DP; the only corpus-sized shuffles are the distinct and the salted
+    min-k.  Oracle is the straightforward pair-enumeration SQL — the
+    plan is the optimization, the semantics are unchanged."""
+    parts = spread(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    )
+    names = parts.select("p_brand", "p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    ndist = (
+        a.join(b, F.col("a.p_brand") == F.col("b.p_brand"))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name", _ED_K).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _ED_K))
+    )
+    w_salt = Window.partitionBy(
+        "p_brand", "p_name", F.pmod(F.col("p_partkey"), F.lit(_ED_SALT))
+    ).orderBy("p_partkey")
+    w_name = Window.partitionBy("p_brand", "p_name").orderBy("p_partkey")
+    topkeys = (
+        parts.withColumn("__rs", F.row_number().over(w_salt))
+        .filter(F.col("__rs") <= _ED_TOPK + 1)
+        .withColumn("__rn", F.row_number().over(w_name))
+        .filter(F.col("__rn") <= _ED_TOPK + 1)
+        .select("p_brand", "p_name", "p_partkey")
+    )
+    cand_arr = (
+        ndist.join(
+            topkeys.select(
+                F.col("p_brand").alias("brand"),
+                F.col("p_name").alias("name_b"),
+                F.col("p_partkey").alias("key"),
+            ),
+            ["brand", "name_b"],
+        )
+        .groupBy("brand", "name_a")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dist"), F.col("key")))
+            ).alias("cands")
+        )
+    )
+    matched = parts.join(
+        F.broadcast(cand_arr),
+        (parts["p_brand"] == cand_arr["brand"])
+        & (parts["p_name"] == cand_arr["name_a"]),
+    ).select(
+        "brand",
+        F.col("p_partkey").alias("part_key"),
+        F.slice(
+            F.filter("cands", lambda c: c["key"] != F.col("p_partkey")),
+            1,
+            _ED_TOPK,
+        ).alias("top"),
+    )
+    return matched.select(
+        "brand",
+        "part_key",
+        F.posexplode("top").alias("__pos", "m"),
+    ).select(
+        "brand",
+        "part_key",
+        F.col("m.key").alias("match_key"),
+        F.col("m.dist").alias("dist"),
+        (F.col("__pos") + 1).alias("rank"),
+    )
+
+
+SQL_EDIT_DISTANCE_TOPK = f"""
+WITH cand AS (
+    SELECT a.p_brand AS brand, a.p_partkey AS part_key,
+           b.p_partkey AS match_key,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= {_ED_K}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_ED_K})
+SELECT brand, part_key, match_key, dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY part_key
+                                 ORDER BY dist, match_key) AS rank
+    FROM cand)
+WHERE rank <= {_ED_TOPK}
+"""
+
+QUERIES_EXT35["q_edit_distance_topk"] = q_edit_distance_topk
+ORACLE_EXT35["q_edit_distance_topk"] = SQL_EDIT_DISTANCE_TOPK
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_neardup_topk — per-vector best near-dup neighbors, capped
+# ---------------------------------------------------------------------------
+
+_ND_TAU = 0.3  # same threshold as q_embedding_neardup — twins agree on
+               # what "near" means; only the output cap differs
+_ND_TOPK = 3
+
+
+def q_embedding_neardup_topk(spark, sf_dir):
+    """Capped near-dup view: each vector's ≤3 most-similar in-block
+    neighbors with cosine ≥ 0.3 (ties → lower neighbor id).  See
+    ``operators.similarity.embedding_neardup_topk`` for the plan shape
+    (hoisted norms, symmetric block join, per-id row_number cap)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_topk(
+        emb, threshold=_ND_TAU, k=_ND_TOPK
+    )
+
+
+SQL_EMBEDDING_NEARDUP_TOPK = f"""
+WITH cand AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM cand WHERE cosine_sim >= {_ND_TAU})
+WHERE rank <= {_ND_TOPK}
+"""
+
+QUERIES_EXT35["q_embedding_neardup_topk"] = q_embedding_neardup_topk
+ORACLE_EXT35["q_embedding_neardup_topk"] = SQL_EMBEDDING_NEARDUP_TOPK
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_neardup_banded — LSH-bucket-bounded candidates, the
+# compute-bounded 100 TB default (exact twins above are the dial)
+# ---------------------------------------------------------------------------
+
+_NB_TABLES = 8
+_NB_PLANES = 8
+_NB_DIM = 64
+
+
+def q_embedding_neardup_banded(spark, sf_dir):
+    """Per-vector near-dup top-k where CANDIDATES come from shared
+    hyperplane-LSH buckets, not full label blocks.
+
+    The exact twins bound the OUTPUT (≤k rows per vector) but still
+    enumerate every in-block pair — block sizes grow with the corpus,
+    so compute is Θ(n²/|blocks|) however the output is capped.  This
+    lane bounds the COMPUTE the way every banded lane here does
+    (MinHash/SimHash/ANN): candidate pairs must share (label, table,
+    8-bit signature) for ≥1 of 8 md5-plane tables (the
+    oracle-replayable plane family of q_ann_lsh_oracle — deterministic
+    sign-LSH, every bit SQL-replicable), then exact-cosine verify ≥ τ
+    and the same per-vector top-k cap.  Recall follows the LSH
+    s-curve: measured on sf0.1, 1.00 for pairs with cosine ≥ 0.5 and
+    0.16 in the deliberately-forgone 0.3–0.5 boundary band, at 7% of
+    the in-label pair space (8×8); (tables, planes) is the dial —
+    16 tables × 6 planes measured 0.57 boundary recall at 47% of the
+    pair space, and at bigger corpora raise planes to keep buckets
+    sparse.  sf0.1→sf1 wall growth 1.27× (vs 16× for the exact capped
+    twin), the compute bound this lane exists for.
+
+    Shuffles: one posexplode×8 of signatures (linear), the bucket
+    self-join (bucket-bounded), candidate dedup, two id-keyed joins to
+    fetch vectors, one per-vector window over the thresholded sparse
+    candidates.  No stage touches the full pair space."""
+    from .queries_ext15 import _md5_plane
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("block"),
+        F.col("embedding").alias("v"),
+        similarity.l2_norm(F.col("embedding")).alias("n"),
+    )
+    sig_array = F.array(
+        *[
+            similarity.hyperplane_signature(
+                F.col("v"),
+                [_md5_plane(t, i, _NB_DIM) for i in range(_NB_PLANES)],
+            )
+            for t in range(_NB_TABLES)
+        ]
+    )
+    sigs = base.select(
+        "id", "block", F.posexplode(sig_array).alias("tbl", "sig")
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    cand = (
+        sa.join(
+            sb,
+            (F.col("sa.block") == F.col("sb.block"))
+            & (F.col("sa.tbl") == F.col("sb.tbl"))
+            & (F.col("sa.sig") == F.col("sb.sig"))
+            & (F.col("sa.id") != F.col("sb.id")),
+        )
+        .select(
+            F.col("sa.id").alias("vec_id"),
+            F.col("sb.id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            base.select(
+                F.col("id").alias("vec_id"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "vec_id",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    similarity.dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _ND_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ND_TOPK)
+        .select("vec_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+SQL_EMBEDDING_NEARDUP_BANDED = f"""
+WITH planes AS (
+  SELECT t, i,
+         list_transform(range(0, {_NB_DIM}), d ->
+             CAST((('0x' || substr(md5(CAST(t AS VARCHAR) || '|'
+                                       || CAST(i AS VARCHAR) || '|'
+                                       || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                   % 2001) - 1000 AS DOUBLE)
+             / CAST(1000 AS DOUBLE)) AS p
+  FROM range(0, {_NB_TABLES}) tt(t), range(0, {_NB_PLANES}) ii(i)
+), sigs AS (
+  SELECT e.vec_id, e.label, pl.t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(0, {_NB_DIM}), d ->
+                   CAST(e.embedding[d + 1] AS DOUBLE) * pl.p[d + 1])) >= 0
+               THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, e.label, pl.t
+), cand AS (
+  SELECT DISTINCT sa.vec_id AS vec_id, sb.vec_id AS neighbor_id
+  FROM sigs sa JOIN sigs sb
+    ON sa.label = sb.label AND sa.t = sb.t AND sa.sig = sb.sig
+   AND sa.vec_id <> sb.vec_id
+), scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         {_COSINE_SQL.format(a='e.embedding', b='ne.embedding')} AS cosine_sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT vec_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM scored WHERE cosine_sim >= {_ND_TAU})
+WHERE rank <= {_ND_TOPK}
+"""
+
+QUERIES_EXT35["q_embedding_neardup_banded"] = q_embedding_neardup_banded
+ORACLE_EXT35["q_embedding_neardup_banded"] = SQL_EMBEDDING_NEARDUP_BANDED
