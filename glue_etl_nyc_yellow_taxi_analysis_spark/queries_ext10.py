@@ -287,6 +287,28 @@ _sql_query(
 # Benchmark-contamination check
 # --------------------------------------------------------------------------
 
+def contamination_hits(corpus_docs, bench_docs):
+    """Doc ids in ``corpus_docs`` sharing ≥1 5-gram shingle with
+    ``bench_docs`` (both documents-shaped frames) — frame-level so
+    jobs.pretrain_prep shares the gate with q_contamination_check.
+    Benchmark shingles are a DISTINCT broadcast; corpus docs hit them
+    with ONE left-semi join on the shingle — no document text moves
+    through the shuffle, only shingles.  Returns (doc_id, hit=1)."""
+    bench_g = (
+        bench_docs.select(F.explode(text.shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    return (
+        corpus_docs.select(
+            "doc_id", F.explode(text.shingles("text", 5)).alias("g")
+        )
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+
 def q_contamination_check(spark, sf_dir):
     """Decontamination gate: per source, how many documents share at
     least one 5-gram shingle with the held-out benchmark set
@@ -298,16 +320,8 @@ def q_contamination_check(spark, sf_dir):
     No document text ever moves through the shuffle, only shingles.
     Same 5-gram construction as operators/text.py shingles (n=5)."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(text.shingles("text", 5)).alias("g")
-    )
-    bench_g = sh.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
-    hits = (
-        sh.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench_g), "g", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    hits = contamination_hits(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0)
     )
     corpus = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "source")
     flagged = corpus.join(hits, "doc_id", "left")
@@ -363,15 +377,13 @@ ORACLE_EXT10["q_contamination_check"] = SQL_CONTAMINATION_CHECK
 # Quality-filter funnel
 # --------------------------------------------------------------------------
 
-def q_quality_filter_funnel(spark, sf_dir):
-    """Gopher-style corpus quality funnel, per source, in ONE scan:
-    cumulative pass counts through 4 rules — length ≥ 200 chars, mean
-    word length in [3, 12], contains a stopword, type-token ratio
-    ≥ 0.3.  Rule predicates are pure expressions (no rounding, so the
-    double comparisons are bit-identical on both engines); the funnel
-    is conditional sums — the per-rule drop accounting every corpus
-    curation run reports."""
-    d = _t(spark, sf_dir, "documents")
+def gopher_rules():
+    """The 4 Gopher-style rule predicates as Columns over a
+    documents-shaped frame — frame-level so jobs.pretrain_prep applies
+    the SAME rules q_quality_filter_funnel accounts: length ≥ 200
+    chars, mean word length in [3, 12], contains a stopword,
+    type-token ratio ≥ 0.3.  Pure expressions, no rounding — the
+    double comparisons are bit-identical on both engines."""
     toks = text.tokens("text")
     norm = text.normalized("text")
     n_tok = F.size(toks)
@@ -386,6 +398,15 @@ def q_quality_filter_funnel(spark, sf_dir):
         F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
         >= 0.3
     )
+    return r1, r2, r3, r4
+
+
+def q_quality_filter_funnel(spark, sf_dir):
+    """Gopher-style corpus quality funnel, per source, in ONE scan:
+    cumulative pass counts through the 4 ``gopher_rules`` — the
+    per-rule drop accounting every corpus curation run reports."""
+    d = _t(spark, sf_dir, "documents")
+    r1, r2, r3, r4 = gopher_rules()
     flags = d.select(
         "source",
         r1.alias("p1"),

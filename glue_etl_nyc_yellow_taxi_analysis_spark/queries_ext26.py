@@ -51,10 +51,12 @@ def _md5i(c):
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def q_dsir_weights(spark, sf_dir):
-    """DSIR importance weight per document: mean per-token log2 likelihood
-    ratio of the TARGET distribution (lang='en' docs) vs the RAW corpus,
-    over hashed unigram buckets with add-one smoothing —
+def dsir_weights_of(d):
+    """DSIR importance weight per document over a documents FRAME
+    (frame-level so jobs.pretrain_prep shares the lane with
+    q_dsir_weights): mean per-token log2 likelihood ratio of the TARGET
+    distribution (lang='en' docs) vs the RAW corpus, over hashed
+    unigram buckets with add-one smoothing —
     w(d) = Σ_b c_d(b)·(log2(ct_b+1) − log2(cr_b+1)) / n_d
            − (log2(Nt+B) − log2(Nr+B)).
 
@@ -67,7 +69,7 @@ def q_dsir_weights(spark, sf_dir):
     integer count and the per-doc sum rides DECIMAL(27,18) (the
     q_doc_logprob lane), so partial-agg order can't move the 4dp cut.
     """
-    d = _t(spark, sf_dir, "documents")
+    spark = d.sparkSession
     toks = d.select(
         "doc_id", "lang", F.explode(text.tokens("text")).alias("tok")
     ).select(
@@ -114,6 +116,12 @@ def q_dsir_weights(spark, sf_dir):
             ),
         )
     )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights over the driver documents table — see
+    ``dsir_weights_of`` for the math and the 100 TB plan shape."""
+    return dsir_weights_of(_t(spark, sf_dir, "documents"))
 
 
 SQL_DSIR_WEIGHTS = f"""

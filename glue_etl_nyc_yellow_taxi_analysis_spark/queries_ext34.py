@@ -103,14 +103,15 @@ ORACLE_EXT34["q_join_full_outer"] = SQL_JOIN_FULL_OUTER
 # q_mixture_temperature — sqrt-scaled (T = 1/2) source sampling weights
 # ---------------------------------------------------------------------------
 
-def q_mixture_temperature(spark, sf_dir):
-    """Per-source T=1/2 sampling weights: s_i = floor(sqrt(n_tokens_i ·
-    1e12)), share_e6 = s_i·1e6 div Σ s_j.  sqrt is the ONLY floating
-    step and is IEEE-correctly-rounded over an identically-rounded
-    bigint→double input on both engines; everything after is exact
-    bigint arithmetic.  NULL-text docs contribute 0 tokens.  The total
-    is a one-row broadcast back onto the |sources|-row table."""
-    d = _t(spark, sf_dir, "documents")
+def mixture_shares_of(d):
+    """Per-source T=1/2 sampling weights over a documents FRAME
+    (frame-level so jobs.pretrain_prep shares the lane with
+    q_mixture_temperature): s_i = floor(sqrt(n_tokens_i · 1e12)),
+    share_e6 = s_i·1e6 div Σ s_j.  sqrt is the ONLY floating step and
+    is IEEE-correctly-rounded over an identically-rounded bigint→double
+    input on both engines; everything after is exact bigint arithmetic.
+    NULL-text docs contribute 0 tokens.  The total is a one-row
+    broadcast back onto the |sources|-row table."""
     n = d.groupBy("source").agg(
         F.sum(F.coalesce(F.size(text.tokens("text")), F.lit(0)))
         .cast("bigint")
@@ -137,6 +138,12 @@ def q_mixture_temperature(spark, sf_dir):
             .alias("share_e6"),
         )
     )
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """T=1/2 mixture weights over the driver documents table — see
+    ``mixture_shares_of``."""
+    return mixture_shares_of(_t(spark, sf_dir, "documents"))
 
 
 SQL_MIXTURE_TEMPERATURE = f"""

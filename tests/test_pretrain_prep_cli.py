@@ -1,0 +1,148 @@
+"""End-to-end pretraining-prep CLI: the FULL curation stack in one
+Spark session (funnel → exact+fuzzy dedup → contamination → DSIR ×
+mixture admission → pack → split → card).
+
+The small-SF test pins exact accounting reconciliation and output
+properties; the sf1 test (skipped unless the generated corpus exists —
+``python tools/gen_scale_data.py /tmp/sg_sf1 --docs 50000 --vectors
+20000``) exercises the composed DAG's cache/checkpoint boundaries and
+memory pressure at 10× the bench SF and prints the wall time the
+round's SCALE notes record.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sg_sf1")
+
+
+def _run_cli(work, source, out, notify, extra=()):
+    return subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "glue_etl_nyc_yellow_taxi_analysis_spark.jobs.pretrain_prep",
+            "--source", source,
+            "--output", out,
+            "--notify-jsonl", notify,
+            *extra,
+        ],
+        cwd=work,
+        env={**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"},
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+
+
+def _card(stdout):
+    line = [
+        l for l in stdout.splitlines() if l.startswith("pretrain card: ")
+    ][0]
+    return json.loads(line.removeprefix("pretrain card: "))
+
+
+def _assert_card_reconciles(card):
+    assert (
+        card["input_docs"]
+        - card["removed_quality"]
+        - card["removed_exact_dup"]
+        - card["removed_near_dup"]
+        - card["removed_benchmark"]
+        - card["removed_contaminated"]
+        - card["removed_over_quota"]
+        == card["kept"]
+    )
+    # funnel is monotone non-increasing and ends at the quality survivors
+    fp = card["funnel_pass"]
+    assert fp["len"] >= fp["wordlen"] >= fp["stopword"] >= fp["ttr"]
+    assert card["input_docs"] - card["removed_quality"] == fp["ttr"]
+    assert card["kept"] == sum(n for n, _ in card["splits"].values())
+    assert card["kept_tokens"] == sum(t for _, t in card["splits"].values())
+    assert card["kept_tokens"] <= card["token_budget"]
+    # every source stays within its quota's neighborhood: the admission
+    # window never exceeds the GLOBAL budget
+    assert sum(card["tokens_by_source"].values()) == card["kept_tokens"]
+
+
+def test_pretrain_prep_cli(spark, sf_dir, tmp_path):
+    out = f"{tmp_path}/prepared"
+    notify = f"{tmp_path}/state.jsonl"
+    r = _run_cli(
+        tmp_path, f"{sf_dir}/documents.parquet", out, notify
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = _card(r.stdout)
+    _assert_card_reconciles(card)
+    assert card["removed_quality"] > 0  # the corpus has short docs
+    assert card["removed_near_dup"] > 0  # ... and planted near-dups
+    assert card["removed_over_quota"] > 0  # default budget halves tokens
+
+    payloads = [json.loads(l) for l in open(notify)]
+    assert payloads[-1]["state"] == "SUCCEEDED"
+
+    # output readable, partitioned by split; pack ids contiguous-ish
+    # (every pack below the max id is populated — the running sum has
+    # no holes); internals never land in the written corpus
+    import pyspark.sql.functions as F
+
+    got = spark.read.parquet(f"{out}/corpus")
+    assert not [c for c in got.columns if c.startswith("__")]
+    by_split = {
+        r["split"]: (r["n"], r["t"])
+        for r in got.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").cast("long").alias("t"))
+        .collect()
+    }
+    assert {k: list(v) for k, v in by_split.items()} == {
+        k: list(v) for k, v in card["splits"].items()
+    }
+    packs = sorted(r["pack_id"] for r in got.select("pack_id").distinct().collect())
+    assert packs[0] == 0 and packs == list(range(len(packs)))
+    assert len(packs) == card["n_packs"]
+    assert got.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+
+
+def test_pretrain_prep_deterministic(spark, sf_dir, tmp_path):
+    """Same input → bit-identical card (the whole pipeline is
+    hash-keyed: fingerprints, minhash bands, md5 buckets — no rand())."""
+    cards = []
+    for i in (1, 2):
+        out = f"{tmp_path}/rep{i}"
+        r = _run_cli(
+            tmp_path, f"{sf_dir}/documents.parquet", out, f"{out}.jsonl"
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        card = _card(r.stdout)
+        card.pop("stage_wall_sec")
+        cards.append(card)
+    assert cards[0] == cards[1]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR),
+    reason="sf1 corpus not generated (tools/gen_scale_data.py /tmp/sg_sf1 "
+    "--docs 50000 --vectors 20000)",
+)
+def test_pretrain_prep_sf1(tmp_path):
+    """The composed DAG at sf1 (50k docs — 10× the bench SF): the run
+    must complete, reconcile, and report per-stage wall times (recorded
+    in SCALE.md).  This is the memory-pressure/lineage shape no
+    per-lane test exercises."""
+    out = f"{tmp_path}/prepared_sf1"
+    r = _run_cli(
+        tmp_path, f"{SF1_DIR}/documents.parquet", out, f"{out}.jsonl"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = _card(r.stdout)
+    _assert_card_reconciles(card)
+    assert card["input_docs"] >= 50_000
+    total_wall = sum(card["stage_wall_sec"].values())
+    print(f"\npretrain_prep sf1 wall: {total_wall:.1f}s "
+          f"stages={card['stage_wall_sec']}")
