@@ -119,3 +119,42 @@ def test_postgres_dialect():
                 subprocess.run(["pg_ctl", "-D", data, "-m", "immediate", "stop"],
                                capture_output=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Already-running server path (r6 verdict item 7): point the same probe
+# at ANY live PostgreSQL — the docker-run recipe in README / the
+# tools/pg_docker_ci.sh script — instead of initdb-ing a throwaway
+# cluster.  Derby remains the default JDBC gate; this is the opt-in.
+# ---------------------------------------------------------------------------
+
+_EXT_URL = os.environ.get("SPARK_GRAFT_PG_URL")
+
+
+@pytest.mark.skipif(
+    not _EXT_URL,
+    reason="no external server (set SPARK_GRAFT_PG_URL, e.g. via "
+    "tools/pg_docker_ci.sh)",
+)
+@pytest.mark.skipif(_find_pg_jar() is None, reason="no PostgreSQL JDBC driver jar")
+def test_postgres_dialect_external():
+    jar = _find_pg_jar()
+    user = os.environ.get("SPARK_GRAFT_PG_USER", "postgres")
+    password = os.environ.get("SPARK_GRAFT_PG_PASSWORD", "")
+    args = [
+        sys.executable,
+        os.path.join(REPO, "tools", "pg_dialect_probe.py"),
+        _EXT_URL,
+        user,
+    ]
+    if password:
+        args.append(password)
+    r = subprocess.run(
+        args,
+        env=dict(os.environ, SPARK_GRAFT_PG_JAR=jar),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert '"ok": true' in r.stdout, r.stdout[-3000:]

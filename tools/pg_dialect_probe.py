@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     url, user = sys.argv[1], sys.argv[2]
+    password = sys.argv[3] if len(sys.argv) > 3 else None  # docker servers
     jar = os.environ["SPARK_GRAFT_PG_JAR"]
 
     from pyspark.sql import SparkSession
@@ -51,6 +52,8 @@ def main() -> int:
     from glue_etl_nyc_yellow_taxi_analysis_spark.sources.writers import JdbcWarehouse
 
     props = {"user": user, "driver": "org.postgresql.Driver"}
+    if password:
+        props["password"] = password
     wh = JdbcWarehouse(spark, url, props)
     table = "fact_uber_trips_probe"
 
