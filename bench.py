@@ -293,6 +293,41 @@ def main():
         spreads[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 3)
 
     total = round(sum(timings.values()), 3)
+    # vs-baseline comparison, emitted automatically (r6 verdict item 4):
+    # anchors are the cross-run minimum per query (BASELINE_ANCHORS.json,
+    # regenerated by tools/regen_baseline.py); ratios use this run's
+    # per-query MEDIAN so ambient noise shows up as ratio, not anchor drift
+    vs_baseline = None
+    anchors_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_ANCHORS.json"
+    )
+    if os.path.exists(anchors_path):
+        with open(anchors_path) as f:
+            anchors = json.load(f)
+        both = [q for q in timings if anchors.get(q)]
+        if both:
+            ratios = {q: timings[q] / anchors[q] for q in both}
+            worst_q = max(ratios, key=ratios.get)
+            vs_baseline = {
+                "n_anchored": len(both),
+                "aggregate": round(
+                    sum(timings[q] for q in both)
+                    / sum(anchors[q] for q in both),
+                    3,
+                ),
+                # min-vs-min: anchors are cross-run minima, so comparing
+                # this run's MEDIAN against them is ≥1-biased under
+                # ambient load; the min-aggregate is the noise-robust
+                # read (a real regression moves BOTH numbers)
+                "aggregate_min": round(
+                    sum(mins[q] for q in both)
+                    / sum(anchors[q] for q in both),
+                    3,
+                ),
+                "median": round(sorted(ratios.values())[len(ratios) // 2], 3),
+                "worst": [worst_q, round(ratios[worst_q], 2)],
+                "over_2x": sorted(q for q, r in ratios.items() if r > 2.0),
+            }
     full = {
         "metric": "headline-suite wall-clock, noop sink, local mode",
         "value": total,
@@ -302,6 +337,7 @@ def main():
         "min": mins,
         "spread": spreads,
         "sf": float(sf),
+        "vs_baseline": vs_baseline,
     }
     # full per-query dict to a file (and to stdout EARLY, for humans);
     # the FINAL stdout line stays compact — the driver captures only the
@@ -321,6 +357,7 @@ def main():
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "queries": worst,
+                "vs_baseline": vs_baseline,
                 "full": "BENCH_full.json",
             },
             separators=(",", ":"),

@@ -1,0 +1,153 @@
+"""Regenerate BASELINE.md as ONE anchors table + BASELINE_ANCHORS.json.
+
+r6 verdict item 4: the anchor history had accreted per-round tables with
+prose "ambient load" caveats — ratio reads depended on footnotes.  This
+tool folds every committed per-query number into one canonical anchor,
+
+    anchor(q) = MIN over {BASELINE.md legacy tables, BENCH_local_r1.json,
+                          BENCH_full.json (median AND min columns)}
+
+— the cross-run minimum is the documented noise bound on this box
+(minutes-long ambient-load windows inflate disjoint subsets 2-4× per run
+with low intra-pair spread, so no single run's best-of-2 bounds it).
+Queries present in the live registry but in no artifact yet (this
+round's additions) are anchored at their first green run's min — the
+convention every prior round used, now mechanical.
+
+Outputs:
+  - BASELINE_ANCHORS.json  {query: sec} — read by bench.py, which emits
+    the vs-baseline comparison automatically on every run
+  - BASELINE.md            preamble (the reference publishes no numbers;
+    protocol) + the ONE table
+
+Run after a fresh `python bench.py` whenever queries were added:
+    python tools/regen_baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# matches BOTH the legacy 3-column anchor rows (| q | 0.1 | sec |) and
+# the regenerated 2-column rows (| q | sec |) — regeneration must be
+# IDEMPOTENT: re-running can only tighten anchors, never lose them
+_ROW = re.compile(r"^\|\s*(q_\w+)\s*\|\s*(?:0\.1\s*\|\s*)?\**([0-9.]+)\**\s*\|")
+
+PREAMBLE = """# BASELINE
+
+## Published numbers in the reference
+
+**None.** The reference (`/root/reference`, 10 files, 702 lines of text)
+publishes no benchmark results: no timings, no q/s, no query set, no scale
+factor, no hardware writeup. Verified by exhaustive read of every file
+(see SURVEY.md repo-inventory table). What it does record is deployment
+configuration and workload shape:
+
+| metric | value | config | source (file:line) |
+|---|---|---|---|
+| sec/query or q/s (published) | — (none exist) | — | absence: all of `/root/reference` (README.md:1-7 is images-only) |
+| Spark runtime | Glue 5.0 → Spark 3.5.x | `"version": "5.0"` | `glue_job_notebooks/etl-glue-nyc-yellow-data-model.json` jobConfig; same in `etl-glue-load-to-postgres.json` |
+| cluster size (Job 1 & Job 2) | 2 workers × G.1X (1 DPU = 4 vCPU / 16 GB each), maxCapacity 2 | `workerType`, `numberOfWorkers`, `maxCapacity` | both notebook jobConfigs |
+| job timeout budget | 480 min | `timeout: 480` | both notebook jobConfigs |
+| retries / concurrency | maxRetries 0; maxConcurrentRuns 2 (Job 1) / 1 (Job 2) | jobConfig | both notebook jobConfigs |
+| auto-tuning | enabled | `etlAutoTuning: true` | both notebook jobConfigs |
+| job bookmark (incrementality) | disabled | `bookmark: "job-bookmark-disable"` | both notebook jobConfigs |
+| workload unit | one monthly NYC yellow-taxi parquet file per run | default `--SOURCE_RAW_FILE_PATH = s3://raw-data-bucket-5f593a/nyc-yellow-uber-data/fact/yellow_tripdata_2021-01.parquet` | `etl-glue-nyc-yellow-data-model.json` jobParameters |
+| default processed month | 2021-01 | `--PROCESSED_YEAR 2021`, `--PROCESSED_MONTH 1` | both notebook jobParameters |
+| output format | snappy Parquet, partitioned by `processed_year`,`processed_month` | `compression="snappy"`, `partitionKeys` | `glue_job_scripts/etl-glue-nyc-yellow-data-model.py:358-371` |
+| generated-dim sizes (fixed work) | dim_date 10 959 rows (2000-01-01..2030-01-01 inclusive); dim_time 86 400 rows | sequence bounds | `etl-glue-nyc-yellow-data-model.py:163-167, 201-205` |
+
+BASELINE is therefore self-anchored on driver testdata.
+
+## Anchor protocol
+
+One number per query: the MINIMUM wall-clock across every committed
+bench artifact (bench.py protocol: noop sink — full pipeline executes,
+nothing returns to the driver — best-of-N per query with
+`spark.catalog.clearCache()` between queries, local[32], Spark 4.1.2,
+AQE on, sf0.1 ≈ 600k-row lineitem / 5k docs / 2k vectors).  The
+cross-run minimum is the noise bound on this box: ambient-load windows
+inflate disjoint query subsets 2-4× per run with LOW intra-pair spread,
+so no single run bounds the noise but the min over runs does.  Queries
+newer than the last regeneration are anchored at their first green
+run's min (the convention every round has used).  `bench.py` reads
+`BASELINE_ANCHORS.json` and emits the per-run comparison (aggregate
+ratio over anchored queries, worst query) automatically; the
+correctness gate's companion perf bar is aggregate ≤ 2×.
+
+Regenerate with `python tools/regen_baseline.py` after a fresh
+`python bench.py` whenever queries were added.
+
+## Anchors (sf0.1, seconds)
+
+| query | anchor (s) |
+|---|---|
+"""
+
+
+def collect_anchors() -> dict[str, float]:
+    anchors: dict[str, float] = {}
+
+    def fold(name: str, sec) -> None:
+        try:
+            v = float(sec)
+        except (TypeError, ValueError):
+            return
+        if v > 0 and (name not in anchors or v < anchors[name]):
+            anchors[name] = v
+
+    md = os.path.join(REPO, "BASELINE.md")
+    if os.path.exists(md):
+        for line in open(md):
+            m = _ROW.match(line)
+            if m:
+                fold(m.group(1), m.group(2))
+    prev = os.path.join(REPO, "BASELINE_ANCHORS.json")
+    if os.path.exists(prev):  # prior regeneration — anchors only tighten
+        for name, sec in json.load(open(prev)).items():
+            fold(name, sec)
+    import glob
+
+    artifacts = [
+        ("BENCH_local_r1.json", ("queries",)),
+        ("BENCH_full.json", ("queries", "min")),
+    ] + [
+        (os.path.basename(p), ("queries",))
+        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    ]
+    for artifact, keys in artifacts:
+        path = os.path.join(REPO, artifact)
+        if not os.path.exists(path):
+            continue
+        data = json.load(open(path))
+        if isinstance(data.get("parsed"), dict):  # driver-run wrapper
+            data = data["parsed"]
+        for key in keys:
+            for name, sec in (data.get(key) or {}).items():
+                fold(name, sec)
+    return anchors
+
+
+def main() -> None:
+    anchors = collect_anchors()
+    out_json = os.path.join(REPO, "BASELINE_ANCHORS.json")
+    with open(out_json, "w") as f:
+        json.dump(dict(sorted(anchors.items())), f, indent=1, sort_keys=True)
+    lines = [PREAMBLE]
+    for name in sorted(anchors):
+        lines.append(f"| {name} | {anchors[name]:.3f} |\n")
+    lines.append(
+        f"\n**{len(anchors)} anchored queries; total "
+        f"{sum(anchors.values()):.1f}s.**\n"
+    )
+    with open(os.path.join(REPO, "BASELINE.md"), "w") as f:
+        f.writelines(lines)
+    print(f"wrote {len(anchors)} anchors")
+
+
+if __name__ == "__main__":
+    main()
