@@ -485,3 +485,28 @@ def test_bloom_pruned_join_prunes_before_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_edit_distance_topk_value_space_collapse(spark, sf_dir):
+    """The capped fuzzy-match lane must pair DISTINCT NAMES, never rows:
+    the value-space candidate table rides a broadcast back onto parts
+    (sf1 growth 0.99× vs 23.7× for the row-pair form), and the DP join
+    is over two distinct projections — so the plan carries ≥2
+    aggregates (distinct + the candidate-array build), a broadcast
+    join, and NO sort-merge pair join of the part table with itself."""
+    plan = _plan(QUERIES["q_edit_distance_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "levenshtein" in plan  # the DP survived into the value space
+    # the salted two-phase min-k: two Window operators, none global
+    assert plan.count("Window") >= 2
+
+
+def test_embedding_neardup_banded_bucket_join(spark, sf_dir):
+    """The banded lane's self-join must key on (block, table, sig) —
+    an equi-join (SMJ or shuffled-hash), never a cartesian/BNL — and
+    the signature fan-out must ride one posexplode (Generate)."""
+    plan = _plan(QUERIES["q_embedding_neardup_banded"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the posexplode of per-table signatures
