@@ -56,7 +56,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, text
-from ..operators.indexing import global_running_sum
+from ..operators.indexing import global_running_sum, keyed_running_sum
 from ..session import get_spark
 from .notify import JobNotifier, jsonl_sink, run_with_notification, stderr_sink
 
@@ -196,15 +196,24 @@ def prepare(
     scored = clean.join(dsir_weights_of(clean), "doc_id", "left").join(
         F.broadcast(quotas), "source"
     )
-    w_src = (
-        Window.partitionBy("source")
-        .orderBy(F.col("dsir_logratio").desc_nulls_last(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # the per-source cumulative sum is the two-phase keyed_running_sum
+    # — a bare per-source window single-tasks the hottest domain; the
+    # ascending order key coalesce(−dsir, 1e18) encodes
+    # "dsir DESC NULLS LAST, doc_id" exactly
     admitted = (
-        scored.withColumn("__cum", F.sum("n_tokens").over(w_src))
+        keyed_running_sum(
+            scored.withColumn(
+                "__prio",
+                F.coalesce(-F.col("dsir_logratio"), F.lit(float(1e18))),
+            ),
+            ["source"],
+            "__prio",
+            "n_tokens",
+            out_col="__cum",
+            tiebreak_cols=["doc_id"],
+        )
         .filter(F.col("__cum") <= F.col("quota_tokens"))
-        .drop("__cum", "quota_tokens")
+        .drop("__prio", "__cum", "quota_tokens")
         .persist()
     )
     adm = admitted.agg(

@@ -87,16 +87,23 @@ def run_ingest(spark, docs_path: str, output: str, budget: int = 1000) -> dict:
         ),
     )
 
-    # 3. per-source token-budget admission (longest first, doc_id tiebreak)
+    # 3. per-source token-budget admission (longest first, doc_id
+    #    tiebreak) — the two-phase keyed_running_sum, not a bare
+    #    per-source window (which single-tasks the hottest domain);
+    #    coalesce(−n_chars, 2⁶²) ascending == n_chars DESC NULLS LAST
+    from ..operators.indexing import keyed_running_sum
+
     tok = F.coalesce(text.token_count("text").cast("bigint"), F.lit(0))
-    w_src = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc_nulls_last(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = tagged.withColumn("__tok", tok).withColumn(
-        "__cum", F.sum("__tok").over(w_src)
-    )
+    packed = keyed_running_sum(
+        tagged.withColumn("__tok", tok).withColumn(
+            "__ord", F.coalesce(-F.col("n_chars").cast("bigint"), F.lit(2**62))
+        ),
+        ["source"],
+        "__ord",
+        "__tok",
+        out_col="__cum",
+        tiebreak_cols=["doc_id"],
+    ).drop("__ord")
     admitted = packed.filter(F.col("__cum") <= budget)
 
     # 4. write partitioned by primary topic + exact accounting

@@ -145,3 +145,69 @@ def global_running_sum(
         )
         .drop("__bucket", "__offset")
     )
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    buckets: int = 32,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-KEY running sum of ``value_col`` following ``ORDER BY
+    order_col [, *tiebreak_cols]`` within each ``key_cols`` group — the
+    keyed sibling of ``global_running_sum``.
+
+    A bare ``SUM() OVER (PARTITION BY key ORDER BY ...)`` puts each
+    key's ENTIRE group in one task: fine when keys are many and small,
+    a single-task sort of the whole hot domain when one key dominates
+    (the admission windows in jobs.web_ingest / jobs.pretrain_prep are
+    exactly this shape — per-source packing where one over-crawled
+    source can be half the corpus).  Two-phase instead:
+
+    1. GLOBAL range buckets on ``order_col`` quantiles (one
+       column-pruned agg — shared boundaries keep phase 1 a single
+       pass; per-key imbalance across buckets costs balance, never
+       correctness);
+    2. per-(key, bucket) sums → per-key cumulative offsets via a
+       window over ≤ B rows per key.  Unlike the global form the
+       offsets table is |keys| × B and STAYS DISTRIBUTED — nothing is
+       collected;
+    3. intra-(key, bucket) running windows in parallel + the offset
+       equi-join.  Max task ≈ hottest_key / B rows.
+
+    ``order_col`` must be numeric and NON-NULL (encode NULLS LAST as a
+    coalesce to a sentinel before calling — a NULL range-bucket key
+    would drop the row at the offset join); ``value_col`` integral;
+    ``(order_col, *tiebreak_cols)`` unique within a key.  Rows equal on
+    ``order_col`` always share a bucket, so the result is byte-identical
+    to the one-task window."""
+    bucketed, _ = _range_buckets(df, order_col, buckets)
+    kb = bucketed.groupBy(*key_cols, "__bucket").agg(
+        F.sum(value_col).alias("__s")
+    )
+    w_off = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = kb.select(
+        *key_cols,
+        "__bucket",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w = (
+        Window.partitionBy(*key_cols, "__bucket")
+        .orderBy(order_col, *(tiebreak_cols or []))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(offs, [*key_cols, "__bucket"])
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(w) + F.col("__offset")).cast("bigint"),
+        )
+        .drop("__bucket", "__offset")
+    )

@@ -292,23 +292,30 @@ _TOKEN_BUDGET = 1000  # binds at every sf: sources carry ~1500 tokens at sf0.001
 def q_token_budget_pack(spark, sf_dir):
     """Admit docs per source, longest-first (n_chars DESC NULLS LAST,
     doc_id tiebreak), while the running whitespace-token sum stays
-    within the per-source budget.  One keyed window + one keyed
-    aggregate — the partition key is the source, so 1000 executors
-    each pack their own sources; there is no global sort.  NULL text
-    counts 0 tokens; a source with zero total tokens reports NULL
+    within the per-source budget.  The running sum is the two-phase
+    ``indexing.keyed_running_sum`` (round 7): a bare per-source window
+    puts each source's WHOLE group in one task — fine on this corpus,
+    a single-task sort of the hottest domain at 100 TB — so the sum is
+    range-bucketed on the order key and offset per (source, bucket),
+    byte-identical to the window form (the ascending order key
+    ``coalesce(−n_chars, 2⁶²)`` encodes DESC NULLS LAST exactly: NULLs
+    sort last, ties fall to the doc_id tiebreak in both forms).  NULL
+    text counts 0 tokens; a source with zero total tokens reports NULL
     share (guarded division on both engines)."""
-    d = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from .operators.indexing import keyed_running_sum
 
+    d = _t(spark, sf_dir, "documents")
     tok = F.coalesce(text.token_count("text").cast("bigint"), F.lit(0))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc_nulls_last(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    scored = d.select("source", "doc_id", "n_chars", tok.alias("tok")).withColumn(
-        "cum", F.sum("tok").over(w)
-    )
+    scored = keyed_running_sum(
+        d.select("source", "doc_id", "n_chars", tok.alias("tok")).withColumn(
+            "__ord", F.coalesce(-F.col("n_chars").cast("bigint"), F.lit(2**62))
+        ),
+        ["source"],
+        "__ord",
+        "tok",
+        out_col="cum",
+        tiebreak_cols=["doc_id"],
+    ).drop("__ord")
     admit = F.col("cum") <= _TOKEN_BUDGET
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -181,3 +181,56 @@ def test_global_running_sum_matches_naive_window(spark):
     # and the plan windows over __bucket, not a single empty partition
     plan = _plan(global_running_sum(df, "k", "v", buckets=8))
     assert "__bucket" in plan
+
+
+def test_keyed_running_sum_matches_per_key_window(spark):
+    """keyed_running_sum == the bare per-key window, on a corpus with a
+    HOT key (70% of rows), order ties (same order value, tiebreak id),
+    and several small keys — byte-identical per row."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators.indexing import (
+        keyed_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        key = "hot" if i % 10 < 7 else f"k{i % 5}"
+        rows.append((key, i, rng.randint(0, 50), rng.randint(1, 9)))
+    df = spark.createDataFrame(rows, "key string, id long, ord long, v long")
+
+    got = {
+        (r["key"], r["id"]): r["cum"]
+        for r in keyed_running_sum(
+            df, ["key"], "ord", "v", out_col="cum", buckets=8,
+            tiebreak_cols=["id"],
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ord", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["key"], r["id"]): r["cum"]
+        for r in df.withColumn(
+            "cum", F.sum("v").over(w).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+    # and the plan partitions windows by (key, bucket), not bare key:
+    # more than one task may carry the hot key
+    plan_df = keyed_running_sum(
+        df, ["key"], "ord", "v", buckets=8, tiebreak_cols=["id"]
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "__bucket" in buf.getvalue()
