@@ -52,7 +52,6 @@ import argparse
 import json
 import time
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, text
