@@ -179,11 +179,13 @@ def keyed_running_sum(
        equi-join.  Max task ≈ hottest_key / B rows.
 
     ``order_col`` must be numeric and NON-NULL (encode NULLS LAST as a
-    coalesce to a sentinel before calling — a NULL range-bucket key
-    would drop the row at the offset join); ``value_col`` integral;
-    ``(order_col, *tiebreak_cols)`` unique within a key.  Rows equal on
-    ``order_col`` always share a bucket, so the result is byte-identical
-    to the one-task window."""
+    coalesce to a sentinel before calling); ``value_col`` integral;
+    ``(order_col, *tiebreak_cols)`` unique within a key.  KEY columns
+    MAY be NULL: PARTITION BY treats NULL as its own group, so the
+    offset join is null-safe (a plain equi-join would silently DROP
+    every NULL-key row — caught by the degenerate-corpus gate on first
+    adoption).  Rows equal on ``order_col`` always share a bucket, so
+    the result is byte-identical to the one-task window."""
     bucketed, _ = _range_buckets(df, order_col, buckets)
     kb = bucketed.groupBy(*key_cols, "__bucket").agg(
         F.sum(value_col).alias("__s")
@@ -198,16 +200,27 @@ def keyed_running_sum(
         "__bucket",
         F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__offset"),
     )
+    for i, k in enumerate(key_cols):
+        offs = offs.withColumnRenamed(k, f"__jk{i}")
+    offs = offs.withColumnRenamed("__bucket", "__jb")
+    cond = F.col("__bucket") == F.col("__jb")  # never NULL (order is non-NULL)
+    for i, k in enumerate(key_cols):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__jk{i}"))
     w = (
         Window.partitionBy(*key_cols, "__bucket")
         .orderBy(order_col, *(tiebreak_cols or []))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        bucketed.join(offs, [*key_cols, "__bucket"])
+        bucketed.join(offs, cond)
         .withColumn(
             out_col,
             (F.sum(value_col).over(w) + F.col("__offset")).cast("bigint"),
         )
-        .drop("__bucket", "__offset")
+        .drop(
+            "__bucket",
+            "__jb",
+            "__offset",
+            *[f"__jk{i}" for i in range(len(key_cols))],
+        )
     )

@@ -199,7 +199,15 @@ def test_keyed_running_sum_matches_per_key_window(spark):
     rng = random.Random(7)
     rows = []
     for i in range(2000):
-        key = "hot" if i % 10 < 7 else f"k{i % 5}"
+        # NULL key every 11th row: PARTITION BY treats NULL as its own
+        # group, so the two-phase offset join must be null-safe (a
+        # plain equi-join silently drops the whole NULL-key group —
+        # the degenerate-corpus gate caught exactly that on adoption)
+        key = (
+            None
+            if i % 11 == 0
+            else ("hot" if i % 10 < 7 else f"k{i % 5}")
+        )
         rows.append((key, i, rng.randint(0, 50), rng.randint(1, 9)))
     df = spark.createDataFrame(rows, "key string, id long, ord long, v long")
 
