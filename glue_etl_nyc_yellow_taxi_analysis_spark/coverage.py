@@ -32,14 +32,22 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.  The ten
 # r6-pinned oracle-change lanes all re-earned green rows in
-# CORRECTNESS_r06, so round 7 pins NOTHING — the whole head of the
-# window goes to closing the evidence tail.  Round-7 accounting:
-# 0 pinned + 4 recheck + 34 carried-over never-driver-checked (the r5/r6
-# additions that outpaced the r6 window) + the few new r7 lanes ≈ 40 of
-# ~50 slots, with margin.  Registry growth this round is budgeted to
-# (window − tail − recheck) so the tail CLOSES instead of rolling over:
-# done = CORRECTNESS_r07 leaves zero never-checked queries.
-PINNED: tuple[str, ...] = ()
+# CORRECTNESS_r06.  Round 7 pins just the three driver-green lanes
+# whose SPARK side was refactored to frame-level helpers for
+# jobs.pretrain_prep (plan-identical, re-gated hash-neutral locally —
+# the pin converts that into driver evidence).  The r7-changed lanes
+# NOT pinned here (q_token_budget_pack two-phase re-plan,
+# q_url_canonicalize scheme guard, q_y4m_decode dimension guard) sit in
+# the never-driver-checked block already and get fresh rows anyway.
+# Round-7 accounting: 3 pinned + 4 recheck + 37 never-driver-checked
+# (34 carried + 3 new, budgeted to window − tail − recheck) = 44 of
+# ~50 slots: the tail CLOSES this round — done = CORRECTNESS_r07
+# leaves zero never-checked queries.
+PINNED: tuple[str, ...] = (
+    "q_quality_filter_funnel",  # r7: rules extracted to gopher_rules()
+    "q_dsir_weights",  # r7: body extracted to dsir_weights_of()
+    "q_contamination_check",  # r7: gate extracted to contamination_hits()
+)
 
 RECHECK_QUOTA = 4
 
