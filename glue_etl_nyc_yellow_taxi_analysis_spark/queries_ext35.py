@@ -21,7 +21,7 @@ the full enumeration available when they really want every pair.
   growth — kept as the EXACT dial.
 - ``q_embedding_neardup_banded``: the compute-bounded default — LSH
   bucket candidates (md5-plane family), exact verify, same cap;
-  sf1 growth 1.27×.
+  sf1 growth 2.5× (1.6s → 4.1s).
 
 The three lanes are one dial: exact enumeration (q_embedding_neardup /
 q_edit_distance, every pair), exact capped (linear output), banded
@@ -239,13 +239,18 @@ def q_embedding_neardup_banded(spark, sf_dir):
     the in-label pair space (8×8); (tables, planes) is the dial —
     16 tables × 6 planes measured 0.57 boundary recall at 47% of the
     pair space, and at bigger corpora raise planes to keep buckets
-    sparse.  sf0.1→sf1 wall growth 1.27× (vs 16× for the exact capped
-    twin), the compute bound this lane exists for.
+    sparse.  sf0.1→sf1 wall 1.6s → 4.1s (2.5×, vs 16× for the exact
+    capped twin) — the compute bound this lane exists for.
 
-    Shuffles: one posexplode×8 of signatures (linear), the bucket
-    self-join (bucket-bounded), candidate dedup, two id-keyed joins to
-    fetch vectors, one per-vector window over the thresholded sparse
-    candidates.  No stage touches the full pair space."""
+    Shuffles: one vectors × 64-row-broadcast-planes fan-out folded back
+    by a (id, tbl) keyed aggregate (linear — and the planes ride as
+    DATA, not as plan literals: the literal-expression signature form
+    measured 6.0s at sf0.1, almost all codegen of a 4096-literal tree;
+    the broadcast-table form computes the identical sequential-fold dot
+    per (vector, plane) row), the bucket self-join (bucket-bounded),
+    candidate dedup, two id-keyed joins to fetch vectors, one
+    per-vector window over the thresholded sparse candidates.  No stage
+    touches the full pair space."""
     from .queries_ext15 import _md5_plane
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -255,17 +260,37 @@ def q_embedding_neardup_banded(spark, sf_dir):
         F.col("embedding").alias("v"),
         similarity.l2_norm(F.col("embedding")).alias("n"),
     )
-    sig_array = F.array(
-        *[
-            similarity.hyperplane_signature(
-                F.col("v"),
-                [_md5_plane(t, i, _NB_DIM) for i in range(_NB_PLANES)],
-            )
+    planes = spark.createDataFrame(
+        [
+            (t, i, _md5_plane(t, i, _NB_DIM))
             for t in range(_NB_TABLES)
-        ]
+            for i in range(_NB_PLANES)
+        ],
+        "tbl int, bit int, p array<double>",
     )
-    sigs = base.select(
-        "id", "block", F.posexplode(sig_array).alias("tbl", "sig")
+    # sign bits are disjoint powers of two, so SUM packs them exactly
+    # like the bitwiseOR of the literal form; the dot is the same
+    # zip_with/aggregate sequential fold, so every sign agrees bit-wise
+    sigs = (
+        base.select("id", "block", "v")
+        .crossJoin(F.broadcast(planes))
+        .groupBy("id", "block", "tbl")
+        .agg(
+            F.sum(
+                F.when(
+                    similarity.dot(F.col("v"), F.col("p")) >= 0,
+                    # python-side F.shiftleft only takes an int literal;
+                    # the SQL form shifts by the bit COLUMN
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("sig")
+        )
+        # the self-join below references sigs on BOTH sides — without a
+        # checkpoint the plane fan-out + fold runs twice (the q_semdedup
+        # multi-consumer lesson); the table is |vectors|·tables rows
+        .localCheckpoint()
     )
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     cand = (

@@ -503,10 +503,16 @@ def test_edit_distance_topk_value_space_collapse(spark, sf_dir):
 
 
 def test_embedding_neardup_banded_bucket_join(spark, sf_dir):
-    """The banded lane's self-join must key on (block, table, sig) —
-    an equi-join (SMJ or shuffled-hash), never a cartesian/BNL — and
-    the signature fan-out must ride one posexplode (Generate)."""
+    """The banded lane's candidate self-join must key on (block, table,
+    sig) — an equi-join, never a cartesian — and the hyperplanes must
+    ride as a BROADCAST TABLE (one bounded 64-row BNLJ fan-out folded
+    by a keyed aggregate), not as plan literals: the literal form
+    measured 6.0s at sf0.1, almost all codegen of a 4096-literal tree."""
     plan = _plan(QUERIES["q_embedding_neardup_banded"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+    # signatures are localCheckpointed (computed ONCE for both self-join
+    # sides), so the final plan joins two scans of the checkpointed
+    # table with an equi-join on the signature keys
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Generate" in plan  # the posexplode of per-table signatures
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # the checkpointed sigs
