@@ -32,21 +32,26 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.  The ten
 # r6-pinned oracle-change lanes all re-earned green rows in
-# CORRECTNESS_r06.  Round 7 pins just the three driver-green lanes
-# whose SPARK side was refactored to frame-level helpers for
-# jobs.pretrain_prep (plan-identical, re-gated hash-neutral locally —
-# the pin converts that into driver evidence).  The r7-changed lanes
+# CORRECTNESS_r06.  Round 7 pins five driver-green lanes whose SPARK
+# side changed: three refactored to frame-level helpers for
+# jobs.pretrain_prep (plan-identical) and the two md5-LSH lanes
+# re-planned onto broadcast plane tables — all five re-gated
+# hash-neutral locally; the pin converts that into driver evidence.  The r7-changed lanes
 # NOT pinned here (q_token_budget_pack two-phase re-plan,
 # q_url_canonicalize scheme guard, q_y4m_decode dimension guard) sit in
 # the never-driver-checked block already and get fresh rows anyway.
-# Round-7 accounting: 3 pinned + 4 recheck + 37 never-driver-checked
-# (34 carried + 3 new, budgeted to window − tail − recheck) = 44 of
+# Round-7 accounting: 5 pinned + 4 recheck + 37 never-driver-checked
+# (34 carried + 3 new, budgeted to window − tail − recheck) = 46 of
 # ~50 slots: the tail CLOSES this round — done = CORRECTNESS_r07
 # leaves zero never-checked queries.
 PINNED: tuple[str, ...] = (
     "q_quality_filter_funnel",  # r7: rules extracted to gopher_rules()
     "q_dsir_weights",  # r7: body extracted to dsir_weights_of()
     "q_contamination_check",  # r7: gate extracted to contamination_hits()
+    # r7: md5-plane signatures re-planned literal tree → broadcast
+    # plane table + keyed fold (hash-neutral locally, 2.0s → 1.3s)
+    "q_ann_lsh_oracle",
+    "q_ann_recall_oracle",  # shares lsh_ann_topk_md5
 )
 
 RECHECK_QUOTA = 4

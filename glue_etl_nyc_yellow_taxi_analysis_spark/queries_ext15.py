@@ -197,21 +197,47 @@ def lsh_ann_topk_md5(spark, sf_dir, tables: int = _LSH_TABLES,
     """Parameterizable md5-plane LSH ANN pipeline (see q_ann_lsh_oracle).
     The (tables, planes) pair sets the s-curve: more tables/fewer planes
     raises recall (the production 16×4 shape), fewer tables/more planes
-    tightens precision (the 4×8 evidence shape)."""
+    tightens precision (the 4×8 evidence shape).
+
+    Planes ride as a broadcast TABLE fanned out per vector and folded
+    back by one (vec_id, table) keyed aggregate (round 7 — the
+    literal-expression form built a tables×planes×64-literal tree whose
+    codegen dominated the lane; the ext35 banded lane measured the same
+    re-plan 6.0s → 1.6s).  The dot per (vector, plane) row is the same
+    zip_with/aggregate sequential fold, and sign bits pack as an exact
+    sum of disjoint powers of two, so signatures — and the oracle hash —
+    are bit-identical to the literal form.  The signature table is
+    localCheckpointed: both consumers (the query side and the data
+    side of the bucket join) read it instead of recomputing."""
     from .operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    sig_array = F.array(
-        *[
-            similarity.hyperplane_signature(
-                F.col("embedding"),
-                [_md5_plane(t, i, _LSH_DIM) for i in range(planes)],
-            )
+    plane_rows = spark.createDataFrame(
+        [
+            (t, i, _md5_plane(t, i, _LSH_DIM))
             for t in range(tables)
-        ]
+            for i in range(planes)
+        ],
+        "t int, i int, p array<double>",
     )
-    data = emb.select(
-        "vec_id", "embedding", F.posexplode(sig_array).alias("__tbl", "__sig")
+    sigs = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(plane_rows))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(
+                F.when(
+                    similarity.dot(F.col("embedding"), F.col("p")) >= 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), i)"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("__sig")
+        )
+        .localCheckpoint()
+    )
+    data = emb.select("vec_id", "embedding").join(sigs, "vec_id").select(
+        "vec_id", "embedding", F.col("t").alias("__tbl"), "__sig"
     )
     q = data.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"),
