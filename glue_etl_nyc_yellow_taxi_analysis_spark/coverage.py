@@ -40,8 +40,8 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # NOT pinned here (q_token_budget_pack two-phase re-plan,
 # q_url_canonicalize scheme guard, q_y4m_decode dimension guard) sit in
 # the never-driver-checked block already and get fresh rows anyway.
-# Round-7 accounting: 5 pinned + 4 recheck + 37 never-driver-checked
-# (34 carried + 3 new, budgeted to window − tail − recheck) = 46 of
+# Round-7 accounting: 4 pinned + 4 recheck + 37 never-driver-checked
+# (34 carried + 3 new, budgeted to window − tail − recheck) = 45 of
 # ~50 slots: the tail CLOSES this round — done = CORRECTNESS_r07
 # leaves zero never-checked queries.
 PINNED: tuple[str, ...] = (
@@ -49,9 +49,11 @@ PINNED: tuple[str, ...] = (
     "q_dsir_weights",  # r7: body extracted to dsir_weights_of()
     "q_contamination_check",  # r7: gate extracted to contamination_hits()
     # r7: md5-plane signatures re-planned literal tree → broadcast
-    # plane table + keyed fold (hash-neutral locally, 2.0s → 1.3s)
+    # plane table + keyed fold (hash-neutral locally, 2.0s → 1.3s).
+    # q_ann_recall_oracle is NOT pinned: it already carried its own
+    # inline broadcast-plane form (the r4 lesson this re-plan reuses)
+    # and its Spark side did not change this round.
     "q_ann_lsh_oracle",
-    "q_ann_recall_oracle",  # shares lsh_ann_topk_md5
 )
 
 RECHECK_QUOTA = 4
