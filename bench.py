@@ -249,6 +249,8 @@ HEADLINE = [
     "q_edit_distance_topk",
     "q_embedding_neardup_topk",
     "q_embedding_neardup_banded",
+    # round-7: positional phrase search (k-way posting intersection)
+    "q_phrase_search",
 ]
 
 

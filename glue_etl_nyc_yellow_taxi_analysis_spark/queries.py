@@ -2234,3 +2234,8 @@ from .queries_ext35 import ORACLE_EXT35, QUERIES_EXT35  # noqa: E402
 
 QUERIES.update(QUERIES_EXT35)
 ORACLE.update(ORACLE_EXT35)
+
+from .queries_ext36 import ORACLE_EXT36, QUERIES_EXT36  # noqa: E402
+
+QUERIES.update(QUERIES_EXT36)
+ORACLE.update(ORACLE_EXT36)
