@@ -186,14 +186,25 @@ def prepare(
             // 2
         )
     )
+    # null-safe quota join: groupBy keeps NULL source as its own group,
+    # but a plain equi-join would silently drop every NULL-source doc
+    # here (misattributed to removed_over_quota) while their tokens
+    # still inflated the share denominators.  eqNullSafe gives
+    # NULL-source docs their own quota bucket — same standard as
+    # keyed_running_sum below and web_ingest's NULL-key passthrough.
     quotas = mixture_shares_of(clean).select(
-        "source",
+        F.col("source").alias("__q_source"),
         (F.col("share_e6") * F.lit(total_budget) / F.lit(1_000_000))
         .cast("bigint")
         .alias("quota_tokens"),
     )
-    scored = clean.join(dsir_weights_of(clean), "doc_id", "left").join(
-        F.broadcast(quotas), "source"
+    scored = (
+        clean.join(dsir_weights_of(clean), "doc_id", "left")
+        .join(
+            F.broadcast(quotas),
+            F.col("source").eqNullSafe(F.col("__q_source")),
+        )
+        .drop("__q_source")
     )
     # the per-source cumulative sum is the two-phase keyed_running_sum
     # — a bare per-source window single-tasks the hottest domain; the
@@ -279,7 +290,10 @@ def prepare(
     }
     n_packs = written.select("pack_id").distinct().count()
     by_source = {
-        r["source"]: int(r["t"])
+        # NULL source keeps its own bucket through admission (eqNullSafe
+        # above); the card keys it "<null>" because JSON objects need
+        # string keys and sort_keys can't compare None to str
+        ("<null>" if r["source"] is None else r["source"]): int(r["t"])
         for r in written.groupBy("source")
         .agg(F.sum("n_tokens").alias("t"))
         .collect()

@@ -83,11 +83,17 @@ def _messy_url():
         F.lit("a=1"),
     )
     frag = F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit(""))
-    return F.concat(F.lit("https://"), host, port, path, F.lit("?"), qs, frag)
+    # doc_id % 11 plants a NON-https scheme: the canonicalizer must map
+    # it to NULL (scheme guard), not fold it into a constant https URL —
+    # this makes the oracle's guard load-bearing, not latent (advisor r7)
+    scheme = F.when(F.col("doc_id") % 11 == 0, F.lit("http://")).otherwise(
+        F.lit("https://")
+    )
+    return F.concat(scheme, host, port, path, F.lit("?"), qs, frag)
 
 
 _MESSY_URL_SQL = """
-  'https://'
+  (CASE WHEN doc_id % 11 = 0 THEN 'http://' ELSE 'https://' END)
     || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
     || '.Example.COM'
     || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
@@ -182,7 +188,13 @@ WITH raw AS (
   FROM parsed
 ), canon AS (
   SELECT doc_id, url,
-         CASE WHEN host IS NULL THEN NULL
+         -- scheme guard mirrors the Spark rlike: DuckDB's
+         -- regexp_extract returns '' (not NULL) on no match, so
+         -- host IS NULL alone would let malformed non-https URLs
+         -- canonicalize to a constant instead of NULL
+         CASE WHEN url IS NULL
+                   OR NOT regexp_matches(url, '^https://[^/?#]')
+              THEN NULL
               ELSE 'https://' || host || path_norm
                    || (CASE WHEN qs_norm <> '' THEN '?' || qs_norm
                             ELSE '' END)

@@ -46,12 +46,15 @@ def _py_messy_url(doc_id, source):
         + "a=1"
     )
     frag = "#sec" if doc_id % 7 == 0 else ""
-    return f"https://{host}{port}{path}?{qs}{frag}"
+    scheme = "http://" if doc_id % 11 == 0 else "https://"
+    return f"{scheme}{host}{port}{path}?{qs}{frag}"
 
 
 def _py_canonicalize(url):
     # independent parse: urllib.parse, not the production regexes
     parts = urlsplit(url)
+    if parts.scheme != "https" or not parts.netloc:
+        return None  # malformed/non-https → NULL, never a constant
     host = parts.netloc.lower()
     host = host[: -len(":443")] if host.endswith(":443") else host
     path = parts.path.rstrip("/")

@@ -109,6 +109,44 @@ def test_pretrain_prep_cli(spark, sf_dir, tmp_path):
     assert got.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
 
 
+def test_pretrain_prep_null_source(spark, sf_dir, tmp_path):
+    """NULL-source docs get their OWN quota bucket instead of being
+    silently dropped at the admission join (advisor r7: a plain
+    equi-join on source never matches NULL, so every NULL-source doc
+    vanished — misattributed to removed_over_quota — while its tokens
+    still inflated the share denominators).  The driver corpus has no
+    NULL sources, so this plants them: every doc_id % 7 == 0 loses its
+    source, and the written corpus must still contain NULL-source docs
+    in rough proportion to their share."""
+    import pyspark.sql.functions as F
+
+    src = f"{tmp_path}/docs_null_source"
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+        .write.parquet(src)
+    )
+    out = f"{tmp_path}/prepared"
+    r = _run_cli(tmp_path, src, out, f"{tmp_path}/state.jsonl")
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = _card(r.stdout)
+    _assert_card_reconciles(card)
+    got = spark.read.parquet(f"{out}/corpus")
+    n_null_kept = got.filter(F.col("source").isNull()).count()
+    assert n_null_kept > 0, "NULL-source docs were dropped at admission"
+    # the card's per-source rollup carries the NULL bucket too
+    # (keyed "<null>" — JSON objects need string keys)
+    assert "<null>" in card["tokens_by_source"]
+    # and the NULL bucket respects its own quota: the global budget
+    # still binds (reconciliation above already pins the sum)
+    assert card["kept_tokens"] <= card["token_budget"]
+
+
 def test_pretrain_prep_deterministic(spark, sf_dir, tmp_path):
     """Same input → bit-identical card (the whole pipeline is
     hash-keyed: fingerprints, minhash bands, md5 buckets — no rand())."""
