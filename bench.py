@@ -40,7 +40,6 @@ HEADLINE = [
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
-    "q_dedup_fuzzy_minhash",
     "q_similarity_topk",
     "q_generator_dim_date",
     "q_json_extract",
@@ -79,7 +78,6 @@ HEADLINE = [
     "q_token_entropy",
     "q_repetition_ratio",
     "q_bigram_topk",
-    "q_similarity_ann_lsh",
     # extension-IV batch (round 1): sequence analytics + exact-at-scale
     "q_islands_gaps",
     "q_interval_overlap",

@@ -1648,12 +1648,27 @@ def q_similarity_ann_ivf(spark, sf_dir):
 
 
 def q_uuid_pk(spark, sf_dir):
-    """X7: uuid surrogate PK — non-deterministic; checks distinctness."""
+    """X7: uuid surrogate PK.  The uuid values themselves are
+    non-deterministic, but the lane's OUTPUT is the distinctness
+    contract (n_rows, n_ids) — and uuid() draws 122 random bits, so
+    n_ids == n_rows except with probability < 1e-27 even at 1e6 rows
+    (birthday bound n²/2^123).  That makes the contract itself
+    hash-exactly oracle-checkable: the oracle asserts COUNT(*) twice."""
     li = _t(spark, sf_dir, "lineitem")
     with_id = li.withColumn("trip_id", F.expr("uuid()"))
     return with_id.agg(
         F.count("*").alias("n_rows"), F.countDistinct("trip_id").alias("n_ids")
     )
+
+
+# uuid() can never value-match, but the declared output is the
+# distinctness CONTRACT, not the uuids: n_ids == n_rows with certainty
+# for any practical row count (see docstring), so the oracle states it.
+SQL_UUID_PK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_ids
+FROM lineitem
+"""
 
 
 def q_partitioned_write_prune(spark, sf_dir):
@@ -1951,10 +1966,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_backfill": q_union_backfill,
     "q_csv_lookup": q_csv_lookup,
     "q_multimodal_features": q_multimodal_features,
-    "q_dedup_fuzzy_minhash": q_dedup_fuzzy_minhash,
-    "q_dedup_simhash": q_dedup_simhash,
-    "q_similarity_ann_ivf": q_similarity_ann_ivf,
-    "q_similarity_ann_lsh": q_similarity_ann_lsh,
+    # q_dedup_fuzzy_minhash / q_dedup_simhash / q_similarity_ann_ivf /
+    # q_similarity_ann_lsh are NOT declared (the q_taxi_star_build
+    # precedent): their outputs depend on hash families a SQL oracle
+    # cannot replay (xxhash64 bands, numpy-seeded hyperplanes), so they
+    # would sit as eternal `err: no_oracle` rows for near-zero evidence.
+    # Their operators are fully covered by the hash-exact twins
+    # q_minhash_dedup_oracle, q_simhash_oracle, q_ann_ivf_oracle and
+    # q_ann_lsh_oracle (same plans over replicable hash families) plus
+    # the recall dials (q_dedup_recall, q_ann_recall_oracle); the
+    # production-hash functions stay defined above and are exercised by
+    # tests/test_adversarial_inputs.py and tests/test_similarity.py.
     "q_uuid_pk": q_uuid_pk,
     "q_partitioned_write_prune": q_partitioned_write_prune,
     "q_warehouse_roundtrip": q_warehouse_roundtrip,
@@ -1995,6 +2017,7 @@ ORACLE: dict[str, str] = {
     "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "q_json_extract": SQL_JSON_EXTRACT,
     "q_salted_join": SQL_SALTED_JOIN,
+    "q_uuid_pk": SQL_UUID_PK,
     "q_word_count": SQL_WORD_COUNT,
     "q_sql_pricing_summary": None,  # filled below: oracle == the query itself
     "q_sql_shipping_priority": None,

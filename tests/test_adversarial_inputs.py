@@ -113,7 +113,13 @@ def test_ngram_jaccard_null_block_pairs_nothing(spark, hostile_dir):
 
 
 def test_minhash_survives_hostile_docs(spark, hostile_dir):
-    rows = QUERIES["q_dedup_fuzzy_minhash"](spark, hostile_dir).collect()
+    # undeclared production-hash lane (xxhash64 bands — no SQL oracle);
+    # its hash-exact twin q_minhash_dedup_oracle owns driver coverage
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import (
+        q_dedup_fuzzy_minhash,
+    )
+
+    rows = q_dedup_fuzzy_minhash(spark, hostile_dir).collect()
     # empty/whitespace docs share the single shingle "" → they MAY pair
     # (documented tokens() contract); the pipeline itself must not crash
     assert rows is not None

@@ -47,6 +47,23 @@ def test_ivf_subset_of_brute_force_universe(spark, sf_dir):
     assert len(some) == 10
 
 
+def test_ann_production_wrappers(spark, sf_dir):
+    """The undeclared production parameterizations (q_similarity_ann_ivf
+    nprobe=3, q_similarity_ann_lsh 16×4) — hash-family-dependent, so no
+    SQL oracle; their hash-exact twins q_ann_ivf_oracle/q_ann_lsh_oracle
+    own driver coverage.  Here: sane shape + deterministic across runs."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import (
+        q_similarity_ann_ivf,
+        q_similarity_ann_lsh,
+    )
+
+    for fn in (q_similarity_ann_ivf, q_similarity_ann_lsh):
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert a and a == b
+        assert len({r[0] for r in a}) == 3  # the 3 planted queries rank
+
+
 def test_lsh_ann_candidates_share_bucket(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -146,7 +163,13 @@ def test_lsh_signatures_fail_soft_on_mismatched_dims(spark):
         }
     )
     pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
-    rows = QUERIES["q_similarity_ann_lsh"](spark, d).collect()
+    # undeclared production lane (seeded hyperplanes — no SQL oracle);
+    # its hash-exact twin q_ann_lsh_oracle owns driver coverage
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import (
+        q_similarity_ann_lsh,
+    )
+
+    rows = q_similarity_ann_lsh(spark, d).collect()
     ids = {r["vec_id"] for r in rows}
     assert rows  # the well-formed vectors still rank
     assert 1 not in ids and 3 not in ids  # unhashable vectors dropped

@@ -50,6 +50,20 @@ def test_minhash_agrees_with_exact_jaccard(spark):
         assert p.jaccard_sim >= 0.5
 
 
+def test_simhash_production_wrapper(spark, sf_dir):
+    """The undeclared production parameterization (q_dedup_simhash,
+    xxhash64 lane, Hamming ≤ 8) — no SQL oracle (hash-family-dependent);
+    its md5-lane twin q_simhash_oracle owns driver coverage.  Here:
+    deterministic, symmetric-free (a<b), and within the Hamming bound."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import q_dedup_simhash
+
+    a = sorted(map(tuple, q_dedup_simhash(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_dedup_simhash(spark, sf_dir).collect()))
+    assert a == b and a  # planted near-dups must surface
+    rows = q_dedup_simhash(spark, sf_dir).collect()
+    assert all(r.id_a < r.id_b and r.hamming <= 8 for r in rows)
+
+
 def test_simhash_near_zero_hamming_for_dups(spark):
     docs = _docs(spark)
     # banded candidate generation guarantees exact/low-hamming pairs
