@@ -5,13 +5,19 @@ so the rotation IS the mechanism by which the whole inventory earns
 driver evidence — a silent ordering bug would freeze coverage forever.
 Pure-python tests against the real registry + committed CORRECTNESS
 files.
+
+Round 8 redesign: the never-driver-checked tail closed in round 7, so
+the window's value is now RE-verification — the order after the pins is
+oldest-evidence-first (latest committed driver round ascending), which
+is self-balancing: lanes re-checked this round sort to the back next
+round.
 """
 
 from glue_etl_nyc_yellow_taxi_analysis_spark.coverage import (
     PINNED,
-    RECHECK_QUOTA,
     checked_names,
     driver_order,
+    evidence_age,
 )
 from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
 
@@ -30,49 +36,55 @@ def test_driver_order_sections():
     pinned = [n for n in PINNED if n in QUERIES]
     # 1. pinned first, in declaration order
     assert ordered[: len(pinned)] == pinned
-    # 2. then the recheck quota: previously-checked, not pinned
-    recheck = ordered[len(pinned) : len(pinned) + RECHECK_QUOTA]
-    assert all(n in seen and n not in pinned for n in recheck)
-    # 3. never-checked block precedes the already-checked tail
-    rest = ordered[len(pinned) + RECHECK_QUOTA :]
+    # 2. never-checked (new) lanes precede every already-checked lane
+    rest = ordered[len(pinned):]
     fresh_flags = [n not in seen for n in rest]
-    # once we hit the checked tail, no fresh query may follow
     if False in fresh_flags and True in fresh_flags:
         assert fresh_flags.index(False) > max(
             i for i, f in enumerate(fresh_flags) if f
         )
+    # 3. the checked tail is ordered oldest-evidence-first
+    age = evidence_age()
+    tail_ages = [age[n] for n in rest if n in age]
+    assert tail_ages == sorted(tail_ages)
 
 
-def test_pinned_leaves_room_for_recheck_and_fresh():
-    """ADVICE r3: PINNED must stay ≤ window − RECHECK_QUOTA so the
-    recheck rotation is never starved and the window keeps consuming
-    never-checked queries."""
-    assert len(PINNED) <= 50 - RECHECK_QUOTA
+def test_window_consumes_stalest_evidence():
+    """The ~50-slot window after pins+fresh must hold the registry's
+    STALEST lanes: no lane outside the window may have strictly older
+    evidence than a checked lane inside it."""
+    ordered = list(driver_order(QUERIES))
+    age = evidence_age()
+    window, beyond = ordered[:50], ordered[50:]
+    # pins re-earn evidence because they CHANGED, not because they're
+    # stale — exclude them from the staleness comparison
+    win_ages = [age[n] for n in window if n in age and n not in PINNED]
+    beyond_ages = [age[n] for n in beyond if n in age]
+    if win_ages and beyond_ages:
+        assert max(win_ages) <= min(beyond_ages)
+
+
+def test_pinned_small_and_declared():
+    """Pins must stay a small prefix (≤10) so the window's bulk keeps
+    consuming stale evidence, and every pin must exist in the registry."""
+    assert len(PINNED) <= 10
     assert all(p in QUERIES for p in PINNED)
 
 
-def test_recheck_quota_widens_when_fresh_block_exhausted():
-    """r5 verdict item 7: once (almost) everything has a driver row, the
-    recheck rotation must widen from 4 to 6 so round-7+ windows sweep
-    more of the registry instead of re-verifying a static prefix."""
-    from glue_etl_nyc_yellow_taxi_analysis_spark.coverage import (
-        _RECHECK_QUOTA_WIDE,
-    )
-
-    seen = checked_names()
+def test_recheck_self_balancing():
+    """Simulate a committed round: giving the current window fresh rows
+    must rotate a DIFFERENT (older-evidence) slice to the front next
+    time — re-checked lanes fall to the back."""
+    ordered = list(driver_order(QUERIES))
+    age = dict(evidence_age())
+    next_round = max(age.values(), default=0) + 1
+    for n in ordered[:50]:
+        age[n] = next_round
     pinned = set(PINNED)
-    exhausted = {
-        n: QUERIES[n] for n in QUERIES if n in seen or n in pinned
-    }
-    ordered = list(driver_order(exhausted))
-    n_pinned = len([n for n in PINNED if n in exhausted])
-    recheck = ordered[n_pinned : n_pinned + _RECHECK_QUOTA_WIDE]
-    assert len(recheck) == _RECHECK_QUOTA_WIDE
-    assert all(n in seen and n not in pinned for n in recheck)
-    # today's registry still has >10 fresh lanes → quota stays narrow
-    fresh_now = [n for n in QUERIES if n not in seen and n not in pinned]
-    if len(fresh_now) > 10:
-        ordered_now = list(driver_order(QUERIES))
-        tail = ordered_now[len([n for n in PINNED if n in QUERIES]) :]
-        # the 5th window slot after pinned+4 rechecks is a FRESH query
-        assert tail[RECHECK_QUOTA] not in seen
+    resorted = sorted(
+        (n for n in QUERIES if n in age and n not in pinned),
+        key=lambda n: (age[n], list(QUERIES).index(n)),
+    )
+    survivors = [n for n in ordered[:50] if n in resorted[:50]]
+    # at most the pins' worth of overlap: the window genuinely sweeps
+    assert len(survivors) <= len(PINNED) + 5
