@@ -40,6 +40,9 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PINNED: tuple[str, ...] = (
     "q_url_canonicalize",  # r8: %11 non-https plant + oracle scheme guard
     "q_uuid_pk",  # r8: distinctness-contract oracle added (was rows-only)
+    # r8: fixture writer collect+loop → executor-side foreachPartition
+    # (hash-neutral locally; the pin converts that into driver evidence)
+    "q_binaryfile_source",
 )
 
 

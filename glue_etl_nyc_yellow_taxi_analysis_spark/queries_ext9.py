@@ -603,22 +603,30 @@ ORACLE_EXT9["q_variant_json"] = SQL_VARIANT_JSON
 
 def q_binaryfile_source(spark, sf_dir):
     """Opaque-binary ingestion: every 50th document's text is written to
-    a `<doc_id>.bin` file (fixture prep, driver-side by design — the
-    real pipeline's files already exist), read back through the
-    binaryFile source, and verified by byte length + md5 against the
-    originating table via a filename-extracted key.  This is the exact
-    on-ramp q_multimodal_features' decode stage consumes; binaryFile
-    gives distributed file listing + content loading with no Python in
-    the read path."""
+    a `<doc_id>.bin` file (fixture prep — the real pipeline's files
+    already exist), read back through the binaryFile source, and
+    verified by byte length + md5 against the originating table via a
+    filename-extracted key.  The fixture writer runs executor-side via
+    foreachPartition (never a driver collect+loop: at 100× the collect
+    WOULD be the job); in local mode the partitions write to the same
+    tempdir, on a cluster the same code targets shared storage.  This is
+    the exact on-ramp q_multimodal_features' decode stage consumes;
+    binaryFile gives distributed file listing + content loading with no
+    Python in the read path."""
     import os
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    rows = d.filter("doc_id % 50 = 0").select("doc_id", "text").collect()
     out = tempfile.mkdtemp(prefix="sg_binsrc_")
-    for r in rows:
-        with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as f:
-            f.write(r.text.encode("utf-8"))
+
+    def _write_partition(rows):  # closure: cloudpickled by value
+        for r in rows:
+            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    d.filter("doc_id % 50 = 0").select("doc_id", "text").foreachPartition(
+        _write_partition
+    )
 
     files = spark.read.format("binaryFile").load(out)
     return files.select(
