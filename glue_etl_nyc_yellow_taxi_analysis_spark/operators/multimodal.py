@@ -15,10 +15,16 @@ Decode support is two-tier:
   ``decode_y4m`` and the ``fake_decode=False`` path of
   ``extract_features``; their sample/pixel-level outputs are exact integers,
   value-hash verified against SQL replays of the same bytes.
-* compressed codecs (JPEG/MP3/H.264) need libs absent from this container;
-  those payloads still raise ``NotImplementedError`` where libjpeg/ffmpeg
-  would go.  ``fake_decode=True`` keeps the deterministic byte-slicer for
-  plumbing tests.
+* baseline JPEG is REAL too, via ``operators/jpeg.py`` — a pure-numpy
+  ITU T.81 sequential codec (Huffman entropy coding, IDCT/FDCT,
+  4:2:0/4:4:4 chroma, restart markers) backing ``decode_jpeg`` and the
+  ``fake_decode=False`` path of ``resize_images``; it is pinned by
+  hand-constructed spec streams (a SQL engine can't replay
+  Huffman+IDCT, so no DuckDB oracle lane).
+* the remaining compressed codecs (MP3/H.264, progressive JPEG) need
+  libs absent from this container; those payloads still raise
+  ``NotImplementedError`` where ffmpeg would go.  ``fake_decode=True``
+  keeps the deterministic byte-slicer for plumbing tests.
 """
 
 from __future__ import annotations
@@ -612,18 +618,28 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     def decode_values(data: bytes):
         """Real decode dispatch by magic bytes: PCM16 WAV → signed
         samples, 24bpp BMP → top-down pixel bytes, YUV4MPEG2 → flat luma
-        stream; compressed formats still need libs absent from this
-        container."""
+        stream, baseline JPEG → row-major decoded pixel bytes (the
+        in-repo operators/jpeg.py codec); MP3/H.264 still need libs
+        absent from this container."""
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return parse_wav(data)[2]
         if data[:2] == b"BM":
             return parse_bmp(data)[2]
         if data[:9] == b"YUV4MPEG2":
             return b"".join(fr[0] for fr in parse_y4m(data)[2])
+        if data[:2] == b"\xff\xd8":
+            from . import jpeg
+
+            try:
+                return jpeg.decode_baseline(data)[2].tobytes()
+            except (ValueError, IndexError, struct.error) as exc:
+                # corrupt JPEG container: same ValueError contract as
+                # the stdlib parsers (callers' fail-soft catches it)
+                raise ValueError(f"bad JPEG payload: {exc}") from exc
         raise NotImplementedError(
-            "real decode is stdlib-only (PCM16 WAV / 24bpp BMP / Y4M); "
-            "other formats require image/audio libraries not present in "
-            "this environment — wire PIL/librosa/ffmpeg here"
+            "real decode covers PCM16 WAV / 24bpp BMP / Y4M / baseline "
+            "JPEG; other formats require audio/video libraries not "
+            "present in this environment — wire librosa/ffmpeg here"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -664,16 +680,123 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(featurize, out_schema)
 
 
+def documents_as_jpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    quality: int = 90,
+) -> DataFrame:
+    """Deterministic baseline-JPEG payloads from document text: the
+    text's utf-8 bytes fill a width×height grayscale raster top-down
+    (zero-padded, height = max(1, n_bytes // width) capped at 64 rows),
+    encoded through the real ``operators/jpeg.py`` codec.  The planted
+    corpus therefore exercises Huffman coding, FDCT and the decoder's
+    full path on every document."""
+    import numpy as np
+
+    from . import jpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                h = min(64, max(1, len(b) // width))
+                pix = np.frombuffer(
+                    b[: width * h].ljust(width * h, b"\x00"), dtype=np.uint8
+                ).reshape(h, width)
+                rows.append((mid, jpeg.encode_baseline(pix, quality)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+_JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sum_luma", T.LongType(), True),
+        T.StructField("pixels_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_jpeg(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode lane: run each payload through the
+    baseline JPEG codec and reduce to exact-integer stats + an md5 over
+    the row-major pixel bytes.  Per-row fail-soft: corrupt containers
+    and unsupported modes (progressive, 12-bit) yield NULLs, never a
+    task failure — same contract as decode_wav/decode_bmp.  Unlike the
+    uncompressed lanes there is no SQL oracle (a DuckDB replay of
+    Huffman+IDCT is not expressible); correctness is pinned by the
+    hand-constructed spec streams in tests/test_jpeg_codec.py."""
+    import hashlib
+
+    from . import jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    h, w, px = jpeg.decode_baseline(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    rows.append((mid,) + (None,) * 5)
+                    continue
+                nchan = 1 if px.ndim == 2 else px.shape[2]
+                luma = px if px.ndim == 2 else px[..., 0]
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        nchan,
+                        int(luma.astype("int64").sum()),
+                        hashlib.md5(px.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sum_luma",
+                    "pixels_md5",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _JPEG_DECODE_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, fake_decode: bool = True
 ) -> DataFrame:
-    """Resize plumbing: (media_id, payload, width, height) → resized payload
-    + updated metadata, Arrow-batched.
+    """Resize: (media_id, payload, width, height) → resized payload +
+    updated metadata, Arrow-batched.
 
-    The fake path re-emits a deterministic payload slice sized proportional
-    to the target area and stamps the new dimensions — the schema, batch
-    shape, and metadata contract a real PIL/libvips resize would have.
-    """
+    ``fake_decode=False`` is the REAL path: decode each payload as
+    baseline JPEG (operators/jpeg.py), nearest-neighbor resample to
+    (width, height) with the exact integer index map
+    src = floor(dst·src_dim/dst_dim), and re-encode at quality 90 —
+    bit-deterministic end to end.  Corrupt/unsupported payloads pass
+    through as NULL payloads with NULL dims (fail-soft).
+
+    The fake path re-emits a deterministic payload slice sized
+    proportional to the target area and stamps the new dimensions — the
+    schema/batch/metadata contract without the codec."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -684,14 +807,29 @@ def resize_images(
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import jpeg
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("wire PIL/libvips here")
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                keep = max(1, min(len(data), width * height // 64))
-                out.append((mid, data[:keep], width, height))
+                if fake_decode:
+                    keep = max(1, min(len(data), width * height // 64))
+                    out.append((mid, data[:keep], width, height))
+                    continue
+                try:
+                    h0, w0, px = jpeg.decode_baseline(data)
+                except (ValueError, NotImplementedError, IndexError, struct.error):
+                    out.append((mid, None, None, None))
+                    continue
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                resized = px[ys][:, xs]
+                out.append(
+                    (mid, jpeg.encode_baseline(resized, 90), width, height)
+                )
             yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
 
     return df.select("media_id", "payload").mapInPandas(resize, out_schema)

@@ -253,12 +253,36 @@ def test_extract_features_real_decode_dispatch(spark):
     ]
     assert list(got[1].features) == exp_wav   # decoded SAMPLES, not bytes
     assert list(got[2].features) == exp_bmp   # top-down pixel stream
-    jpeg = spark.createDataFrame(
-        [(3, bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"))],
+    # baseline JPEG payloads now take the REAL codec (r8): features are
+    # per-stride means over DECODED pixels, replayed driver-side
+    import numpy as np
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import jpeg as J
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = J.encode_baseline(img, quality=90)
+    jdf = spark.createDataFrame(
+        [(3, bytearray(data))], "media_id long, payload binary"
+    )
+    got3 = multimodal.extract_features(jdf, fake_decode=False).collect()[0]
+    vals = J.decode_baseline(data)[2].tobytes()
+    exp = [
+        round(sum(vals[d::dim]) / len(vals[d::dim]), 6) for d in range(dim)
+    ]
+    assert list(got3.features) == exp
+    # corrupt JPEG → ValueError; truly unknown magic → NotImplementedError
+    bad = spark.createDataFrame(
+        [(4, bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="bad JPEG payload|ValueError"):
+        multimodal.extract_features(bad, fake_decode=False).collect()
+    unknown = spark.createDataFrame(
+        [(5, bytearray(b"ID3mp3-frame-data"))],
         "media_id long, payload binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|real decode"):
-        multimodal.extract_features(jpeg, fake_decode=False).collect()
+        multimodal.extract_features(unknown, fake_decode=False).collect()
 
 
 # ---------------------------------------------------------------------------
