@@ -249,6 +249,10 @@ HEADLINE = [
     "q_embedding_neardup_banded",
     # round-7: positional phrase search (k-way posting intersection)
     "q_phrase_search",
+    # round-8: real baseline-JPEG codec lanes (encode+decode / full
+    # resize pipeline, executor-side mapInPandas)
+    "q_jpeg_decode",
+    "q_jpeg_resize",
 ]
 
 

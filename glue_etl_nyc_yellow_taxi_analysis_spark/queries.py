@@ -2262,3 +2262,8 @@ from .queries_ext36 import ORACLE_EXT36, QUERIES_EXT36  # noqa: E402
 
 QUERIES.update(QUERIES_EXT36)
 ORACLE.update(ORACLE_EXT36)
+
+from .queries_ext37 import ORACLE_EXT37, QUERIES_EXT37  # noqa: E402
+
+QUERIES.update(QUERIES_EXT37)
+ORACLE.update(ORACLE_EXT37)
