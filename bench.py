@@ -253,6 +253,9 @@ HEADLINE = [
     # resize pipeline, executor-side mapInPandas)
     "q_jpeg_decode",
     "q_jpeg_resize",
+    # round-8: iterative BPE tokenizer training + merge application
+    "q_bpe_train",
+    "q_bpe_fertility",
 ]
 
 

@@ -2267,3 +2267,8 @@ from .queries_ext37 import ORACLE_EXT37, QUERIES_EXT37  # noqa: E402
 
 QUERIES.update(QUERIES_EXT37)
 ORACLE.update(ORACLE_EXT37)
+
+from .queries_ext38 import ORACLE_EXT38, QUERIES_EXT38  # noqa: E402
+
+QUERIES.update(QUERIES_EXT38)
+ORACLE.update(ORACLE_EXT38)
