@@ -6,13 +6,20 @@ The container ships no libjpeg binding (no PIL/libvips/cv2), so the
 seven rounds.  This module closes it with an actual ITU T.81 baseline
 sequential codec (ISO/IEC 10918-1 — public spec):
 
-* ``decode_baseline(data)`` — SOI/APP/DQT/SOF0/DHT/DRI/SOS parsing,
+* ``decode_baseline(data)`` — SOI/APP/DQT/SOF/DHT/DRI/SOS parsing,
   canonical Huffman entropy decode with byte-stuffing and restart
   markers, dequantization, 2-D IDCT, chroma upsampling (4:4:4 / 4:2:2 /
-  4:2:0), JFIF YCbCr→RGB.  Grayscale and 3-component images.
+  4:2:0), JFIF YCbCr→RGB.  Grayscale and 3-component images; BOTH
+  sequential (SOF0/1) and PROGRESSIVE (SOF2) modes — spectral
+  selection, successive approximation (DC/AC first + refinement
+  scans), and EOB-run coding (T.81 G.2), coefficients accumulating
+  across scans with one IDCT at the end.
 * ``encode_baseline(arr, quality)`` — the inverse pipeline with the
   Annex K example quantization/Huffman tables (IJG quality scaling),
-  4:4:4 or 4:2:0 chroma subsampling.
+  4:4:4 or 4:2:0 chroma subsampling; ``progressive=True`` emits a
+  spectral-selection SOF2 stream carrying the IDENTICAL quantized
+  coefficients (decodes bit-identically to the sequential encoding —
+  the cross-check the tests lean on).
 
 Determinism: the DCT basis is embedded as 64 double literals (never
 computed through libm at import — cos differs by an ulp across
@@ -28,8 +35,8 @@ decoders.  Python-side per-pixel cost is the price of a containerless
 codec; on a real cluster you swap ``_decode_one`` for libjpeg-turbo
 behind the same contract.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and lossless
-modes raise ``NotImplementedError`` — honest seams, like non-PCM16 WAV.
+Arithmetic coding, 12-bit precision and lossless/hierarchical modes
+raise ``NotImplementedError`` — honest seams, like non-PCM16 WAV.
 """
 
 from __future__ import annotations
@@ -290,14 +297,45 @@ class _HuffDecoder:
         raise ValueError("invalid Huffman code")
 
 
+class _Frame:
+    """Geometry shared by every scan of one image."""
+
+    def __init__(self, h, w, comps, progressive):
+        if h == 0 or w == 0:
+            raise ValueError("zero image dimension")
+        self.h, self.w = h, w
+        self.comps = comps  # [(cid, hi, vi, tq)]
+        self.progressive = progressive
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        # coefficient grids sized to the INTERLEAVED padding (the
+        # superset); non-interleaved scans cover the top-left subgrid
+        self.coef = [
+            np.zeros((self.mcus_y * vi, self.mcus_x * hi, 64), dtype=np.int64)
+            for _, hi, vi, _ in comps
+        ]
+
+    def comp_blocks(self, ci):
+        """Actual block grid of one component (ceil of its true size) —
+        the coverage of a NON-interleaved scan (T.81 A.2.2)."""
+        _, hi, vi, _ = self.comps[ci]
+        bx = (self.w * hi + 8 * self.hmax - 1) // (8 * self.hmax)
+        by = (self.h * vi + 8 * self.vmax - 1) // (8 * self.vmax)
+        return bx, by
+
+
 def decode_baseline(data: bytes):
-    """Decode a baseline-sequential JFIF/JPEG byte string.
+    """Decode a JFIF/JPEG byte string — baseline sequential (SOF0/1)
+    AND progressive (SOF2: spectral selection + successive
+    approximation, DC and AC refinement scans, EOB runs).
 
     Returns ``(height, width, pixels)`` where pixels is a uint8 ndarray
     of shape (h, w) for grayscale or (h, w, 3) RGB.  Raises ValueError
     on malformed containers and NotImplementedError for modes a real
-    deployment would hand to libjpeg-turbo (progressive, 12-bit,
-    arithmetic coding) — same fail-soft contract as parse_wav/parse_bmp.
+    deployment would hand to libjpeg-turbo (12-bit, arithmetic coding,
+    lossless/hierarchical) — same fail-soft contract as parse_wav.
     """
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -306,15 +344,20 @@ def decode_baseline(data: bytes):
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    saw_scan = False
     while True:
-        if pos + 4 > len(data):
-            raise ValueError("truncated before SOS")
+        if pos + 2 > len(data):
+            raise ValueError("truncated before EOI")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -339,7 +382,7 @@ def decode_baseline(data: bytes):
                 values = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -347,11 +390,11 @@ def decode_baseline(data: bytes):
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = _Frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential DCT is supported (progressive/"
-                "arithmetic/lossless need libjpeg)"
+                "sequential and progressive DCT are supported; "
+                "arithmetic/lossless/hierarchical modes need libjpeg"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -363,114 +406,260 @@ def decode_baseline(data: bytes):
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
-            pos = pos + seglen
-            return _decode_scan(
-                data, pos, frame, scan, qtables, huff, restart_interval
-            )
-        elif marker == 0xD9:
-            raise ValueError("EOI before SOS")
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            pos += seglen
+            if frame.progressive:
+                pos = _decode_prog_scan(
+                    data, pos, frame, scan, huff, restart_interval,
+                    ss, se, ah, al,
+                )
+            else:
+                pos = _decode_seq_scan(
+                    data, pos, frame, scan, huff, restart_interval
+                )
+            saw_scan = True
+            continue
         pos += seglen
+    if frame is None or not saw_scan:
+        raise ValueError("no entropy-coded image data")
+    return _reconstruct(frame, qtables)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
-    h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ValueError("zero image dimension")
-    by_id = {cid: (ci, hi, vi, tq) for (cid, hi, vi, tq), ci in
-             zip(comps, range(len(comps)))}
-    order = []  # scan-ordered (comp_index, hi, vi, tq, dc_tbl, ac_tbl)
+def _scan_order(frame, scan):
+    """Resolve scan component refs → [(ci, hi, vi, td, ta)]."""
+    by_id = {cid: ci for ci, (cid, _, _, _) in enumerate(frame.comps)}
+    order = []
     for cs, td, ta in scan:
         if cs not in by_id:
             raise ValueError(f"scan references unknown component {cs}")
-        ci, hi, vi, tq = by_id[cs]
-        order.append((ci, hi, vi, tq, td, ta))
-    hmax = max(hi for _, hi, _, _, _, _ in order)
-    vmax = max(vi for _, _, vi, _, _, _ in order)
-    if len(order) == 1:
-        # non-interleaved single-component scan: MCU is ONE block
-        ci, hi, vi, tq, td, ta = order[0]
-        bx = (w * hi // hmax + 7) // 8
-        by = (h * vi // vmax + 7) // 8
-        geometry = [(ci, 1, 1, tq, td, ta)]
-        mcus_x, mcus_y = bx, by
-        plane_blocks = {ci: (bx, by)}
-    else:
-        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-        geometry = order
-        plane_blocks = {
-            ci: (mcus_x * hi, mcus_y * vi) for ci, hi, vi, _, _, _ in order
-        }
+        ci = by_id[cs]
+        _, hi, vi, _ = frame.comps[ci]
+        order.append((ci, hi, vi, td, ta))
+    return order
 
-    blocks = {ci: [] for ci, *_ in geometry}  # flat zigzag coef rows
+
+def _scan_units(frame, order):
+    """Iteration geometry of one scan: (units, blocks_of(unit_index)).
+
+    Interleaved (ns > 1): units are MCUs; each yields hi·vi blocks per
+    component in raster-within-MCU order.  Non-interleaved (ns == 1):
+    units are the component's OWN blocks in raster order (T.81 A.2.2 —
+    its padding grid, not the MCU grid)."""
+    if len(order) > 1:
+        units = frame.mcus_x * frame.mcus_y
+
+        def blocks(u):
+            my, mx = divmod(u, frame.mcus_x)
+            for idx, (ci, hi, vi, td, ta) in enumerate(order):
+                for v in range(vi):
+                    for hh in range(hi):
+                        yield idx, ci, my * vi + v, mx * hi + hh, td, ta
+
+        return units, blocks
+    ci, hi, vi, td, ta = order[0]
+    bx, by = frame.comp_blocks(ci)
+    units = bx * by
+
+    def blocks(u):
+        yb, xb = divmod(u, bx)
+        yield 0, ci, yb, xb, td, ta
+
+    return units, blocks
+
+
+def _decode_seq_scan(data, pos, frame, scan, huff, restart_interval):
+    """Sequential scan: full-spectrum blocks into the coef grids.
+    Returns the byte position of the next marker."""
+    order = _scan_order(frame, scan)
+    units, blocks_of = _scan_units(frame, order)
     br = _BitReader(data, pos)
-    dc_pred = {ci: 0 for ci, *_ in geometry}
-    n_mcus = mcus_x * mcus_y
+    dc_pred = {ci: 0 for ci, *_ in order}
     rst = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
             br.sync_restart(rst)
             rst = (rst + 1) & 7
             for ci in dc_pred:
                 dc_pred[ci] = 0
-        for ci, hi, vi, tq, td, ta in geometry:
-            dc_tbl = huff.get((0, td))
-            ac_tbl = huff.get((1, ta))
+        for _, ci, yb, xb, td, ta in blocks_of(u):
+            dc_tbl, ac_tbl = huff.get((0, td)), huff.get((1, ta))
             if dc_tbl is None or ac_tbl is None:
                 raise ValueError("scan uses an undefined Huffman table")
-            for _ in range(hi * vi):
-                coef = np.zeros(64, dtype=np.int64)
-                s = dc_tbl.decode(br)
+            coef = frame.coef[ci][yb, xb]
+            s = dc_tbl.decode(br)
+            if s > 11:
+                raise ValueError("invalid DC category")
+            dc_pred[ci] += _extend(br.receive(s), s)
+            coef[0] = dc_pred[ci]
+            k = 1
+            while k < 64:
+                rs = ac_tbl.decode(br)
+                r, size = rs >> 4, rs & 15
+                if size == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                coef[_ZIGZAG[k]] = _extend(br.receive(size), size)
+                k += 1
+    return br.pos
+
+
+def _decode_prog_scan(data, pos, frame, scan, huff, restart_interval,
+                      ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first / DC refinement /
+    AC first / AC refinement, with EOB-run coding and successive
+    approximation.  Coefficients accumulate in frame.coef; the IDCT
+    happens once, after every scan."""
+    order = _scan_order(frame, scan)
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    units, blocks_of = _scan_units(frame, order)
+    br = _BitReader(data, pos)
+    dc_pred = {ci: 0 for ci, *_ in order}
+    eobrun = 0
+    rst = 0
+    p1 = 1 << al
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) & 7
+            for ci in dc_pred:
+                dc_pred[ci] = 0
+            eobrun = 0
+        for _, ci, yb, xb, td, ta in blocks_of(u):
+            coef = frame.coef[ci][yb, xb]
+            if ss == 0 and ah == 0:  # DC first
+                tbl = huff.get((0, td))
+                if tbl is None:
+                    raise ValueError("scan uses an undefined Huffman table")
+                s = tbl.decode(br)
                 if s > 11:
                     raise ValueError("invalid DC category")
                 dc_pred[ci] += _extend(br.receive(s), s)
-                coef[0] = dc_pred[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_tbl.decode(br)
-                    r, size = rs >> 4, rs & 15
-                    if size == 0:
+                coef[0] = dc_pred[ci] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    coef[0] |= p1
+            elif ah == 0:  # AC first (with EOB runs)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                tbl = huff.get((1, ta))
+                if tbl is None:
+                    raise ValueError("scan uses an undefined Huffman table")
+                k = ss
+                while k <= se:
+                    rs = tbl.decode(br)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
                         if r == 15:
                             k += 16
                             continue
-                        break  # EOB
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
                     k += r
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    coef[_ZIGZAG[k]] = _extend(br.receive(size), size)
+                    if k > se:
+                        raise ValueError("AC run past spectral band")
+                    coef[_ZIGZAG[k]] = _extend(br.receive(s), s) << al
                     k += 1
-                blocks[ci].append(coef)
+            else:  # AC refinement
+                eobrun = _ac_refine_block(
+                    br, huff.get((1, ta)), coef, ss, se, al, eobrun
+                )
+    return br.pos
 
+
+def _ac_refine_block(br, tbl, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the libjpeg decode_mcu_AC_refine control flow, rewritten):
+    each nonzero history coefficient in the band receives a correction
+    bit; newly significant coefficients arrive as ±1·2^Al."""
+    if tbl is None:
+        raise ValueError("scan uses an undefined Huffman table")
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(z):
+        # a 1-bit means "magnitude grows by 2^Al" IF this pass hasn't
+        # already set that bit
+        if br.read_bit() and (coef[z] & p1) == 0:
+            coef[z] += p1 if coef[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = tbl.decode(br)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDING this block: the remainder of the
+                    # band below still receives correction bits for its
+                    # nonzero-history coefficients before the decrement
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                newval = p1 if br.read_bit() else m1
+            # advance past r zero-history positions, correcting the
+            # nonzero-history coefficients we step over
+            while k <= se:
+                z = int(_ZIGZAG[k])
+                if coef[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement run past spectral band")
+                coef[int(_ZIGZAG[k])] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(_ZIGZAG[k])
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qtables):
+    """Dequantize + IDCT every component grid, upsample, color-convert."""
+    h, w = frame.h, frame.w
     planes = []
-    for cid_idx, (ci, hi, vi, tq, _, _) in enumerate(geometry):
+    for ci, (_, hi, vi, tq) in enumerate(frame.comps):
         if tq not in qtables:
             raise ValueError("component uses an undefined quant table")
-        bw, bh = plane_blocks[ci]
-        arr = np.stack(blocks[ci]).reshape(-1, 8, 8)
-        arr = arr * qtables[tq][None, :, :]
+        grid = frame.coef[ci]  # (by, bx, 64)
+        by, bx = grid.shape[:2]
+        arr = grid.reshape(-1, 64).reshape(-1, 8, 8) * qtables[tq][None]
         spatial = _idct_blocks(arr.astype(np.float64))
         pix = np.floor(spatial + 128.5)
-        # re-tile block list (MCU-major) into the plane
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        bi = 0
-        if len(geometry) == 1:
-            for yb in range(bh):
-                for xb in range(bw):
-                    plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = pix[bi]
-                    bi += 1
-        else:
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for v in range(vi):
-                        for hh in range(hi):
-                            yb, xb = my * vi + v, mx * hi + hh
-                            plane[
-                                yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8
-                            ] = pix[bi]
-                            bi += 1
-        # upsample to full resolution and crop
-        orig = comps[ci]
-        fy, fx = vmax // orig[2], hmax // orig[1]
+        # (by*bx, 8, 8) raster blocks → (by*8, bx*8) plane
+        plane = (
+            pix.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        fy, fx = frame.vmax // vi, frame.hmax // hi
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
@@ -521,30 +710,6 @@ def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((qt * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _encode_plane_blocks(plane: np.ndarray, bw: int, bh: int,
-                         mcu_geom=None) -> np.ndarray:
-    """Split a padded plane into 8×8 blocks in MCU-major order."""
-    if mcu_geom is None:
-        tiles = [
-            plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
-            for yb in range(bh)
-            for xb in range(bw)
-        ]
-    else:
-        mcus_x, mcus_y, hi, vi = mcu_geom
-        tiles = [
-            plane[
-                (my * vi + v) * 8 : (my * vi + v) * 8 + 8,
-                (mx * hi + hh) * 8 : (mx * hi + hh) * 8 + 8,
-            ]
-            for my in range(mcus_y)
-            for mx in range(mcus_x)
-            for v in range(vi)
-            for hh in range(hi)
-        ]
-    return np.stack(tiles).astype(np.float64)
-
-
 def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     h, w = plane.shape
     ph = (mult_y - h % mult_y) % mult_y
@@ -553,11 +718,17 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
 
 
 def encode_baseline(arr: np.ndarray, quality: int = 85,
-                    subsample: str = "444") -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JFIF.
+                    subsample: str = "444",
+                    progressive: bool = False) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to JFIF.
 
     ``subsample``: "444" (no chroma subsampling) or "420" (2×2 box
     average — tests the decoder's hardest upsampling path).
+    ``progressive``: emit SOF2 with spectral selection — one interleaved
+    DC scan then a full-band AC scan per component (Ah=Al=0).  The
+    quantized coefficients are IDENTICAL to the sequential encoding, so
+    both must decode to bit-identical pixels — the cheapest possible
+    cross-check of the progressive decode path at image scale.
     """
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
@@ -600,8 +771,9 @@ def encode_baseline(arr: np.ndarray, quality: int = 85,
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # quantized coefficient blocks per component, MCU-major
-    comp_blocks = []
+    # quantized coefficient grids per component: (by, bx, 64) natural
+    # raster, zigzag applied at emission
+    comp_grids = []
     for plane, (hi, vi), qt in zip(planes, samplings, qts):
         tw, th = mcus_x * hi * 8, mcus_y * vi * 8
         p = _pad_to(plane, 8, 8)
@@ -611,14 +783,16 @@ def encode_baseline(arr: np.ndarray, quality: int = 85,
             ((0, th - p.shape[0]), (0, tw - p.shape[1])),
             mode="edge",
         ) if (p.shape[0] < th or p.shape[1] < tw) else p[:th, :tw]
-        tiles = _encode_plane_blocks(
-            p, tw // 8, th // 8, (mcus_x, mcus_y, hi, vi)
+        tiles = (
+            p.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            .astype(np.float64)
         )
         coefs = _fdct_blocks(tiles - 128.0)
         q = np.floor(coefs / qt.reshape(8, 8)[None] + 0.5).astype(np.int64)
-        comp_blocks.append(q.reshape(-1, 64))
+        comp_grids.append(q.reshape(th // 8, tw // 8, 64))
 
-    # Huffman-encode
     dc_tabs = [_DC_LUMA] + ([_DC_CHROMA, _DC_CHROMA] if not gray else [])
     ac_tabs = [_AC_LUMA] + ([_AC_CHROMA, _AC_CHROMA] if not gray else [])
     enc_dc = [
@@ -633,46 +807,96 @@ def encode_baseline(arr: np.ndarray, quality: int = 85,
     def _category(v: int) -> int:
         return int(abs(v)).bit_length()
 
-    bw_ = _BitWriter()
-    dc_pred = [0] * len(planes)
-    per_mcu = [hi * vi for hi, vi in samplings]
-    idx = [0] * len(planes)
-    for _ in range(mcus_x * mcus_y):
-        for c in range(len(planes)):
-            tdc, tac = enc_dc[min(c, len(enc_dc) - 1)], enc_ac[min(c, len(enc_ac) - 1)]
-            for _ in range(per_mcu[c]):
-                blk = comp_blocks[c][idx[c]]
-                idx[c] += 1
-                zz = blk[_ZIGZAG]
-                diff = int(zz[0]) - dc_pred[c]
-                dc_pred[c] = int(zz[0])
-                s = _category(diff)
-                code, ln = tdc[s]
+    def _write_dc(bw_, tdc, diff):
+        s = _category(diff)
+        code, ln = tdc[s]
+        bw_.write(code, ln)
+        if s:
+            v = diff if diff >= 0 else diff + (1 << s) - 1
+            bw_.write(v, s)
+
+    def _write_ac_band(bw_, tac, zz, lo, hi_k):
+        run = 0
+        any_nz = any(int(zz[k]) for k in range(lo, hi_k + 1))
+        last_written = lo - 1
+        for k in range(lo, hi_k + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = tac[0xF0]
                 bw_.write(code, ln)
-                if s:
-                    v = diff if diff >= 0 else diff + (1 << s) - 1
-                    bw_.write(v, s)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = tac[0xF0]
-                        bw_.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = tac[(run << 4) | s]
-                    bw_.write(code, ln)
-                    vv = v if v >= 0 else v + (1 << s) - 1
-                    bw_.write(vv, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = tac[0x00]  # EOB
-                    bw_.write(code, ln)
-    bw_.flush()
+                run -= 16
+            s = _category(v)
+            code, ln = tac[(run << 4) | s]
+            bw_.write(code, ln)
+            vv = v if v >= 0 else v + (1 << s) - 1
+            bw_.write(vv, s)
+            run = 0
+            last_written = k
+        if not any_nz or last_written < hi_k:
+            code, ln = tac[0x00]  # EOB (an EOB run of exactly 1)
+            bw_.write(code, ln)
+
+    def _mcu_blocks():
+        """(comp, yb, xb) in interleaved MCU-major order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c, (hi, vi) in enumerate(samplings):
+                    for v in range(vi):
+                        for hh in range(hi):
+                            yield c, my * vi + v, mx * hi + hh
+
+    scans = []  # (sos_header_tail_bytes, entropy_bytes)
+    ncomp = len(planes)
+    if not progressive:
+        bw_ = _BitWriter()
+        dc_pred = [0] * ncomp
+        for c, yb, xb in _mcu_blocks():
+            zz = comp_grids[c][yb, xb][_ZIGZAG]
+            _write_dc(bw_, enc_dc[min(c, 1)], int(zz[0]) - dc_pred[c])
+            dc_pred[c] = int(zz[0])
+            _write_ac_band(bw_, enc_ac[min(c, 1)], zz, 1, 63)
+        bw_.flush()
+        comps_spec = bytes(
+            b for i in range(ncomp) for b in (i + 1, 0x00 if i == 0 else 0x11)
+        )
+        scans.append((bytes([ncomp]) + comps_spec + b"\x00\x3f\x00", bw_.out))
+    else:
+        # spectral-selection progressive: one interleaved DC scan
+        # (Ss=Se=0), then one full-band AC scan per component — every
+        # scan at Ah=Al=0, each block's band ending in a plain EOB
+        bw_ = _BitWriter()
+        dc_pred = [0] * ncomp
+        for c, yb, xb in _mcu_blocks():
+            dc = int(comp_grids[c][yb, xb][0])
+            _write_dc(bw_, enc_dc[min(c, 1)], dc - dc_pred[c])
+            dc_pred[c] = dc
+        bw_.flush()
+        comps_spec = bytes(
+            b for i in range(ncomp) for b in (i + 1, 0x00 if i == 0 else 0x10)
+        )
+        scans.append((bytes([ncomp]) + comps_spec + b"\x00\x00\x00", bw_.out))
+        for c in range(ncomp):
+            hi, vi = samplings[c]
+            # non-interleaved coverage: the component's OWN ceil grid
+            # (T.81 A.2.2), NOT the MCU-padded grid
+            bx = (w * hi + 8 * hmax - 1) // (8 * hmax)
+            by = (h * vi + 8 * vmax - 1) // (8 * vmax)
+            bw_ = _BitWriter()
+            for yb in range(by):
+                for xb in range(bx):
+                    zz = comp_grids[c][yb, xb][_ZIGZAG]
+                    _write_ac_band(bw_, enc_ac[min(c, 1)], zz, 1, 63)
+            bw_.flush()
+            scans.append(
+                (
+                    bytes([1, c + 1, 0x00 if c == 0 else 0x11])
+                    + b"\x01\x3f\x00",
+                    bw_.out,
+                )
+            )
 
     # container
     out = bytearray(b"\xff\xd8")
@@ -684,8 +908,8 @@ def encode_baseline(arr: np.ndarray, quality: int = 85,
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
             int(x) for x in qt[_ZIGZAG]
         )
-    ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for i in range(ncomp):
         hi, vi = samplings[i]
         out += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
@@ -695,10 +919,9 @@ def encode_baseline(arr: np.ndarray, quality: int = 85,
             out += b"\xff\xc4" + struct.pack(
                 ">HB", 19 + len(values), (tc << 4) | th
             ) + bytes(bits) + bytes(values)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for i in range(ncomp):
-        out += bytes([i + 1, 0x00 if i == 0 else 0x11])
-    out += b"\x00\x3f\x00"
-    out += bw_.out
+    for header_tail, entropy in scans:
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(header_tail))
+        out += header_tail
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

@@ -21,10 +21,11 @@ Decode support is two-tier:
   ``fake_decode=False`` path of ``resize_images``; it is pinned by
   hand-constructed spec streams (a SQL engine can't replay
   Huffman+IDCT, so no DuckDB oracle lane).
-* the remaining compressed codecs (MP3/H.264, progressive JPEG) need
-  libs absent from this container; those payloads still raise
-  ``NotImplementedError`` where ffmpeg would go.  ``fake_decode=True``
-  keeps the deterministic byte-slicer for plumbing tests.
+* the remaining compressed codecs (MP3/H.264; arithmetic-coded or
+  12-bit JPEG) need libs absent from this container; those payloads
+  still raise ``NotImplementedError`` where ffmpeg would go.
+  ``fake_decode=True`` keeps the deterministic byte-slicer for
+  plumbing tests.
 """
 
 from __future__ import annotations
@@ -686,13 +687,18 @@ def documents_as_jpeg(
     text_col: str = "text",
     width: int = 16,
     quality: int = 90,
+    progressive_every: int | None = None,
 ) -> DataFrame:
     """Deterministic baseline-JPEG payloads from document text: the
     text's utf-8 bytes fill a width×height grayscale raster top-down
     (zero-padded, height = max(1, n_bytes // width) capped at 64 rows),
     encoded through the real ``operators/jpeg.py`` codec.  The planted
     corpus therefore exercises Huffman coding, FDCT and the decoder's
-    full path on every document."""
+    full path on every document.  ``progressive_every=N`` encodes every
+    Nth id as a PROGRESSIVE (SOF2 spectral-selection) stream — decoded
+    pixels are bit-identical either way, so downstream geometry/content
+    contracts hold unchanged while the multi-scan path gets corpus-wide
+    exercise."""
     import numpy as np
 
     from . import jpeg
@@ -706,7 +712,13 @@ def documents_as_jpeg(
                 pix = np.frombuffer(
                     b[: width * h].ljust(width * h, b"\x00"), dtype=np.uint8
                 ).reshape(h, width)
-                rows.append((mid, jpeg.encode_baseline(pix, quality)))
+                prog = (
+                    progressive_every is not None
+                    and mid % progressive_every == 0
+                )
+                rows.append(
+                    (mid, jpeg.encode_baseline(pix, quality, progressive=prog))
+                )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     schema = T.StructType(
@@ -736,7 +748,7 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
     """REAL compressed-image decode lane: run each payload through the
     baseline JPEG codec and reduce to exact-integer stats + an md5 over
     the row-major pixel bytes.  Per-row fail-soft: corrupt containers
-    and unsupported modes (progressive, 12-bit) yield NULLs, never a
+    and unsupported modes (arithmetic-coded, 12-bit) yield NULLs, never a
     task failure — same contract as decode_wav/decode_bmp.  Unlike the
     uncompressed lanes there is no SQL oracle (a DuckDB replay of
     Huffman+IDCT is not expressible); correctness is pinned by the

@@ -38,10 +38,13 @@ _JW = 16  # raster width documents_as_jpeg plants
 def q_jpeg_decode(spark, sf_dir):
     """Distributed JPEG round trip: rasterize text → encode_baseline on
     executors → decode_jpeg on executors; output the geometry + a
-    decoded flag per media.  See module docstring for what the oracle
+    decoded flag per media.  Every 3rd document is encoded PROGRESSIVE
+    (SOF2 multi-scan, r8) — pixels and therefore the oracle are
+    identical, so a progressive-path regression fails this lane's
+    decoded flag corpus-wide.  See module docstring for what the oracle
     pins vs the spec-stream tests."""
     d = _t(spark, sf_dir, "documents")
-    media = multimodal.documents_as_jpeg(d, width=_JW)
+    media = multimodal.documents_as_jpeg(d, width=_JW, progressive_every=3)
     return multimodal.decode_jpeg(media).select(
         "media_id",
         "width",

@@ -108,16 +108,131 @@ def test_hand_built_ac_coefficient():
 
 
 # --------------------------------------------------------------------------
+# hand-built PROGRESSIVE streams (successive approximation + EOB runs)
+# --------------------------------------------------------------------------
+
+def _prog_gray(w_blocks, scans, q_dc=16):
+    """One-component progressive (SOF2) stream, 8×(8·w_blocks), trivial
+    tables (DC categories 0..3 as 2-bit codes; AC: '0'→0x01 run0/size1,
+    '10'→0x00 EOB, '110'→0xF0 ZRL, '111'→0x11 run1/size1).  ``scans`` is
+    a list of (ss, se, ah, al, entropy_bytes)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([q_dc] + [1] * 63)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8 * w_blocks, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 23, 0x00)
+    out += bytes([0, 4] + [0] * 14) + bytes([0, 1, 2, 3])
+    out += b"\xff\xc4" + struct.pack(">HB", 23, 0x10)
+    out += bytes([1, 1, 2] + [0] * 13) + bytes([0x01, 0x00, 0xF0, 0x11])
+    for ss, se, ah, al, entropy in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_successive_approximation_single_block():
+    """Four scans building one block: DC first at Al=1 (diff +3 →
+    coef 6), AC first at Al=1 (+1 at zigzag 1 → coef 2), DC refine
+    (bit 1 → coef 7), AC refine (correction 1 on the existing coef
+    → 3, new −1 at zigzag 2, EOB with remainder corrections)."""
+    scans = [
+        # DC first, Al=1: cat 2 '10' + bits '11' (=+3) → 10 11 + 1-pad
+        (0, 0, 0, 1, bytes([0b10111111])),
+        # AC first 1..63, Al=1: sym '0', mag '1' (=+1), EOB '10'
+        (1, 63, 0, 1, bytes([0b01101111])),
+        # DC refine Ah=1→Al=0: one raw bit = 1 (0xFF would need byte
+        # stuffing, so pad with 0111111 instead)
+        (0, 0, 1, 0, bytes([0b10111111])),
+        # AC refine Ah=1→Al=0: sym '0' (r0 s1), sign bit 0 (−1),
+        # correction bit 1 for zigzag-1, place −1 at zigzag 2,
+        # then EOB '10' (corrections for the remainder: none nonzero)
+        (1, 63, 1, 0, bytes([0b00110111])),
+    ]
+    h, w, px = jpeg.decode_baseline(_prog_gray(1, scans))
+    # final dequantized coefficients (natural order): F[0,0] = 7·16 =
+    # 112, F[0,1] = 3 (zigzag 1), F[1,0] = −1 (zigzag 2 → second ROW)
+    b0 = 0.35355339059327373
+    b1 = np.array([0.4903926402016152, 0.4157348061512726,
+                   0.27778511650980114, 0.09754516100806417,
+                   -0.0975451610080641, -0.277785116509801,
+                   -0.4157348061512727, -0.4903926402016152])
+    expect = np.floor(
+        112 * b0 * b0
+        + 3 * b0 * b1[None, :]      # F[0,1]: varies along columns
+        - 1 * b0 * b1[:, None]      # F[1,0]: varies along rows
+        + 128.5
+    ).astype(np.uint8)
+    assert np.array_equal(px, expect)
+
+
+def test_progressive_eob_run_spans_blocks():
+    """An AC-first scan whose single EOB1 symbol (run length 2) must
+    terminate BOTH blocks of the image; the DC scan gives them
+    different flat levels to prove both still reconstruct.
+    AC table for this stream: '0' → 0x10 (EOB1), '10' → 0x00 (EOB)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] + [1] * 63)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 23, 0x00)
+    out += bytes([0, 4] + [0] * 14) + bytes([0, 1, 2, 3])
+    out += b"\xff\xc4" + struct.pack(">HB", 21, 0x10)
+    out += bytes([1, 1] + [0] * 14) + bytes([0x10, 0x00])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    out += bytes([0b10100101])  # DC: +2 then −1
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0])
+    # EOB1 '0' + 1 appended bit '0' → run = (1<<1)-1+0 = 1 → this block
+    # ends AND the next block is consumed by the pending run
+    out += bytes([0b00111111])
+    out += b"\xff\xd9"
+    h, w, px = jpeg.decode_baseline(bytes(out))
+    assert (h, w) == (8, 16)
+    assert np.all(px[:, :8] == 132)  # dc=+2 → 2·16/8+128
+    assert np.all(px[:, 8:] == 130)  # dc=+2−1=1 → 16/8+128
+
+
+def test_progressive_matches_sequential_bitexact():
+    """Spectral-selection progressive re-encodes the SAME quantized
+    coefficients as sequential — decoded pixels must be bit-identical
+    across gray/color, 4:4:4/4:2:0, odd dims (incl. the Y-grid padding
+    mismatch between interleaved DC and non-interleaved AC scans)."""
+    for dims, gray, sub in [
+        ((24, 18), False, "444"),
+        ((24, 18), False, "420"),
+        ((23, 17), True, "444"),
+        ((33, 31), False, "420"),
+        ((1, 1), True, "444"),
+    ]:
+        img = _smooth_rgb(*dims)
+        if gray:
+            img = img[..., 0]
+        seq = jpeg.decode_baseline(
+            jpeg.encode_baseline(img, 90, subsample=sub)
+        )[2]
+        prog = jpeg.decode_baseline(
+            jpeg.encode_baseline(img, 90, subsample=sub, progressive=True)
+        )[2]
+        assert np.array_equal(seq, prog), (dims, gray, sub)
+
+
+# --------------------------------------------------------------------------
 # failure modes
 # --------------------------------------------------------------------------
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic():
     with pytest.raises(ValueError):
         jpeg.decode_baseline(b"RIFF1234WAVE")
-    # progressive: flip SOF0 → SOF2 in a real encoded stream
+    # arithmetic coding (SOF9): flip SOF0 → 0xC9 in a real stream —
+    # progressive (SOF2) is now SUPPORTED, the honest seam moved here
     data = bytearray(jpeg.encode_baseline(np.zeros((8, 8), dtype=np.uint8)))
-    data[data.index(b"\xff\xc0") + 1] = 0xC2
+    data[data.index(b"\xff\xc0") + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        jpeg.decode_baseline(bytes(data))
+    # a sequential scan mislabeled SOF2 is malformed, not a crash
+    data[data.index(b"\xff\xc9") + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpeg.decode_baseline(bytes(data))
 
 
