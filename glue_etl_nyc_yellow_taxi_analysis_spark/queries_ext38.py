@@ -77,7 +77,7 @@ _PAIRS = (
 )
 
 
-def _train(spark, d):
+def _train(spark, d, n_merges: int | None = None):
     """Run the merge loop; returns (final word-type frame with ``seg``,
     merges list of Row-like tuples).
 
@@ -93,7 +93,7 @@ def _train(spark, d):
         .localCheckpoint()
     )
     merges = []
-    for step in range(1, N_MERGES + 1):
+    for step in range(1, (n_merges or N_MERGES) + 1):
         best = (
             w.select("freq", F.expr(_SYMS).alias("syms"))
             .select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
@@ -129,14 +129,14 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
-def q_bpe_fertility(spark, sf_dir):
-    """Apply the learned merges: per source, total token occurrences and
-    total post-BPE symbols (fertility = n_symbols / n_tokens, kept as
-    exact integers — the hasher rejects float division).  One extra
-    corpus-scale pass for (source, word) counts; the |types|-row
-    segmentation table broadcasts onto it."""
-    d = _t(spark, sf_dir, "documents")
-    w, _ = _train(spark, d)
+def fertility_of(d, w):
+    """Apply learned merges (final type frame ``w``) to a documents
+    FRAME: per source, total token occurrences and total post-BPE
+    symbols (fertility = n_symbols / n_tokens, kept as exact integers —
+    the hasher rejects float division).  One corpus-scale pass for
+    (source, word) counts; the |types|-row segmentation table
+    broadcasts onto it.  Frame-level so jobs.train_tokenizer shares the
+    lane's exact semantics."""
     seg_syms = w.select(
         "word", F.size(F.expr(_SYMS)).cast("bigint").alias("n_syms")
     )
@@ -162,6 +162,13 @@ def q_bpe_fertility(spark, sf_dir):
             F.sum(F.col("freq") * F.col("n_syms")).cast("bigint").alias("n_symbols"),
         )
     )
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Train, then apply — see ``fertility_of``."""
+    d = _t(spark, sf_dir, "documents")
+    w, _ = _train(spark, d)
+    return fertility_of(d, w)
 
 
 def _bpe_sql_ctes() -> str:
