@@ -297,12 +297,30 @@ class _HuffDecoder:
         raise ValueError("invalid Huffman code")
 
 
+# Decode-side resource guard: a hostile/corrupt SOF header can declare
+# 65535×65535×(sampling) and the coefficient buffers would be tens of
+# GB — on an executor that's an OOM kill, not an exception.  Payloads
+# above this pixel budget raise ValueError (fail-soft NULL in the
+# mapInPandas lanes); raise the cap deliberately for genuine
+# ultra-high-res corpora.
+MAX_DECODE_PIXELS = 1 << 26  # 67M px ≈ 8K×8K — coef buffers ≤ ~0.6 GB
+
+
 class _Frame:
     """Geometry shared by every scan of one image."""
 
     def __init__(self, h, w, comps, progressive):
         if h == 0 or w == 0:
             raise ValueError("zero image dimension")
+        if h * w > MAX_DECODE_PIXELS:
+            raise ValueError(
+                f"image {w}x{h} exceeds MAX_DECODE_PIXELS "
+                f"({MAX_DECODE_PIXELS}) — refusing to allocate"
+            )
+        if not comps or len(comps) > 4:
+            raise ValueError(f"{len(comps)} components")
+        if any(hi < 1 or hi > 4 or vi < 1 or vi > 4 for _, hi, vi, _ in comps):
+            raise ValueError("sampling factors out of range 1..4")
         self.h, self.w = h, w
         self.comps = comps  # [(cid, hi, vi, tq)]
         self.progressive = progressive

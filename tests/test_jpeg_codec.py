@@ -291,6 +291,49 @@ def test_bit_determinism():
     assert da == db
 
 
+def test_decode_size_guard():
+    """A corrupt/hostile SOF header declaring a huge image must raise
+    (fail-soft NULL in the lanes), never allocate tens of GB on an
+    executor."""
+    data = bytearray(jpeg.encode_baseline(np.zeros((8, 8), dtype=np.uint8)))
+    i = data.index(b"\xff\xc0")
+    data[i + 5 : i + 9] = struct.pack(">HH", 65500, 65500)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        jpeg.decode_baseline(bytes(data))
+
+
+def test_decoder_fail_soft_under_byte_mutations():
+    """Seeded fuzz: single-byte mutations of valid sequential AND
+    progressive streams must either decode or raise one of the
+    exceptions the mapInPandas lanes catch — never hang, OOM, or leak
+    an unexpected exception type (that would abort a whole task at
+    scale instead of NULLing one row)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    img = _smooth_rgb(16, 16)
+    streams = [
+        jpeg.encode_baseline(img, 80, subsample="420"),
+        jpeg.encode_baseline(img, 80, progressive=True),
+        jpeg.encode_baseline(img[..., 0], 80),
+    ]
+    catchable = (ValueError, NotImplementedError, IndexError, struct.error)
+    n_ok = n_err = 0
+    for _ in range(400):
+        enc = streams[rng.randrange(len(streams))]
+        i = rng.randrange(len(enc))
+        mutated = enc[:i] + bytes([rng.randrange(256)]) + enc[i + 1 :]
+        try:
+            h, w, px = jpeg.decode_baseline(mutated)
+            assert px.dtype == np.uint8
+            n_ok += 1
+        except catchable:
+            n_err += 1
+    # both outcomes must occur: all-error would mean the harness is
+    # mutating something trivially fatal, all-ok that mutations miss
+    assert n_ok > 0 and n_err > 0
+
+
 def test_one_pixel_image():
     img = np.array([[200]], dtype=np.uint8)
     h, w, out = jpeg.decode_baseline(jpeg.encode_baseline(img, quality=95))
