@@ -256,6 +256,15 @@ HEADLINE = [
     # round-8: iterative BPE tokenizer training + merge application
     "q_bpe_train",
     "q_bpe_fertility",
+    # round-8: lossless PNG codec lanes (content-verified round trip,
+    # content-verified resize, real-dispatch feature extraction, and
+    # the in-stream encode+decode micro-batch twin)
+    "q_png_decode",
+    "q_png_resize",
+    "q_png_features",
+    "q_stream_png_ingest",
+    # round-8: tokenizer-aware packing (train → encode → pack)
+    "q_bpe_pack",
 ]
 
 

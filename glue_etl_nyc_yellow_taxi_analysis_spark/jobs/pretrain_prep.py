@@ -24,6 +24,11 @@ pressure are the shape a real 100 TB user runs):
                         ``mixture_shares_of`` T=1/2 per-source token
                         quotas: each source admits its highest-DSIR
                         docs until its share of --token-budget is spent
+  5.5 tokenizer (opt) — ``--bpe-merges N``: train BPE on the admitted
+                        corpus, encode every doc, and budget the pack
+                        stage in learned-tokenizer tokens (the oracled
+                        q_bpe_pack composition; jobs/train_tokenizer is
+                        the standalone artifact-emitting variant)
   6. pack             — fixed-budget sequence packing over the global
                         two-phase running sum (q_sequence_packing)
   7. split + shard    — deterministic md5 80/10/10 + per-split shards
@@ -43,7 +48,8 @@ iterative lineage never re-enters downstream plans.
     python -m glue_etl_nyc_yellow_taxi_analysis_spark.jobs.pretrain_prep \\
         --source /data/documents.parquet --output /data/pretrain \\
         [--token-budget N] [--pack-budget 512] [--threshold 0.6] \\
-        [--shards 8] [--benchmark bench.parquet] [--notify-jsonl f]
+        [--shards 8] [--benchmark bench.parquet] [--notify-jsonl f] \\
+        [--bpe-merges N]
 """
 
 from __future__ import annotations
@@ -69,6 +75,7 @@ def prepare(
     threshold: float = 0.6,
     shards: int = 8,
     benchmark: str | None = None,
+    bpe_merges: int | None = None,
 ) -> dict:
     """Run the full preparation pipeline; returns the dataset card."""
     # enter through the registry module FIRST (the jobs-module rule:
@@ -233,17 +240,46 @@ def prepare(
     clean.unpersist()
     lap("dsir_mixture")
 
+    # 5.5 optional tokenizer stage — train BPE on the ADMITTED corpus
+    #     (train-on-what-you-ship: the tokenizer must never see removed
+    #     or contaminated docs), then ENCODE every admitted doc; the
+    #     pack budget then counts LEARNED-tokenizer tokens, which is
+    #     what a pretraining data loader actually packs by.  Same
+    #     composition as the oracled q_bpe_pack lane.
+    tokenizer_card = None
+    if bpe_merges:
+        from ..queries_ext38 import _train, bpe_token_counts, fertility_of
+
+        w, merges = _train(spark, admitted, n_merges=bpe_merges)
+        fert = fertility_of(admitted, w).agg(
+            F.sum("n_tokens").alias("t"), F.sum("n_symbols").alias("s")
+        ).collect()[0]
+        n_wt, n_sym = int(fert["t"] or 0), int(fert["s"] or 0)
+        tokenizer_card = {
+            "n_merges": len(merges),
+            "merges": [m[3] for m in merges],
+            # exact-integer fertility: post-BPE symbols per word token
+            "fertility_e6": (n_sym * 1_000_000) // n_wt if n_wt else 0,
+        }
+        pack_counts = bpe_token_counts(admitted, w).select(
+            "doc_id", F.col("n_bpe_tokens").alias("__pack_tokens")
+        )
+        lap("bpe_tokenizer")
+    else:
+        pack_counts = admitted.select(
+            "doc_id", F.col("n_tokens").alias("__pack_tokens")
+        )
+
     # 6. sequence packing — two-phase global running sum, never a
     #    one-task window
     cum = global_running_sum(
-        admitted.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
-        out_col="__cum_tokens",
+        pack_counts, "doc_id", "__pack_tokens", out_col="__cum_tokens",
     )
     packed = admitted.join(
         cum.withColumn(
             "pack_id",
             F.expr(
-                f"CAST((__cum_tokens - n_tokens) DIV {pack_budget} AS BIGINT)"
+                f"CAST((__cum_tokens - __pack_tokens) DIV {pack_budget} AS BIGINT)"
             ),
         ).select("doc_id", "pack_id"),
         "doc_id",
@@ -325,6 +361,8 @@ def prepare(
         "shards": shards,
         "stage_wall_sec": walls,
     }
+    if tokenizer_card is not None:
+        card["tokenizer"] = tokenizer_card
     print("pretrain card: " + json.dumps(card, sort_keys=True))
     return card
 
@@ -349,6 +387,13 @@ def main(argv: list[str] | None = None) -> None:
         "default: the doc_id %% 97 == 0 stand-in",
     )
     p.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=None,
+        help="train a BPE tokenizer (N merges) on the admitted corpus and "
+        "pack by learned-token counts instead of whitespace counts",
+    )
+    p.add_argument(
         "--notify-jsonl",
         default=None,
         help="append a SUCCEEDED/FAILED terminal-state payload here",
@@ -370,6 +415,7 @@ def main(argv: list[str] | None = None) -> None:
             threshold=args.threshold,
             shards=args.shards,
             benchmark=args.benchmark,
+            bpe_merges=args.bpe_merges,
         )
 
     run_with_notification(

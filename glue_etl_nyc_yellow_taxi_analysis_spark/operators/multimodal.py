@@ -619,9 +619,9 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     def decode_values(data: bytes):
         """Real decode dispatch by magic bytes: PCM16 WAV → signed
         samples, 24bpp BMP → top-down pixel bytes, YUV4MPEG2 → flat luma
-        stream, baseline JPEG → row-major decoded pixel bytes (the
-        in-repo operators/jpeg.py codec); MP3/H.264 still need libs
-        absent from this container."""
+        stream, baseline JPEG / PNG → row-major decoded pixel bytes (the
+        in-repo operators/jpeg.py and operators/png.py codecs);
+        MP3/H.264 still need libs absent from this container."""
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return parse_wav(data)[2]
         if data[:2] == b"BM":
@@ -637,6 +637,10 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                 # corrupt JPEG container: same ValueError contract as
                 # the stdlib parsers (callers' fail-soft catches it)
                 raise ValueError(f"bad JPEG payload: {exc}") from exc
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            from . import png
+
+            return png.decode_png(data)[2].tobytes()
         raise NotImplementedError(
             "real decode covers PCM16 WAV / 24bpp BMP / Y4M / baseline "
             "JPEG; other formats require audio/video libraries not "
@@ -799,12 +803,16 @@ def resize_images(
     """Resize: (media_id, payload, width, height) → resized payload +
     updated metadata, Arrow-batched.
 
-    ``fake_decode=False`` is the REAL path: decode each payload as
-    baseline JPEG (operators/jpeg.py), nearest-neighbor resample to
-    (width, height) with the exact integer index map
-    src = floor(dst·src_dim/dst_dim), and re-encode at quality 90 —
-    bit-deterministic end to end.  Corrupt/unsupported payloads pass
-    through as NULL payloads with NULL dims (fail-soft).
+    ``fake_decode=False`` is the REAL path: decode each payload by its
+    magic bytes — PNG (operators/png.py) stays PNG, anything else is
+    treated as baseline JPEG (operators/jpeg.py) — nearest-neighbor
+    resample to (width, height) with the exact integer index map
+    src = floor(dst·src_dim/dst_dim), and re-encode in the SOURCE
+    format (format-preserving), bit-deterministic end to end.  The PNG
+    path is lossless both directions, so resized pixel VALUES are
+    exactly the index-mapped source pixels — SQL-replayable.  Corrupt/
+    unsupported payloads pass through as NULL payloads with NULL dims
+    (fail-soft).
 
     The fake path re-emits a deterministic payload slice sized
     proportional to the target area and stamps the new dimensions — the
@@ -821,7 +829,7 @@ def resize_images(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from . import jpeg
+        from . import jpeg, png
 
         for pdf in batches:
             out = []
@@ -831,20 +839,137 @@ def resize_images(
                     keep = max(1, min(len(data), width * height // 64))
                     out.append((mid, data[:keep], width, height))
                     continue
+                is_png = data[:8] == b"\x89PNG\r\n\x1a\n"
                 try:
-                    h0, w0, px = jpeg.decode_baseline(data)
+                    if is_png:
+                        h0, w0, px = png.decode_png(data)
+                    else:
+                        h0, w0, px = jpeg.decode_baseline(data)
                 except (ValueError, NotImplementedError, IndexError, struct.error):
                     out.append((mid, None, None, None))
                     continue
                 ys = (np.arange(height) * h0) // height
                 xs = (np.arange(width) * w0) // width
                 resized = px[ys][:, xs]
-                out.append(
-                    (mid, jpeg.encode_baseline(resized, 90), width, height)
+                enc = (
+                    png.encode_png(resized)
+                    if is_png
+                    else jpeg.encode_baseline(resized, 90)
                 )
+                out.append((mid, enc, width, height))
             yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
 
     return df.select("media_id", "payload").mapInPandas(resize, out_schema)
+
+
+def documents_as_png(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    interlace_every: int | None = None,
+) -> DataFrame:
+    """Deterministic PNG payloads from document text: the same
+    width×height grayscale raster convention as ``documents_as_jpeg``
+    (utf-8 bytes top-down, zero-padded, height = max(1, n_bytes//width)
+    capped at 64 rows), encoded through the real ``operators/png.py``
+    codec with adaptive per-row filtering — real corpora exercise all
+    five filter types.  ``interlace_every=N`` emits every Nth id as an
+    Adam7 interlaced stream.  PNG is LOSSLESS, so unlike the JPEG twin
+    the decoded pixels equal the planted raster byte-for-byte — the
+    PNG lanes' oracles pin full content, not just geometry."""
+    import numpy as np
+
+    from . import png
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                h = min(64, max(1, len(b) // width))
+                pix = np.frombuffer(
+                    b[: width * h].ljust(width * h, b"\x00"), dtype=np.uint8
+                ).reshape(h, width)
+                il = (
+                    interlace_every is not None
+                    and mid % interlace_every == 0
+                )
+                rows.append((mid, png.encode_png(pix, interlace=il)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+_PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sum_luma", T.LongType(), True),
+        T.StructField("pixels_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL lossless-image decode lane: run each payload through the
+    PNG codec and reduce to the exact integer value sum plus an md5
+    over the comma-joined decimal pixel values (channel 0 / luma plane,
+    row-major) — the ``array_to_string`` rendering DuckDB replays, so
+    the oracle verifies CONTENT through deflate+filtering, which the
+    lossy JPEG lanes cannot.  Per-row fail-soft: corrupt containers and
+    unsupported depths yield NULLs, never a task failure."""
+    import hashlib
+
+    from . import png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    h, w, px = png.decode_png(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid,) + (None,) * 5)
+                    continue
+                nchan = 1 if px.ndim == 2 else px.shape[2]
+                luma = px if px.ndim == 2 else px[..., 0]
+                flat = luma.reshape(-1)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        nchan,
+                        int(flat.astype("int64").sum()),
+                        hashlib.md5(
+                            ",".join(str(int(v)) for v in flat).encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sum_luma",
+                    "pixels_md5",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _PNG_DECODE_SCHEMA)
 
 
 def sample_frames(

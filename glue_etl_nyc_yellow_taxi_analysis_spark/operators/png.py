@@ -1,0 +1,343 @@
+"""Pure-python/numpy PNG codec — the lossless image format behind the
+multimodal seam.
+
+Companion to ``operators/jpeg.py``: the container ships no imaging
+binding, so compressed-image coverage is in-repo.  PNG (ISO/IEC
+15948 / RFC 2083 — public spec) is the LOSSLESS half of the story,
+which changes what the lanes can verify: unlike JPEG, a
+decode(encode(x)) round trip reproduces x byte-exactly, so the DuckDB
+oracles over the PNG lanes pin full pixel CONTENT (sums + md5 of the
+value stream), not just geometry.
+
+* ``decode_png(data)`` — signature + chunk walk with CRC32 validation,
+  IHDR sanity, PLTE palette expansion, multi-IDAT streamed zlib
+  inflate with an output-size bound (decompression-bomb guard), all
+  five scanline filters (None/Sub/Up/Average/Paeth), and Adam7
+  interlace reassembly.  Bit depth 8; color types 0 (gray), 2 (RGB),
+  3 (palette→RGB), 4 (gray+alpha), 6 (RGBA).
+* ``encode_png(arr)`` — IHDR/IDAT/IEND writer for gray / gray+alpha /
+  RGB / RGBA uint8 arrays; per-row adaptive filter selection (the
+  minimum-sum-of-absolute-differences heuristic, so real corpora
+  exercise every filter type), optional ``interlace=True`` Adam7
+  emission, fixed zlib level for bit determinism.
+
+Determinism: filtering is integer-exact by spec; zlib with a fixed
+level/strategy is deterministic for a given input (same library
+everywhere in this container), so encode is bit-stable across runs —
+and decode correctness never depends on that, only on inflate(deflate)
+identity.
+
+Scale posture: no Spark dependency; the distributed path wraps it in
+the same Arrow-batched ``mapInPandas`` kernels as the JPEG/WAV/BMP
+codecs (``multimodal.documents_as_png`` / ``decode_png`` /
+``resize_images``).  On a real cluster you swap this for libpng/PIL
+behind the identical contract.
+
+Bit depths 1/2/4/16 raise ``NotImplementedError`` — honest seams, like
+arithmetic-coded JPEG.  Every malformed-container path raises
+``ValueError`` (the fail-soft contract callers catch).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (bit depth 8 ⇒ bytes per pixel)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+_MAX_PIXELS = 1 << 26  # 64M samples — inflate output bound
+
+
+# --------------------------------------------------------------------------
+# scanline filters (spec §9) — byte arithmetic mod 256
+# --------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_pass(raw: memoryview, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct one (sub)image's scanlines: ``raw`` holds h rows of
+    (1 filter byte + stride data bytes).  Returns (h, stride) uint8.
+    Up/None rows are vectorized; Sub/Average/Paeth need the
+    reconstructed left neighbor, so they walk bytes (rows here are tiny
+    — the planted rasters are ≤192 bytes wide; a cluster deployment
+    swaps in libpng behind the same contract)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        pos += 1 + stride
+        if ftype == 0:
+            rec = row.copy()
+        elif ftype == 2:
+            rec = ((row.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.uint8)
+            rl = row.tolist()
+            pl = prev.tolist()
+            cur = [0] * stride
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + pl[i]) >> 1
+                else:
+                    c = pl[i - bpp] if i >= bpp else 0
+                    pred = _paeth(a, pl[i], c)
+                cur[i] = (rl[i] + pred) & 0xFF
+            rec = np.array(cur, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec.astype(np.uint16)
+    return out
+
+
+def _filter_pass(img: np.ndarray, bpp: int, mode) -> bytes:
+    """Filter one (sub)image (h, stride) → h×(1+stride) bytes.  ``mode``
+    is 0–4 (fixed) or "adaptive" (per-row minimum sum of absolute
+    signed residuals — the heuristic libpng documents).  Filtering uses
+    ORIGINAL neighbor values, so every candidate row is one vector op."""
+    h, stride = img.shape
+    wide = img.astype(np.int16)
+    up = np.zeros_like(wide)
+    up[1:] = wide[:-1]
+    left = np.zeros_like(wide)
+    left[:, bpp:] = wide[:, :-bpp]
+    ul = np.zeros_like(wide)
+    ul[1:, bpp:] = wide[:-1, :-bpp]
+
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    cand = [
+        wide,
+        (wide - left) & 0xFF,
+        (wide - up) & 0xFF,
+        (wide - ((left + up) >> 1)) & 0xFF,
+        (wide - paeth) & 0xFF,
+    ]
+    out = bytearray()
+    for y in range(h):
+        if mode == "adaptive":
+            # signed-residual magnitude: treat filtered bytes as signed
+            costs = [
+                int(np.minimum(c[y], 256 - c[y]).sum()) for c in cand
+            ]
+            f = min(range(5), key=lambda k: costs[k])
+        else:
+            f = mode
+        out.append(f)
+        out += cand[f][y].astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# container
+# --------------------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _pass_views(h: int, w: int, interlace: int):
+    """Yield (x0, y0, dx, dy, h_p, w_p) for each non-empty pass."""
+    if interlace == 0:
+        yield (0, 0, 1, 1, h, w)
+        return
+    for x0, y0, dx, dy in _ADAM7:
+        hp = (h - y0 + dy - 1) // dy
+        wp = (w - x0 + dx - 1) // dx
+        if hp > 0 and wp > 0:
+            yield (x0, y0, dx, dy, hp, wp)
+
+
+def encode_png(
+    arr: np.ndarray,
+    *,
+    interlace: bool = False,
+    filter_mode="adaptive",
+    level: int = 6,
+) -> bytes:
+    """Encode a uint8 array as PNG.  Shape (h, w) → grayscale, (h, w, 2)
+    → gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        ch = a.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if filter_mode != "adaptive" and filter_mode not in range(5):
+        raise ValueError(f"bad filter_mode {filter_mode!r}")
+
+    raw = bytearray()
+    for x0, y0, dx, dy, hp, wp in _pass_views(h, w, int(interlace)):
+        sub = a[y0::dy, x0::dx].reshape(hp, wp * ch)
+        raw += _filter_pass(sub, ch, filter_mode)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _walk_chunks(data: bytes):
+    """Yield (type, payload) with CRC validation; stops after IEND."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    n = len(data)
+    seen_end = False
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if length > 0x7FFFFFFF or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk payload")
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        yield ctype, payload
+        pos += 12 + length
+        if ctype == b"IEND":
+            seen_end = True
+            break
+    if not seen_end:
+        raise ValueError("missing IEND")
+
+
+def decode_png(data: bytes, max_pixels: int = _MAX_PIXELS):
+    """Decode a PNG → (height, width, pixels).  ``pixels`` is uint8
+    (h, w) for grayscale, else (h, w, channels); palette images expand
+    to (h, w, 3) RGB.  Malformed containers raise ValueError;
+    unsupported-but-valid features (bit depth ≠ 8) raise
+    NotImplementedError — the same two-exception contract as
+    ``jpeg.decode_baseline``."""
+    header = None
+    palette = None
+    idat = []
+    for ctype, payload in _walk_chunks(bytes(data)):
+        if header is None:
+            if ctype != b"IHDR":
+                raise ValueError("first chunk is not IHDR")
+            if len(payload) != 13:
+                raise ValueError("bad IHDR length")
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("bad compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"bad color type {color_type}")
+            if depth != 8:
+                if depth in (1, 2, 4, 16):
+                    raise NotImplementedError(
+                        f"bit depth {depth} not supported (8 only)"
+                    )
+                raise ValueError(f"bad bit depth {depth}")
+            if w < 1 or h < 1 or w * h * _CHANNELS[color_type] > max_pixels:
+                raise ValueError(f"unreasonable dimensions {w}x{h}")
+            header = (w, h, color_type, interlace)
+        elif ctype == b"PLTE":
+            if len(payload) % 3 or not 3 <= len(payload) <= 768:
+                raise ValueError("bad PLTE length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        # ancillary chunks (tEXt, tIME, …) skip — CRC still checked
+    if header is None:
+        raise ValueError("no IHDR")
+    if not idat:
+        raise ValueError("no IDAT")
+    w, h, color_type, interlace = header
+    ch = _CHANNELS[color_type]
+    if color_type == 3 and palette is None:
+        raise ValueError("palette image without PLTE")
+
+    passes = list(_pass_views(h, w, interlace))
+    expected = sum(hp * (1 + wp * ch) for _, _, _, _, hp, wp in passes)
+
+    # bounded streaming inflate: never materialize more than expected+1
+    d = zlib.decompressobj()
+    raw = bytearray()
+    try:
+        for part in idat:
+            raw += d.decompress(part, max(0, expected + 1 - len(raw)))
+            if len(raw) > expected:
+                raise ValueError("decompressed data exceeds image size")
+        raw += d.flush(expected + 1 - len(raw))
+    except zlib.error as exc:
+        raise ValueError(f"bad zlib stream: {exc}") from exc
+    if len(raw) > expected:
+        raise ValueError("decompressed data exceeds image size")
+    if len(raw) != expected:
+        raise ValueError(
+            f"decompressed {len(raw)} bytes, expected {expected}"
+        )
+
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    mv = memoryview(bytes(raw))
+    pos = 0
+    for x0, y0, dx, dy, hp, wp in passes:
+        stride = wp * ch
+        size = hp * (1 + stride)
+        sub = _unfilter_pass(mv[pos : pos + size], hp, stride, ch)
+        pos += size
+        out[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+
+    if color_type == 3:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return h, w, palette[idx]
+    if ch == 1:
+        return h, w, out[:, :, 0]
+    return h, w, out

@@ -2272,3 +2272,8 @@ from .queries_ext38 import ORACLE_EXT38, QUERIES_EXT38  # noqa: E402
 
 QUERIES.update(QUERIES_EXT38)
 ORACLE.update(ORACLE_EXT38)
+
+from .queries_ext39 import ORACLE_EXT39, QUERIES_EXT39  # noqa: E402
+
+QUERIES.update(QUERIES_EXT39)
+ORACLE.update(ORACLE_EXT39)

@@ -253,3 +253,108 @@ QUERIES_EXT38["q_bpe_train"] = q_bpe_train
 ORACLE_EXT38["q_bpe_train"] = SQL_BPE_TRAIN
 QUERIES_EXT38["q_bpe_fertility"] = q_bpe_fertility
 ORACLE_EXT38["q_bpe_fertility"] = SQL_BPE_FERTILITY
+
+
+_BPE_PACK_BUDGET = 256
+
+
+def bpe_token_counts(d, w):
+    """Per-document post-BPE token count under the trained type table
+    ``w``: explode (doc_id, word) occurrences once, broadcast-join the
+    |types|-row symbol counts, sum.  Documents whose text yields no
+    tokens count 0 (kept via left join — every doc must pack).  This is
+    the encode-side of the tokenizer: what a packing stage budgets on
+    once a tokenizer exists, instead of whitespace counts."""
+    seg_syms = w.select(
+        "word", F.size(F.expr(_SYMS)).cast("bigint").alias("n_syms")
+    )
+    occ = (
+        d.select("doc_id", F.explode(text.tokens("text")).alias("word"))
+        .select(
+            "doc_id",
+            F.replace(
+                F.replace(F.col("word"), F.lit(_S1), F.lit("")),
+                F.lit(_S2),
+                F.lit(""),
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    per_doc = (
+        occ.join(F.broadcast(seg_syms), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("freq") * F.col("n_syms")).alias("n_bpe_tokens"))
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def q_bpe_pack(spark, sf_dir):
+    """Tokenizer-aware sequence packing: train the BPE merges, ENCODE
+    every document (post-merge symbol counts), then pack into
+    fixed-budget context windows over the two-phase global running sum
+    — q_sequence_packing's plan shape, but budgeted in learned-tokenizer
+    tokens instead of whitespace tokens (what a real pretraining data
+    loader packs by).  The full train → encode → pack integration in
+    one lane; jobs/pretrain_prep.py runs the same composition behind
+    ``--bpe-merges``."""
+    from .operators.indexing import global_running_sum
+
+    d = _t(spark, sf_dir, "documents")
+    w, _ = _train(spark, d)
+    counts = bpe_token_counts(d, w)
+    cum = global_running_sum(
+        counts, "doc_id", "n_bpe_tokens", out_col="cum_tokens"
+    )
+    return cum.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.expr(
+            f"CAST((cum_tokens - n_bpe_tokens) DIV {_BPE_PACK_BUDGET} AS BIGINT)"
+        ).alias("pack_id"),
+    )
+
+
+SQL_BPE_PACK = (
+    "WITH "
+    + _bpe_sql_ctes()
+    + f""",
+segn AS MATERIALIZED (
+  SELECT word,
+         CAST(len(string_split(substr(seg, 2, length(seg) - 2),
+             chr(2) || chr(1))) AS BIGINT) AS n_syms
+  FROM w{N_MERGES}
+), occd AS (
+  SELECT doc_id,
+         replace(replace(t.word, chr(1), ''), chr(2), '') AS word
+  FROM (SELECT doc_id, unnest({TOKS_SQL.format(c='text')}) AS word
+        FROM documents) t
+), occdf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM occd WHERE length(word) > 0 GROUP BY doc_id, word
+), encd AS (
+  SELECT doc_id, CAST(SUM(freq * n_syms) AS BIGINT) AS n
+  FROM occdf JOIN segn USING (word) GROUP BY doc_id
+), cnt AS (
+  SELECT d.doc_id, COALESCE(e.n, 0) AS n_bpe_tokens
+  FROM documents d LEFT JOIN encd e USING (doc_id)
+), cum AS (
+  SELECT doc_id, n_bpe_tokens,
+         SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+  FROM cnt
+)
+SELECT doc_id,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(c AS BIGINT) AS cum_tokens,
+       CAST((c - n_bpe_tokens) // {_BPE_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM cum"""
+)
+
+QUERIES_EXT38["q_bpe_pack"] = q_bpe_pack
+ORACLE_EXT38["q_bpe_pack"] = SQL_BPE_PACK

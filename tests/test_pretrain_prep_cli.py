@@ -147,6 +147,66 @@ def test_pretrain_prep_null_source(spark, sf_dir, tmp_path):
     assert card["kept_tokens"] <= card["token_budget"]
 
 
+def test_pretrain_prep_bpe_packing(spark, sf_dir, tmp_path):
+    """--bpe-merges N: the job trains a BPE tokenizer on the ADMITTED
+    corpus, encodes every admitted doc, and budgets the pack stage in
+    learned-tokenizer tokens (the q_bpe_pack composition).  The card
+    must carry the tokenizer block (merge list, exact-integer
+    fertility), the pack ids must stay hole-free, and everything
+    upstream of packing must be UNCHANGED vs the whitespace-count run —
+    the tokenizer stage may not perturb admission."""
+    import pyspark.sql.functions as F
+
+    out = f"{tmp_path}/prepared_bpe"
+    r = _run_cli(
+        tmp_path,
+        f"{sf_dir}/documents.parquet",
+        out,
+        f"{tmp_path}/state.jsonl",
+        extra=("--bpe-merges", "6"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = _card(r.stdout)
+    _assert_card_reconciles(card)
+
+    tok = card["tokenizer"]
+    assert tok["n_merges"] == 6
+    assert len(tok["merges"]) == 6
+    # every merge is the concatenation of two non-empty symbols
+    assert all(len(m) >= 2 for m in tok["merges"])
+    # fertility = post-BPE symbols per word token: ≥ 1 by construction
+    # (a word is at least one symbol), < the pre-merge char count
+    assert tok["fertility_e6"] >= 1_000_000
+    assert "bpe_tokenizer" in card["stage_wall_sec"]
+
+    got = spark.read.parquet(f"{out}/corpus")
+    assert not [c for c in got.columns if c.startswith("__")]
+    packs = sorted(
+        r["pack_id"] for r in got.select("pack_id").distinct().collect()
+    )
+    assert packs[0] == 0 and packs == list(range(len(packs)))
+    assert len(packs) == card["n_packs"]
+
+    # upstream accounting identical to the no-tokenizer run: the BPE
+    # stage only changes what packs count, never what is admitted
+    r0 = _run_cli(
+        tmp_path, f"{sf_dir}/documents.parquet", f"{tmp_path}/prepared_ws",
+        f"{tmp_path}/state0.jsonl",
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    card0 = _card(r0.stdout)
+    for k in (
+        "input_docs", "removed_quality", "removed_exact_dup",
+        "removed_near_dup", "removed_contaminated", "removed_over_quota",
+        "kept", "kept_tokens", "token_budget", "tokens_by_source",
+        "splits",
+    ):
+        assert card[k] == card0[k], k
+    # BPE fertility > 1 ⇒ more pack tokens than whitespace tokens ⇒ at
+    # least as many packs under the same budget
+    assert card["n_packs"] >= card0["n_packs"]
+
+
 def test_pretrain_prep_deterministic(spark, sf_dir, tmp_path):
     """Same input → bit-identical card (the whole pipeline is
     hash-keyed: fingerprints, minhash bands, md5 buckets — no rand())."""
