@@ -265,6 +265,11 @@ HEADLINE = [
     "q_stream_png_ingest",
     # round-8: tokenizer-aware packing (train → encode → pack)
     "q_bpe_pack",
+    # round-8: product-quantization ANN (train→encode→ADC, exact
+    # re-rank, and the recall adjudication dial)
+    "q_ann_pq_oracle",
+    "q_pq_rerank",
+    "q_pq_recall",
 ]
 
 

@@ -2277,3 +2277,8 @@ from .queries_ext39 import ORACLE_EXT39, QUERIES_EXT39  # noqa: E402
 
 QUERIES.update(QUERIES_EXT39)
 ORACLE.update(ORACLE_EXT39)
+
+from .queries_ext40 import ORACLE_EXT40, QUERIES_EXT40  # noqa: E402
+
+QUERIES.update(QUERIES_EXT40)
+ORACLE.update(ORACLE_EXT40)

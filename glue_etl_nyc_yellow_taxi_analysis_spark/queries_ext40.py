@@ -1,0 +1,335 @@
+"""Extended inventory XL — product-quantization ANN (round 8).
+
+``operators/pq.py`` closes the missing quarter of the vector-search
+stack: IVF bounds WHICH vectors a query scores, LSH bounds which PAIRS
+meet, scalar quantization (``q_embedding_quantize``) shrinks the store
+4× — PQ shrinks it 64× (m=4 codes per 64-dim float vector) and makes
+every comparison m lookups instead of dim multiplies.  That is the
+standard trick for searching an embedding corpus that no longer fits
+as floats (Jégou et al., TPAMI 2011).
+
+Verification strategy: the whole pipeline rides the exact-lane
+discipline proven by ``q_kmeans_oracle`` — deterministic lowest-id
+init, DECIMAL(27,18) centroid sums, ties toward the lower cluster id —
+so a generated chained-CTE DuckDB oracle replays train → encode →
+distance table → ADC scoring bit-for-bit:
+
+* ``q_ann_pq_oracle`` — full PQ-ADC top-10 for 3 query vectors:
+  (query_id, vec_id, adc_dist, rank) with the ADC sum accumulated in
+  decimal on both engines (the m addends are partition-order-free).
+* ``q_pq_rerank`` — the production search shape: ADC nominates a
+  10×k shortlist in the compressed domain, then ONLY those nq·r
+  full-precision vectors are re-ranked by true L2 (measured here:
+  recall@10 ~23% raw ADC → ~90% after re-rank, while touching full
+  vectors for r/N of the corpus per query).
+* ``q_pq_recall`` — the quality dial: ADC top-10 AND re-ranked top-10
+  vs exact full-precision L2 top-10 (the same deterministic double
+  fold both engines share), reported as hits@10 per query.  Pins that
+  the approximation is an ADJUDICATED trade, not an unmeasured one —
+  the same contract q_ann_recall_oracle gives IVF.
+
+Scale posture: the codebook (m·k = 64 rows) and the per-query distance
+table (nq·m·k = 192 rows) are broadcast everywhere; the corpus streams
+once per stage (subvector scan → code assignment → ADC join) with the
+only shuffles being m·k·d_sub-cell training combines and the final
+per-query top-k.  No corpus × corpus join exists in any stage; the
+exact-L2 side of the recall lane is corpus × nq with nq=3 broadcast —
+the same bounded brute-force every recall audit in the repo uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import pq
+from .operators.similarity import dot as _dot  # noqa: F401 (parity import)
+from .queries import _t
+
+QUERIES_EXT40 = {}
+ORACLE_EXT40 = {}
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_TOPK = 10
+_PQ_R = 100  # ADC shortlist size for the exact re-rank (10 × k)
+_PQ_QIDS = (0, 1, 2)
+
+# engine-portable squared L2 over aligned double lists (sequential fold,
+# same order as pq._sq_dist's zip_with/aggregate)
+_SQDIST_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+# Spark double→decimal = HALF_UP on the SHORTEST double repr
+# (BigDecimal.valueOf); DuckDB's VARCHAR round-trip is the same algorithm
+# (q_pagerank oracle notes)
+_DEC18 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,18))"
+
+
+def _pq_model_cte(m: int, k: int, iters: int) -> str:
+    """The shared train→encode prefix: emb / pts / cents0..cents{iters} /
+    codes, mirroring operators/pq.pq_train + pq_encode stage for stage."""
+    assign = """, assign{i} AS MATERIALIZED (
+  SELECT id, sub, sx, min({{'d': d, 'c': cluster}}).c AS cluster
+  FROM (
+    SELECT p.id, p.sub, p.sx, c.cluster, {dist} AS d
+    FROM pts p JOIN cents{prev} c ON p.sub = c.sub)
+  GROUP BY id, sub, sx
+)"""
+    update = """, cents{i} AS MATERIALIZED (
+  SELECT sub, cluster,
+         list_transform(list_sort(list({{'dim': dim, 'mv': mv}})), r -> r.mv)
+             AS centroid
+  FROM (
+    SELECT sub, cluster, dim,
+           CAST(SUM({dec18}) AS DOUBLE) / COUNT(*) AS mv
+    FROM (SELECT sub, cluster, i AS dim, sx[i] AS v
+          FROM assign{i}, unnest(range(1, len(sx) + 1)) AS t(i))
+    GROUP BY sub, cluster, dim)
+  GROUP BY sub, cluster
+)"""
+    parts = [f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {m}
+), pts AS MATERIALIZED (
+  SELECT id, j AS sub,
+         x[j * (len(x) // {m}) + 1 : (j + 1) * (len(x) // {m})] AS sx
+  FROM emb, unnest(range(0, {m})) AS t(j)
+), cents0 AS MATERIALIZED (
+  SELECT sub, CAST(rn - 1 AS BIGINT) AS cluster, sx AS centroid
+  FROM (SELECT sub, sx,
+               row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+        FROM pts)
+  WHERE rn <= {k}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            assign.format(
+                i=i,
+                prev=i - 1,
+                dist=_SQDIST_SQL.format(a="p.sx", b="c.centroid"),
+            )
+        )
+        parts.append(update.format(i=i, dec18=_DEC18.format(v="v")))
+    parts.append(f""", codes AS MATERIALIZED (
+  SELECT id, sub, min({{'d': d, 'c': cluster}}).c AS code
+  FROM (
+    SELECT p.id, p.sub, c.cluster,
+           {_SQDIST_SQL.format(a="p.sx", b="c.centroid")} AS d
+    FROM pts p JOIN cents{iters} c ON p.sub = c.sub)
+  GROUP BY id, sub
+)""")
+    return "".join(parts)
+
+
+def _adc_cte(iters: int, qids: tuple) -> str:
+    """qpts / dtab / adc on top of the model prefix."""
+    in_list = ", ".join(str(q) for q in qids)
+    return f""", qpts AS (
+  SELECT id AS qid, sub, sx AS qx FROM pts WHERE id IN ({in_list})
+), dtab AS MATERIALIZED (
+  SELECT q.qid, q.sub, c.cluster,
+         {_DEC18.format(v=_SQDIST_SQL.format(a="q.qx", b="c.centroid"))} AS pd
+  FROM qpts q JOIN cents{iters} c ON q.sub = c.sub
+), adc AS MATERIALIZED (
+  SELECT d.qid, cd.id, SUM(d.pd) AS adc_dec
+  FROM codes cd JOIN dtab d ON cd.sub = d.sub AND cd.code = d.cluster
+  WHERE cd.id <> d.qid
+  GROUP BY d.qid, cd.id
+), adc_rank AS MATERIALIZED (
+  SELECT qid, id, adc_dec,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dec, id) AS rank
+  FROM adc
+)"""
+
+
+def q_ann_pq_oracle(spark, sf_dir):
+    """PQ-ADC ANN, fully oracle-checked: train m=4 codebooks of k=16
+    (2 exact-lane Lloyd iterations), encode the corpus to 4 one-byte
+    codes/vector, then asymmetric-distance top-10 for 3 query vectors.
+    The corpus's float vectors are never touched after encode time —
+    scoring is a broadcast distance-table join over the code table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return pq.pq_adc_topk(emb, queries, cb, k=_PQ_TOPK, m=_PQ_M)
+
+
+SQL_ANN_PQ_ORACLE = (
+    _pq_model_cte(_PQ_M, _PQ_K, _PQ_ITERS)
+    + _adc_cte(_PQ_ITERS, _PQ_QIDS)
+    + f"""
+SELECT qid AS query_id, id AS vec_id,
+       CAST(ROUND(adc_dec, 6) AS DOUBLE) AS adc_dist, rank
+FROM adc_rank
+WHERE rank <= {_PQ_TOPK}
+"""
+)
+
+QUERIES_EXT40["q_ann_pq_oracle"] = q_ann_pq_oracle
+ORACLE_EXT40["q_ann_pq_oracle"] = SQL_ANN_PQ_ORACLE
+
+
+def q_pq_rerank(spark, sf_dir):
+    """ADC shortlist (r=100) + exact L2 re-rank to top-10 — the
+    IVFADC-with-verification search shape: full-precision vectors are
+    read back ONLY for the nq·r nominated candidates (broadcast join
+    probe of the corpus, no shuffle), and the final ranking is the true
+    distance, so PQ's quantization error costs recall only when a true
+    neighbor misses a 10×k-deep shortlist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return pq.pq_adc_rerank_topk(
+        emb, queries, cb, k=_PQ_TOPK, r=_PQ_R, m=_PQ_M
+    )
+
+
+# rank on the RAW double distance (deterministic shared fold); the
+# printed distance goes through the decimal shortest-repr route so the
+# half-up at 1e-6 is engine-identical (never ROUND a raw double)
+_RER_CTE = f""", rer AS MATERIALIZED (
+  SELECT a.qid, a.id, {_SQDIST_SQL.format(a="q.x", b="e.x")} AS d
+  FROM (SELECT qid, id FROM adc_rank WHERE rank <= {_PQ_R}) a
+  JOIN emb e ON e.id = a.id
+  JOIN emb q ON q.id = a.qid
+), rer_rank AS MATERIALIZED (
+  SELECT qid, id, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+  FROM rer
+)"""
+
+SQL_PQ_RERANK = (
+    _pq_model_cte(_PQ_M, _PQ_K, _PQ_ITERS)
+    + _adc_cte(_PQ_ITERS, _PQ_QIDS)
+    + _RER_CTE
+    + f"""
+SELECT qid AS query_id, id AS vec_id,
+       CAST(ROUND({_DEC18.format(v="d")}, 6) AS DOUBLE) AS l2_dist, rank
+FROM rer_rank
+WHERE rank <= {_PQ_TOPK}
+"""
+)
+
+QUERIES_EXT40["q_pq_rerank"] = q_pq_rerank
+ORACLE_EXT40["q_pq_rerank"] = SQL_PQ_RERANK
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@10 of PQ-ADC (raw and re-ranked) against exact
+    full-precision L2 — the adjudication dial for the 64× compression:
+    per query, how many of the true 10 nearest neighbors the code-based
+    search kept, and how many the r=100 exact re-rank buys back.  Both
+    sides are deterministic (exact side: the shared sequential double
+    fold, ties by vec_id), so even the approximation's QUALITY is
+    hash-pinned, not eyeballed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    adc = pq.pq_adc_topk(emb, queries, cb, k=_PQ_TOPK, m=_PQ_M).select(
+        "query_id", "vec_id"
+    )
+    rer = pq.pq_adc_rerank_topk(
+        emb, queries, cb, k=_PQ_TOPK, r=_PQ_R, m=_PQ_M
+    ).select("query_id", "vec_id")
+
+    qv = F.broadcast(
+        queries.select(
+            "query_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("qx"),
+        )
+    )
+    scored = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        )
+        .crossJoin(qv)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("x", "qx", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    hits_adc = (
+        adc.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits_adc"))
+    )
+    hits_rer = (
+        rer.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits_rerank"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits_adc, "query_id", "left")
+        .join(hits_rer, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits_adc"), F.lit(0))
+            .cast("bigint")
+            .alias("hits_adc"),
+            F.coalesce(F.col("hits_rerank"), F.lit(0))
+            .cast("bigint")
+            .alias("hits_rerank"),
+        )
+    )
+
+
+SQL_PQ_RECALL = (
+    _pq_model_cte(_PQ_M, _PQ_K, _PQ_ITERS)
+    + _adc_cte(_PQ_ITERS, _PQ_QIDS)
+    + _RER_CTE
+    + f""", exact_top AS (
+  SELECT qid, id
+  FROM (
+    SELECT q.id AS qid, e.id,
+           row_number() OVER (
+               PARTITION BY q.id
+               ORDER BY {_SQDIST_SQL.format(a="q.x", b="e.x")}, e.id) AS rank
+    FROM (SELECT id, x FROM emb WHERE id IN ({", ".join(str(q) for q in _PQ_QIDS)})) q
+    JOIN emb e ON e.id <> q.id)
+  WHERE rank <= {_PQ_TOPK}
+), hits_a AS (
+  SELECT a.qid, COUNT(*) AS hits
+  FROM (SELECT qid, id FROM adc_rank WHERE rank <= {_PQ_TOPK}) a
+  JOIN exact_top x ON a.qid = x.qid AND a.id = x.id
+  GROUP BY a.qid
+), hits_r AS (
+  SELECT r.qid, COUNT(*) AS hits
+  FROM (SELECT qid, id FROM rer_rank WHERE rank <= {_PQ_TOPK}) r
+  JOIN exact_top x ON r.qid = x.qid AND r.id = x.id
+  GROUP BY r.qid
+)
+SELECT q.qid AS query_id,
+       CAST(COALESCE(a.hits, 0) AS BIGINT) AS hits_adc,
+       CAST(COALESCE(r.hits, 0) AS BIGINT) AS hits_rerank
+FROM (SELECT DISTINCT qid FROM qpts) q
+LEFT JOIN hits_a a ON q.qid = a.qid
+LEFT JOIN hits_r r ON q.qid = r.qid
+"""
+)
+
+QUERIES_EXT40["q_pq_recall"] = q_pq_recall
+ORACLE_EXT40["q_pq_recall"] = SQL_PQ_RECALL
