@@ -270,6 +270,10 @@ HEADLINE = [
     "q_ann_pq_oracle",
     "q_pq_rerank",
     "q_pq_recall",
+    # round-8: audio fingerprint near-dup (real WAV decode → band-energy
+    # delta hashes → shingle-join dedup)
+    "q_audio_fingerprint",
+    "q_audio_neardup",
 ]
 
 

@@ -2282,3 +2282,8 @@ from .queries_ext40 import ORACLE_EXT40, QUERIES_EXT40  # noqa: E402
 
 QUERIES.update(QUERIES_EXT40)
 ORACLE.update(ORACLE_EXT40)
+
+from .queries_ext41 import ORACLE_EXT41, QUERIES_EXT41  # noqa: E402
+
+QUERIES.update(QUERIES_EXT41)
+ORACLE.update(ORACLE_EXT41)

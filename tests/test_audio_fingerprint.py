@@ -1,0 +1,151 @@
+"""Audio fingerprint near-dup (multimodal.audio_frame_hashes, ext41).
+
+The replay is an INDEPENDENT implementation: expected values are
+computed from the document TEXT with plain Python loops — no WAV
+container, no parse_wav, no numpy — so the test pins the whole
+pipeline (synth container → stdlib parse → numpy band fold → delta
+hash → shingle join) against the documented byte semantics, not
+against its own helpers.
+"""
+
+import hashlib
+from collections import Counter
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators.multimodal import (
+    _frame_hashes_np,
+)
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES, _t
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext41 import (
+    _AF_BANDS,
+    _AF_DFCAP,
+    _AF_FRAME,
+    _AF_MIN_SHARED,
+    _AF_W,
+)
+
+_BW = _AF_FRAME // _AF_BANDS
+
+
+def _py_samples(text: str):
+    b = ("" if text is None else text).encode("utf-8")
+    out = []
+    for k in range(len(b) // 2):
+        hi = b[2 * k + 1] ^ (0x80 if k % 2 else 0)
+        v = b[2 * k] + 256 * hi
+        out.append(v - 65536 if v >= 32768 else v)
+    return out
+
+
+def _py_hashes(samples):
+    n_frames = len(samples) // _AF_FRAME
+    energies = [
+        [
+            sum(
+                s * s
+                for s in samples[
+                    t * _AF_FRAME + b * _BW : t * _AF_FRAME + (b + 1) * _BW
+                ]
+            )
+            for b in range(_AF_BANDS)
+        ]
+        for t in range(n_frames)
+    ]
+    return n_frames, [
+        sum(
+            (1 << b)
+            for b in range(_AF_BANDS)
+            if energies[t][b] > energies[t - 1][b]
+        )
+        for t in range(1, n_frames)
+    ]
+
+
+def test_fingerprint_matches_text_replay(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    got = {
+        r["media_id"]: (
+            r["n_samples"],
+            r["n_frames"],
+            r["n_hashes"],
+            r["fp_md5"],
+        )
+        for r in QUERIES["q_audio_fingerprint"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for did, text in docs.items():
+        samples = _py_samples(text)
+        n_frames, hashes = _py_hashes(samples)
+        md5 = hashlib.md5(",".join(str(h) for h in hashes).encode()).hexdigest()
+        assert got[did] == (len(samples), n_frames, len(hashes), md5), did
+
+
+def _py_kept_shingles(docs):
+    per_doc = {}
+    for did, text in docs.items():
+        _, hashes = _py_hashes(_py_samples(text))
+        if len(hashes) < _AF_W:
+            continue
+        per_doc[did] = {
+            "-".join(str(h) for h in hashes[i : i + _AF_W])
+            for i in range(len(hashes) - _AF_W + 1)
+        }
+    df = Counter(s for shs in per_doc.values() for s in shs)
+    return {
+        did: {s for s in shs if df[s] <= _AF_DFCAP}
+        for did, shs in per_doc.items()
+    }
+
+
+def test_neardup_matches_text_replay(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    kept = _py_kept_shingles(docs)
+    ids = sorted(d for d, s in kept.items() if s)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(kept[a] & kept[b])
+            if shared >= _AF_MIN_SHARED:
+                union = len(kept[a]) + len(kept[b]) - shared
+                expect[(a, b)] = (
+                    shared,
+                    len(kept[a]),
+                    len(kept[b]),
+                    shared * 1000 // union,
+                )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["shared"],
+            r["n_a"],
+            r["n_b"],
+            r["jac_x1000"],
+        )
+        for r in QUERIES["q_audio_neardup"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the lane must actually FIND something on the planted corpus —
+    # an empty near-dup detector matching an empty replay proves nothing
+    assert expect, "corpus has no audio near-dup pairs; lane is untestable"
+
+
+def test_gain_invariance():
+    """Doubling every sample quadruples every band energy but preserves
+    every delta SIGN — the fingerprint is unchanged.  This is the
+    property that makes it a fingerprint, not a volume meter."""
+    base = [((i * 37) % 199) - 99 for i in range(_AF_FRAME * 6)]
+    n1, h1 = _frame_hashes_np(base, _AF_FRAME, _AF_BANDS)
+    n2, h2 = _frame_hashes_np([2 * s for s in base], _AF_FRAME, _AF_BANDS)
+    assert (n1, h1) == (n2, h2)
+    assert n1 == 6 and len(h1) == 5
+
+
+def test_short_payload_contributes_nothing():
+    n, h = _frame_hashes_np(list(range(_AF_FRAME - 1)), _AF_FRAME, _AF_BANDS)
+    assert (n, h) == (0, [])
+    n, h = _frame_hashes_np(list(range(_AF_FRAME)), _AF_FRAME, _AF_BANDS)
+    assert n == 1 and h == []
