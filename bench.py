@@ -271,9 +271,13 @@ HEADLINE = [
     "q_pq_rerank",
     "q_pq_recall",
     # round-8: audio fingerprint near-dup (real WAV decode → band-energy
-    # delta hashes → shingle-join dedup)
+    # delta hashes → shingle-join dedup) + the in-stream twin
     "q_audio_fingerprint",
     "q_audio_neardup",
+    "q_stream_audio_fingerprint",
+    # round-8: persisted PQ index (train/encode once → catalog tables →
+    # incoming batch probes by ADC without touching base floats)
+    "q_pq_index_persist",
 ]
 
 

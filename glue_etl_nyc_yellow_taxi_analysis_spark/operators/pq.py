@@ -200,9 +200,15 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation: approximate L2 top-k per query
     over PQ codes — (query_id, vec_id, adc_dist, rank).
+
+    Pass ``codes`` (id, sub, code — e.g. a persisted index table read
+    back from the catalog) to search WITHOUT touching ``embeddings`` at
+    all: the train-once/encode-once/search-many deployment shape, where
+    the full-precision corpus is never re-read after encode time.
 
     The distance table (query × sub × centroid squared sub-distances,
     nq·m·k rows) is built once and broadcast; each corpus vector is
@@ -212,7 +218,8 @@ def pq_adc_topk(
     partition order; decimal keeps the sum order-free and
     oracle-exact).  Ties break by vec_id; the final rounded double is
     for humans, ranking happens on the exact decimal."""
-    codes = pq_encode(embeddings, codebook, m, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebook, m, id_col, vec_col)
     qpts = pq_subvectors(queries, m, query_id_col, vec_col).select(
         F.col("id").alias("qid"), "sub", F.col("sx").alias("qx")
     )

@@ -27,6 +27,11 @@ distance table → ADC scoring bit-for-bit:
   fold both engines share), reported as hits@10 per query.  Pins that
   the approximation is an ADJUDICATED trade, not an unmeasured one —
   the same contract q_ann_recall_oracle gives IVF.
+* ``q_pq_index_persist`` — the deployment shape: codebook + code table
+  written as catalog tables over the standing corpus (codes bucketed by
+  (sub, code)), then an incoming batch ADC-probes the read-back index
+  without touching a single base float vector — train once / encode
+  once / search many, q_dedup_index_persist's contract for vectors.
 
 Scale posture: the codebook (m·k = 64 rows) and the per-query distance
 table (nq·m·k = 192 rows) are broadcast everywhere; the corpus streams
@@ -68,14 +73,18 @@ _SQDIST_SQL = (
 _DEC18 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,18))"
 
 
-def _pq_model_cte(m: int, k: int, iters: int) -> str:
-    """The shared train→encode prefix: emb / pts / cents0..cents{iters} /
-    codes, mirroring operators/pq.pq_train + pq_encode stage for stage."""
+def _pq_model_cte(m: int, k: int, iters: int, base_pred: str = "TRUE") -> str:
+    """The shared train→encode prefix: emb / pts / bpts /
+    cents0..cents{iters} / codes, mirroring operators/pq.pq_train +
+    pq_encode stage for stage.  ``base_pred`` restricts which vectors
+    the codebook trains on and the code table covers (the persisted-
+    index lane trains on the standing corpus only); queries always
+    come from the unfiltered pts."""
     assign = """, assign{i} AS MATERIALIZED (
   SELECT id, sub, sx, min({{'d': d, 'c': cluster}}).c AS cluster
   FROM (
     SELECT p.id, p.sub, p.sx, c.cluster, {dist} AS d
-    FROM pts p JOIN cents{prev} c ON p.sub = c.sub)
+    FROM bpts p JOIN cents{prev} c ON p.sub = c.sub)
   GROUP BY id, sub, sx
 )"""
     update = """, cents{i} AS MATERIALIZED (
@@ -99,11 +108,13 @@ WITH emb AS MATERIALIZED (
   SELECT id, j AS sub,
          x[j * (len(x) // {m}) + 1 : (j + 1) * (len(x) // {m})] AS sx
   FROM emb, unnest(range(0, {m})) AS t(j)
+), bpts AS MATERIALIZED (
+  SELECT * FROM pts WHERE {base_pred}
 ), cents0 AS MATERIALIZED (
   SELECT sub, CAST(rn - 1 AS BIGINT) AS cluster, sx AS centroid
   FROM (SELECT sub, sx,
                row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
-        FROM pts)
+        FROM bpts)
   WHERE rn <= {k}
 )"""]
     for i in range(1, iters + 1):
@@ -120,17 +131,20 @@ WITH emb AS MATERIALIZED (
   FROM (
     SELECT p.id, p.sub, c.cluster,
            {_SQDIST_SQL.format(a="p.sx", b="c.centroid")} AS d
-    FROM pts p JOIN cents{iters} c ON p.sub = c.sub)
+    FROM bpts p JOIN cents{iters} c ON p.sub = c.sub)
   GROUP BY id, sub
 )""")
     return "".join(parts)
 
 
-def _adc_cte(iters: int, qids: tuple) -> str:
-    """qpts / dtab / adc on top of the model prefix."""
-    in_list = ", ".join(str(q) for q in qids)
+def _adc_cte(iters: int, qids: tuple = (), qpred: str | None = None) -> str:
+    """qpts / dtab / adc on top of the model prefix.  Queries come from
+    the UNFILTERED pts (a persisted-index probe's vectors are not part
+    of the indexed base); select them by id list or by predicate."""
+    if qpred is None:
+        qpred = "id IN (" + ", ".join(str(q) for q in qids) + ")"
     return f""", qpts AS (
-  SELECT id AS qid, sub, sx AS qx FROM pts WHERE id IN ({in_list})
+  SELECT id AS qid, sub, sx AS qx FROM pts WHERE {qpred}
 ), dtab AS MATERIALIZED (
   SELECT q.qid, q.sub, c.cluster,
          {_DEC18.format(v=_SQDIST_SQL.format(a="q.qx", b="c.centroid"))} AS pd
@@ -333,3 +347,77 @@ LEFT JOIN hits_r r ON q.qid = r.qid
 
 QUERIES_EXT40["q_pq_recall"] = q_pq_recall
 ORACLE_EXT40["q_pq_recall"] = SQL_PQ_RECALL
+
+
+# --------------------------------------------------------------------------
+# Persisted PQ index — train once, encode once, search many
+# --------------------------------------------------------------------------
+
+_PQI_TOPK = 5
+_PQI_BASE = "vec_id % 7 != 0"  # the standing corpus the index covers
+_PQI_BASE_SQL = "id % 7 <> 0"
+_PQI_QPRED = "vec_id % 7 = 0"  # the incoming batch that probes it
+_PQI_QPRED_SQL = "id % 7 = 0"
+
+
+def q_pq_index_persist(spark, sf_dir):
+    """The persisted ANN index: codebook + code table trained/encoded
+    over the standing corpus (vec_id % 7 != 0) and written as catalog
+    tables (codes bucketed by (sub, code) — at 100 TB the code table is
+    standing infrastructure, re-encoded only when the codebook
+    retrains), then the day's incoming batch (vec_id % 7 = 0) searches
+    it by ADC top-5 WITHOUT touching the base corpus's float vectors:
+    pq_adc_topk consumes the read-back code table directly, so the only
+    thing read at query time is 4 bytes/vector of codes plus the
+    broadcast m·k codebook — the train-once/search-many deployment
+    shape of q_dedup_index_persist, for vectors.  Re-runnable:
+    overwrite mode, metastore + physical dirs cleared first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from . import catalog
+
+    db = "sg_pq_index"
+    catalog.ensure_database(spark, db)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("codes", "codebook"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(f"{wh}/{db}.db/{t}", ignore_errors=True)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(_PQI_BASE)
+    cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    codes = pq.pq_encode(base, cb, m=_PQ_M)
+    catalog.save_bucketed_table(
+        codes, db, "codes", ["sub", "code"], 8, ["id"]
+    )
+    catalog.save_table(cb, db, "codebook")
+
+    index_codes = catalog.read_table(spark, db, "codes")
+    index_cb = catalog.read_table(spark, db, "codebook")
+    incoming = emb.filter(_PQI_QPRED).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.pq_adc_topk(
+        emb,
+        incoming,
+        index_cb,
+        k=_PQI_TOPK,
+        m=_PQ_M,
+        codes=index_codes,
+    )
+
+
+SQL_PQ_INDEX_PERSIST = (
+    _pq_model_cte(_PQ_M, _PQ_K, _PQ_ITERS, base_pred=_PQI_BASE_SQL)
+    + _adc_cte(_PQ_ITERS, qpred=_PQI_QPRED_SQL)
+    + f"""
+SELECT qid AS query_id, id AS vec_id,
+       CAST(ROUND(adc_dec, 6) AS DOUBLE) AS adc_dist, rank
+FROM adc_rank
+WHERE rank <= {_PQI_TOPK}
+"""
+)
+
+QUERIES_EXT40["q_pq_index_persist"] = q_pq_index_persist
+ORACLE_EXT40["q_pq_index_persist"] = SQL_PQ_INDEX_PERSIST

@@ -234,3 +234,47 @@ JOIN sizes sb ON id_b = sb.media_id
 
 QUERIES_EXT41["q_audio_neardup"] = q_audio_neardup
 ORACLE_EXT41["q_audio_neardup"] = SQL_AUDIO_NEARDUP
+
+
+def q_stream_audio_fingerprint(spark, sf_dir):
+    """Streaming twin of q_audio_fingerprint: the WAV synth + real
+    decode + band-energy-delta hash run per micro-batch over a file
+    stream (2 parquet shards, maxFilesPerTrigger=1, availableNow).
+    Both mapInPandas stages are stateless, so append mode needs no
+    watermark and no state store, and the drained sink must equal the
+    batch lane row for row — this lane shares its oracle VERBATIM,
+    extending the stream/batch-equivalence family from codecs (PNG) to
+    the audio DSP path.  Scale posture: per-batch linear kernel work,
+    zero shuffle; payloads never leave the decoding executor."""
+    import tempfile
+
+    from .streaming.ingest import stream_files
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="sg_afp_src_")
+    d.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = stream_files(
+        spark, src_dir, d.schema, max_files_per_trigger=1
+    ).drop("__source_file")
+    fp = multimodal.audio_fingerprint(
+        multimodal.documents_as_wav(stream),
+        frame_samples=_AF_FRAME,
+        bands=_AF_BANDS,
+    )
+    sink = "sg_stream_audio_fingerprint"
+    ckpt = tempfile.mkdtemp(prefix="sg_afp_ckpt_")
+    q = (
+        fp.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+QUERIES_EXT41["q_stream_audio_fingerprint"] = q_stream_audio_fingerprint
+ORACLE_EXT41["q_stream_audio_fingerprint"] = SQL_AUDIO_FINGERPRINT

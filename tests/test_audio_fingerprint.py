@@ -149,3 +149,25 @@ def test_short_payload_contributes_nothing():
     assert (n, h) == (0, [])
     n, h = _frame_hashes_np(list(range(_AF_FRAME)), _AF_FRAME, _AF_BANDS)
     assert n == 1 and h == []
+
+
+def test_stream_twin_matches_batch_and_reruns(spark, sf_dir):
+    """The streaming lane must (a) equal the batch lane row for row —
+    the stream/batch equivalence its shared oracle asserts — and (b) be
+    re-runnable twice in one session (the driver runs every lane at
+    least twice: entry smoke + oracle pass)."""
+    batch = {
+        r["media_id"]: (r["n_samples"], r["n_frames"], r["n_hashes"], r["fp_md5"])
+        for r in QUERIES["q_audio_fingerprint"](spark, sf_dir).collect()
+    }
+    for _ in range(2):
+        got = {
+            r["media_id"]: (
+                r["n_samples"],
+                r["n_frames"],
+                r["n_hashes"],
+                r["fp_md5"],
+            )
+            for r in QUERIES["q_stream_audio_fingerprint"](spark, sf_dir).collect()
+        }
+        assert got == batch

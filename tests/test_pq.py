@@ -180,3 +180,37 @@ def test_rerank_lane_contract(spark, sf_dir):
         dists = [r["l2_dist"] for r in mine]
         assert dists == sorted(dists)
         assert all(r["vec_id"] != qid for r in mine)
+
+
+def test_index_persist_matches_inmemory_and_reruns(spark, sf_dir):
+    """The persisted-index lane must return exactly what the in-memory
+    pipeline returns over the same base/incoming split — the catalog
+    round trip (bucketed codes + codebook) must be value-neutral — and
+    must be re-runnable twice in one session (drop + rmtree + overwrite)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext40 import (
+        _PQI_BASE,
+        _PQI_QPRED,
+        _PQI_TOPK,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(_PQI_BASE)
+    cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    from pyspark.sql import functions as F
+
+    incoming = emb.filter(_PQI_QPRED).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expect = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+        for r in pq.pq_adc_topk(
+            base, incoming, cb, k=_PQI_TOPK, m=_PQ_M
+        ).collect()
+    }
+    for _ in range(2):
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+            for r in QUERIES["q_pq_index_persist"](spark, sf_dir).collect()
+        }
+        assert got == expect
+    assert expect  # the incoming batch must actually probe something
