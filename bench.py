@@ -278,6 +278,8 @@ HEADLINE = [
     # round-8: persisted PQ index (train/encode once → catalog tables →
     # incoming batch probes by ADC without touching base floats)
     "q_pq_index_persist",
+    # round-8: video near-dup (Y4M decode → luma-quadrant delta hashes)
+    "q_video_neardup",
 ]
 
 

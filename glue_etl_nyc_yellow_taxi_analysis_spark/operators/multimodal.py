@@ -1257,3 +1257,42 @@ def audio_frame_hashes(
     return df.select("media_id", "payload").mapInPandas(
         run, _AUDIO_FRAME_HASH_SCHEMA
     )
+
+
+def video_frame_hashes(
+    df: DataFrame, luma_per_frame: int, bands: int = 4
+) -> DataFrame:
+    """(media_id, t, fh): the video twin of ``audio_frame_hashes`` —
+    decode Y4M with the REAL stream walker (parse_y4m), flatten the
+    luma planes, and reuse the band-energy-delta kernel over luma bytes
+    (frame = one video frame's ``luma_per_frame`` bytes, band = a
+    contiguous quadrant).  Deltas of band energies between consecutive
+    frames make the hash brightness-scale invariant, the same property
+    the audio hash has for gain.  Corrupt containers contribute no rows
+    (fail-soft), one linear Arrow pass, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ts, fhs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _w, _h, frames = parse_y4m(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error):
+                    continue
+                luma = list(b"".join(fr[0] for fr in frames))
+                _n, hashes = _frame_hashes_np(luma, luma_per_frame, bands)
+                for t, h in enumerate(hashes):
+                    mids.append(mid)
+                    ts.append(t)
+                    fhs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "t": pd.array(ts, dtype="int32"),
+                    "fh": pd.array(fhs, dtype="int32"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, _AUDIO_FRAME_HASH_SCHEMA
+    )

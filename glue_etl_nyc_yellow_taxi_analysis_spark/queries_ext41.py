@@ -121,19 +121,13 @@ QUERIES_EXT41["q_audio_fingerprint"] = q_audio_fingerprint
 ORACLE_EXT41["q_audio_fingerprint"] = SQL_AUDIO_FINGERPRINT
 
 
-def q_audio_neardup(spark, sf_dir):
-    """Audio near-dup pairs: shingle the frame-hash sequence (w=4),
-    drop hot shingles by document frequency (df > 50 — silence and
-    constant-energy runs would otherwise candidate-join every pair of
-    long docs), join candidates on shared shingles, verify by exact
-    integer Jaccard over the kept shingle sets.  Identical scale shape
-    to the text n-gram Jaccard lane: candidates are bucket-bounded, the
-    hot-set is a broadcast anti-join, never corpus × corpus."""
-    docs = _t(spark, sf_dir, "documents")
-    media = multimodal.documents_as_wav(docs)
-    fh = multimodal.audio_frame_hashes(
-        media, frame_samples=_AF_FRAME, bands=_AF_BANDS
-    )
+def _shingle_pairs(fh):
+    """Shared near-dup tail over a (media_id, t, fh) frame-hash frame:
+    order-assemble the hash sequence, shingle w consecutive hashes,
+    drop hot shingles (df > cap) via a broadcast anti-join, join
+    candidates on shared shingles, verify by exact integer Jaccard.
+    Used by both the audio and video lanes — the modality only changes
+    how frame hashes are produced."""
     seq = (
         fh.groupBy("media_id")
         .agg(F.array_sort(F.collect_list(F.struct("t", "fh"))).alias("seq"))
@@ -197,10 +191,9 @@ def q_audio_neardup(spark, sf_dir):
     )
 
 
-SQL_AUDIO_NEARDUP = (
-    _WAV_SAMPLES_CTE
-    + _WAV_HASHES_CTE
-    + f""", sh AS MATERIALIZED (
+# the SQL twin of _shingle_pairs, appended after a CTE chain that ends
+# with fhs(media_id, ..., hs)
+_SHINGLE_SQL = f""", sh AS MATERIALIZED (
   SELECT DISTINCT media_id,
          array_to_string(hs[i + 1 : i + {_AF_W}], '-') AS sh
   FROM fhs, unnest(range(0, len(hs) - {_AF_W - 1})) AS t(i)
@@ -230,7 +223,25 @@ FROM pairs
 JOIN sizes sa ON id_a = sa.media_id
 JOIN sizes sb ON id_b = sb.media_id
 """
-)
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup pairs: shingle the frame-hash sequence (w=4),
+    drop hot shingles by document frequency (df > 50 — silence and
+    constant-energy runs would otherwise candidate-join every pair of
+    long docs), join candidates on shared shingles, verify by exact
+    integer Jaccard over the kept shingle sets.  Identical scale shape
+    to the text n-gram Jaccard lane: candidates are bucket-bounded, the
+    hot-set is a broadcast anti-join, never corpus × corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_wav(docs)
+    fh = multimodal.audio_frame_hashes(
+        media, frame_samples=_AF_FRAME, bands=_AF_BANDS
+    )
+    return _shingle_pairs(fh)
+
+
+SQL_AUDIO_NEARDUP = _WAV_SAMPLES_CTE + _WAV_HASHES_CTE + _SHINGLE_SQL
 
 QUERIES_EXT41["q_audio_neardup"] = q_audio_neardup
 ORACLE_EXT41["q_audio_neardup"] = SQL_AUDIO_NEARDUP
@@ -278,3 +289,82 @@ def q_stream_audio_fingerprint(spark, sf_dir):
 
 QUERIES_EXT41["q_stream_audio_fingerprint"] = q_stream_audio_fingerprint
 ORACLE_EXT41["q_stream_audio_fingerprint"] = SQL_AUDIO_FINGERPRINT
+
+
+# --------------------------------------------------------------------------
+# Video fingerprint near-dup — completes the four-modality dedup family
+# --------------------------------------------------------------------------
+
+_VF_W, _VF_H = 6, 4
+_VF_LUMA = _VF_W * _VF_H                              # 24 luma bytes/frame
+_VF_FRAME_BYTES = _VF_LUMA + 2 * (_VF_W // 2) * (_VF_H // 2)  # 36
+_VF_BW = _VF_LUMA // _AF_BANDS                        # 6 bytes/quadrant
+
+
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup pairs: decode Y4M with the real stream walker,
+    hash each frame as the 4-bit pattern of luma-QUADRANT energy deltas
+    versus the previous frame (brightness-scale invariant, the video
+    analogue of the audio gain invariance), then the shared shingle
+    tail — w=4 hash shingles, broadcast stop-shingle cap, exact integer
+    Jaccard.  With this lane the near-dup family covers all four
+    modalities: text (MinHash/SimHash/…), image (blockhash), audio
+    (band-energy deltas), video (this).  Same bounded scale shape:
+    linear Arrow decode, bucket-bounded candidates, never corpus ×
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_y4m(docs, width=_VF_W, height=_VF_H)
+    fh = multimodal.video_frame_hashes(
+        media, luma_per_frame=_VF_LUMA, bands=_AF_BANDS
+    )
+    return _shingle_pairs(fh)
+
+
+# Frame f's luma bytes are text[36f + 0 : 36f + 24) zero-padded past the
+# text (the SQL_Y4M_DECODE plane replay); energies reuse the audio
+# grid template over luma SQUARES, indexed e = t*bands + b.
+_Y4M_LUMA_CTE = f"""
+WITH sized AS (
+  SELECT doc_id AS media_id, COALESCE(text, '') AS text,
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes
+  FROM sized_src
+), shaped AS (
+  SELECT media_id, text, n_bytes,
+         greatest(n_bytes // {_VF_FRAME_BYTES}, 1) AS nf
+  FROM sized
+), luma AS MATERIALIZED (
+  SELECT media_id, nf,
+         list_transform(range(0, {_VF_LUMA} * nf), j ->
+           CASE WHEN (j // {_VF_LUMA}) * {_VF_FRAME_BYTES}
+                     + j % {_VF_LUMA} < n_bytes
+                THEN ascii(substr(text,
+                       (j // {_VF_LUMA}) * {_VF_FRAME_BYTES}
+                       + j % {_VF_LUMA} + 1, 1))
+                ELSE 0 END) AS yl
+  FROM shaped
+), en AS MATERIALIZED (
+  SELECT media_id, nf AS n_frames,
+         list_transform(range(0, nf * {_AF_BANDS}), e ->
+           list_sum(list_transform(
+             range((e // {_AF_BANDS}) * {_VF_LUMA}
+                       + (e % {_AF_BANDS}) * {_VF_BW} + 1,
+                   (e // {_AF_BANDS}) * {_VF_LUMA}
+                       + ((e % {_AF_BANDS}) + 1) * {_VF_BW} + 1),
+             j -> CAST(yl[j] AS BIGINT) * yl[j]))) AS energies
+  FROM luma
+), fhs AS MATERIALIZED (
+  SELECT media_id, n_frames,
+         list_transform(range(1, n_frames), t ->
+           CAST(list_sum(list_transform(range(0, {_AF_BANDS}), b ->
+             CASE WHEN energies[t * {_AF_BANDS} + b + 1]
+                       > energies[(t - 1) * {_AF_BANDS} + b + 1]
+                  THEN (1 << b) ELSE 0 END)) AS INTEGER)) AS hs
+  FROM en
+)"""
+
+SQL_VIDEO_NEARDUP = (
+    _Y4M_LUMA_CTE.replace("FROM sized_src", "FROM documents") + _SHINGLE_SQL
+)
+
+QUERIES_EXT41["q_video_neardup"] = q_video_neardup
+ORACLE_EXT41["q_video_neardup"] = SQL_VIDEO_NEARDUP

@@ -171,3 +171,114 @@ def test_stream_twin_matches_batch_and_reruns(spark, sf_dir):
             for r in QUERIES["q_stream_audio_fingerprint"](spark, sf_dir).collect()
         }
         assert got == batch
+
+
+# --------------------------------------------------------------------------
+# video twin (q_video_neardup) — same independent-replay discipline
+# --------------------------------------------------------------------------
+
+_VF_LUMA, _VF_FRAME_BYTES, _VF_BW = 24, 36, 6
+
+
+def _py_video_hashes(text: str):
+    b = ("" if text is None else text).encode("utf-8")
+    nf = max(1, len(b) // _VF_FRAME_BYTES)
+    luma = []
+    for f in range(nf):
+        chunk = b[f * _VF_FRAME_BYTES : f * _VF_FRAME_BYTES + _VF_LUMA]
+        luma.extend(chunk.ljust(_VF_LUMA, b"\x00"))
+    energies = [
+        [
+            sum(
+                v * v
+                for v in luma[
+                    t * _VF_LUMA + q * _VF_BW : t * _VF_LUMA + (q + 1) * _VF_BW
+                ]
+            )
+            for q in range(_AF_BANDS)
+        ]
+        for t in range(nf)
+    ]
+    return [
+        sum(
+            (1 << q)
+            for q in range(_AF_BANDS)
+            if energies[t][q] > energies[t - 1][q]
+        )
+        for t in range(1, nf)
+    ]
+
+
+def test_video_neardup_matches_text_replay(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    per_doc = {}
+    for did, text in docs.items():
+        hashes = _py_video_hashes(text)
+        if len(hashes) < _AF_W:
+            continue
+        per_doc[did] = {
+            "-".join(str(h) for h in hashes[i : i + _AF_W])
+            for i in range(len(hashes) - _AF_W + 1)
+        }
+    df = Counter(s for shs in per_doc.values() for s in shs)
+    kept = {
+        did: {s for s in shs if df[s] <= _AF_DFCAP}
+        for did, shs in per_doc.items()
+    }
+    ids = sorted(d for d, s in kept.items() if s)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(kept[a] & kept[b])
+            if shared >= _AF_MIN_SHARED:
+                union = len(kept[a]) + len(kept[b]) - shared
+                expect[(a, b)] = (
+                    shared,
+                    len(kept[a]),
+                    len(kept[b]),
+                    shared * 1000 // union,
+                )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["shared"],
+            r["n_a"],
+            r["n_b"],
+            r["jac_x1000"],
+        )
+        for r in QUERIES["q_video_neardup"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "corpus has no video near-dup pairs; lane is untestable"
+
+
+def test_decoders_fail_soft_on_corrupt_containers(spark):
+    """Seeded byte-mutation fuzz over the fingerprint kernels: a corrupt
+    WAV/Y4M container must contribute a NULL-stats row (fingerprint) or
+    no rows (frame hashes) — never an exception, which would abort every
+    task retry at 100 TB."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import multimodal
+
+    wav = multimodal.wav_container(bytes(range(64)) * 4, 16000)
+    y4m = multimodal.y4m_container(
+        [bytes(range(36))], 6, 4
+    )
+    rows = []
+    for base in (wav, y4m):
+        for cut in (1, 7, 13, len(base) // 2):
+            rows.append(bytes(base[:cut]))
+        for pos in (0, 3, 9, 15):
+            mut = bytearray(base)
+            mut[pos] ^= 0xFF
+            rows.append(bytes(mut))
+    media = spark.createDataFrame(
+        [(i, payload) for i, payload in enumerate(rows)],
+        "media_id bigint, payload binary",
+    )
+    fp = multimodal.audio_fingerprint(media).collect()
+    assert len(fp) == len(rows)  # one row each, NULL stats where corrupt
+    fh = multimodal.audio_frame_hashes(media).collect()
+    vh = multimodal.video_frame_hashes(media, luma_per_frame=24).collect()
+    assert isinstance(fh, list) and isinstance(vh, list)  # no crash
