@@ -280,6 +280,8 @@ HEADLINE = [
     "q_pq_index_persist",
     # round-8: video near-dup (Y4M decode → luma-quadrant delta hashes)
     "q_video_neardup",
+    # round-8: IVFADC — IVF coarse cells + PQ on residuals, composed
+    "q_ann_ivfpq_oracle",
 ]
 
 

@@ -73,13 +73,21 @@ _SQDIST_SQL = (
 _DEC18 = "CAST(CAST({v} AS VARCHAR) AS DECIMAL(27,18))"
 
 
-def _pq_model_cte(m: int, k: int, iters: int, base_pred: str = "TRUE") -> str:
+def _pq_model_cte(
+    m: int,
+    k: int,
+    iters: int,
+    base_pred: str = "TRUE",
+    emb_prefix: str | None = None,
+) -> str:
     """The shared train→encode prefix: emb / pts / bpts /
     cents0..cents{iters} / codes, mirroring operators/pq.pq_train +
     pq_encode stage for stage.  ``base_pred`` restricts which vectors
     the codebook trains on and the code table covers (the persisted-
     index lane trains on the standing corpus only); queries always
-    come from the unfiltered pts."""
+    come from the unfiltered pts.  ``emb_prefix`` swaps the vector
+    source (the IVFADC lane feeds RESIDUALS: x - coarse centroid) —
+    it must be a full WITH-prefix ending after an ``emb(id, x)`` CTE."""
     assign = """, assign{i} AS MATERIALIZED (
   SELECT id, sub, sx, min({{'d': d, 'c': cluster}}).c AS cluster
   FROM (
@@ -99,12 +107,14 @@ def _pq_model_cte(m: int, k: int, iters: int, base_pred: str = "TRUE") -> str:
     GROUP BY sub, cluster, dim)
   GROUP BY sub, cluster
 )"""
-    parts = [f"""
+    if emb_prefix is None:
+        emb_prefix = f"""
 WITH emb AS MATERIALIZED (
   SELECT vec_id AS id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) >= {m}
-), pts AS MATERIALIZED (
+)"""
+    parts = [emb_prefix + f""", pts AS MATERIALIZED (
   SELECT id, j AS sub,
          x[j * (len(x) // {m}) + 1 : (j + 1) * (len(x) // {m})] AS sx
   FROM emb, unnest(range(0, {m})) AS t(j)
@@ -421,3 +431,180 @@ WHERE rank <= {_PQI_TOPK}
 
 QUERIES_EXT40["q_pq_index_persist"] = q_pq_index_persist
 ORACLE_EXT40["q_pq_index_persist"] = SQL_PQ_INDEX_PERSIST
+
+
+# --------------------------------------------------------------------------
+# IVFADC — IVF coarse partitioning + PQ on residuals (the FAISS index)
+# --------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 3
+
+
+def q_ann_ivfpq_oracle(spark, sf_dir):
+    """IVFADC, fully oracle-checked: coarse-quantize by label with the
+    deterministic lowest-id representative (the q_ann_ivf_oracle
+    convention), train ONE shared PQ codebook on the RESIDUALS
+    x − coarse_centroid (residuals are smaller than raw vectors, so the
+    same k=16 codebook quantizes them finer — the reason FAISS's IVFADC
+    encodes residuals), then search: probe the 3 nearest coarse cells
+    per query, build the ADC distance table from the QUERY'S residual
+    against each probed cell, and score only that cell's codes.
+
+    The scale composition is the whole point: IVF bounds WHICH vectors
+    are scored (nprobe/nlist of the corpus), PQ bounds what each
+    costs (m lookups) — cost per query drops from O(N·dim) to
+    O(N·nprobe/nlist·m) lookups plus a broadcast table build.  Every
+    stage stays exact-lane (decimal ADC sums, deterministic ties), so
+    the full composed index is replayed by one chained-CTE oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("label").alias("ccluster"), F.col("x").alias("centroid"))
+    )
+    resid = (
+        base.join(F.broadcast(reps), base.label == reps.ccluster)
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with("x", "centroid", lambda a, b: a - b).alias("res"),
+        )
+        .localCheckpoint()  # train, encode and the cluster map all consume it
+    )
+    cb = pq.pq_train(
+        resid, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, vec_col="res"
+    )
+    codes = pq.pq_encode(resid, cb, m=_PQ_M, vec_col="res").join(
+        resid.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+
+    sq = pq._sq_dist
+    qv = base.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
+        F.col("vec_id").alias("qid"), "x"
+    )
+    pw = Window.partitionBy("qid").orderBy(F.asc("__pd"), F.asc("ccluster"))
+    probe = (
+        qv.crossJoin(F.broadcast(reps))
+        .withColumn("__pd", sq("x", "centroid"))
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= _IVFPQ_NPROBE)
+        .select(
+            "qid",
+            "ccluster",
+            F.zip_with("x", "centroid", lambda a, b: a - b).alias("qres"),
+        )
+    )
+    sub_expr = (
+        f"transform(sequence(0, {_PQ_M - 1}), "
+        f"j -> slice(qres, j * (size(qres) div {_PQ_M}) + 1, "
+        f"size(qres) div {_PQ_M}))"
+    )
+    qsub = probe.select(
+        "qid", "ccluster", F.posexplode(F.expr(sub_expr)).alias("sub", "qx")
+    )
+    dtab = qsub.join(F.broadcast(cb), "sub").select(
+        "qid",
+        "ccluster",
+        "sub",
+        F.col("cluster").alias("pcode"),
+        sq("qx", "centroid").cast("decimal(27,18)").alias("pd"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.label == dtab.ccluster)
+            & (codes.sub == dtab.sub)
+            & (codes.code == dtab.pcode),
+        )
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.sum("pd").alias("adc_dec"))
+    )
+    rw = Window.partitionBy("qid").orderBy(F.asc("adc_dec"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("vec_id"),
+            F.round(F.col("adc_dec"), 6).cast("double").alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+_IVFPQ_EMB_PREFIX = f"""
+WITH emb0 AS MATERIALIZED (
+  SELECT vec_id AS id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_PQ_M}
+), reps AS MATERIALIZED (
+  SELECT label AS ccluster, x AS centroid
+  FROM (SELECT label, x,
+               row_number() OVER (PARTITION BY label ORDER BY id) AS rn
+        FROM emb0)
+  WHERE rn = 1
+), emb AS MATERIALIZED (
+  SELECT e.id, e.label,
+         list_transform(range(1, len(e.x) + 1),
+                        i -> e.x[i] - r.centroid[i]) AS x
+  FROM emb0 e JOIN reps r ON e.label = r.ccluster
+)"""
+
+_IVFPQ_SEARCH_CTE = f""", vclu AS (
+  SELECT id, label AS vcluster FROM emb
+), probe AS MATERIALIZED (
+  SELECT qid, ccluster, qres FROM (
+    SELECT q.id AS qid, r.ccluster,
+           list_transform(range(1, len(q.x) + 1),
+                          i -> q.x[i] - r.centroid[i]) AS qres,
+           row_number() OVER (
+               PARTITION BY q.id
+               ORDER BY {_SQDIST_SQL.format(a="q.x", b="r.centroid")},
+                        r.ccluster) AS pr
+    FROM (SELECT id, x FROM emb0
+          WHERE id IN ({", ".join(str(q) for q in _PQ_QIDS)})) q, reps r)
+  WHERE pr <= {_IVFPQ_NPROBE}
+), qpts2 AS (
+  SELECT qid, ccluster, j AS sub,
+         qres[j * (len(qres) // {_PQ_M}) + 1
+              : (j + 1) * (len(qres) // {_PQ_M})] AS qx
+  FROM probe, unnest(range(0, {_PQ_M})) AS t(j)
+), dtab AS MATERIALIZED (
+  SELECT p.qid, p.ccluster, p.sub, c.cluster AS pcode,
+         {_DEC18.format(v=_SQDIST_SQL.format(a="p.qx", b="c.centroid"))} AS pd
+  FROM qpts2 p JOIN cents{_PQ_ITERS} c ON p.sub = c.sub
+), adc AS MATERIALIZED (
+  SELECT d.qid, cd.id, SUM(d.pd) AS adc_dec
+  FROM codes cd
+  JOIN vclu v ON cd.id = v.id
+  JOIN dtab d ON d.ccluster = v.vcluster
+             AND d.sub = cd.sub AND d.pcode = cd.code
+  WHERE cd.id <> d.qid
+  GROUP BY d.qid, cd.id
+)"""
+
+SQL_ANN_IVFPQ_ORACLE = (
+    _pq_model_cte(_PQ_M, _PQ_K, _PQ_ITERS, emb_prefix=_IVFPQ_EMB_PREFIX)
+    + _IVFPQ_SEARCH_CTE
+    + f"""
+SELECT qid AS query_id, id AS vec_id,
+       CAST(ROUND(adc_dec, 6) AS DOUBLE) AS adc_dist, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_dec, id) AS rank
+      FROM adc)
+WHERE rank <= {_PQ_TOPK}
+"""
+)
+
+QUERIES_EXT40["q_ann_ivfpq_oracle"] = q_ann_ivfpq_oracle
+ORACLE_EXT40["q_ann_ivfpq_oracle"] = SQL_ANN_IVFPQ_ORACLE

@@ -214,3 +214,52 @@ def test_index_persist_matches_inmemory_and_reruns(spark, sf_dir):
         }
         assert got == expect
     assert expect  # the incoming batch must actually probe something
+
+
+def test_ivfpq_scores_only_probed_clusters(spark, sf_dir):
+    """IVFADC's whole point is the bound: every returned neighbor must
+    live in one of the query's nprobe probed coarse cells.  Recompute
+    the probe set independently (exact L2 to the lowest-id reps, ties
+    to the lower label) and check membership; also pin the rank
+    contract."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext40 import (
+        _IVFPQ_NPROBE,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+    label = {r["vec_id"]: r["label"] for r in rows}
+    reps = {}
+    for vid in sorted(vecs):
+        reps.setdefault(label[vid], vecs[vid])
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probed = {}
+    for qid in _PQ_QIDS:
+        ranked = sorted((sqd(vecs[qid], c), lab) for lab, c in reps.items())
+        probed[qid] = {lab for _, lab in ranked[:_IVFPQ_NPROBE]}
+
+    out = (
+        QUERIES["q_ann_ivfpq_oracle"](spark, sf_dir)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert {r["query_id"] for r in out} == set(_PQ_QIDS)
+    for r in out:
+        assert label[r["vec_id"]] in probed[r["query_id"]], r
+        assert r["vec_id"] != r["query_id"]
+    for qid in _PQ_QIDS:
+        ranks = [r["rank"] for r in out if r["query_id"] == qid]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _PQ_TOPK
