@@ -254,8 +254,16 @@ def q_pq_recall(spark, sf_dir):
     search kept, and how many the r=100 exact re-rank buys back.  Both
     sides are deterministic (exact side: the shared sequential double
     fold, ties by vec_id), so even the approximation's QUALITY is
-    hash-pinned, not eyeballed."""
-    emb = _t(spark, sf_dir, "embeddings")
+    hash-pinned, not eyeballed.
+
+    The oracle's corpus-validity filter (non-NULL, >= m dims) is
+    applied up front: an empty/ragged vector can neither be searched
+    nor score as a neighbor, and the exact brute-force side would
+    otherwise rank it with a NULL distance — Spark sorts NULLs FIRST
+    ascending, DuckDB LAST (degenerate-corpus gate find)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    )
     queries = emb.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
