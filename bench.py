@@ -282,6 +282,9 @@ HEADLINE = [
     "q_video_neardup",
     # round-8: IVFADC — IVF coarse cells + PQ on residuals, composed
     "q_ann_ivfpq_oracle",
+    # round-8: online ANN enrichment (micro-batches probe the standing
+    # PQ index in foreachBatch; shares the persisted-index oracle)
+    "q_stream_ann_enrich",
 ]
 
 

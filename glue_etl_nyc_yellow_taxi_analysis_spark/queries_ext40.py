@@ -616,3 +616,55 @@ WHERE rank <= {_PQ_TOPK}
 
 QUERIES_EXT40["q_ann_ivfpq_oracle"] = q_ann_ivfpq_oracle
 ORACLE_EXT40["q_ann_ivfpq_oracle"] = SQL_ANN_IVFPQ_ORACLE
+
+
+def q_stream_ann_enrich(spark, sf_dir):
+    """Online ANN enrichment — the retrieval side of the persisted
+    index: the PQ model (codebook + code table) is trained ONCE on the
+    standing corpus, then incoming vector micro-batches (the
+    vec_id % 7 = 0 arrivals, one parquet shard per trigger) ADC-probe
+    it inside foreachBatch — micro-batch = 'one Lambda invocation',
+    probe = a broadcast distance-table join per batch, the standing
+    corpus's float vectors never touched.  Per-query results are
+    independent of batching, so the drained union must equal
+    q_pq_index_persist's batch output row for row — this lane shares
+    that oracle VERBATIM (the q_stream_png_ingest convention),
+    extending stream/batch equivalence to the vector-search stack."""
+    import tempfile
+
+    from .streaming.ingest import run_ingest, stream_files
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(_PQI_BASE)
+    cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    codes = pq.pq_encode(base, cb, m=_PQ_M).localCheckpoint()
+
+    incoming = emb.filter(_PQI_QPRED).select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix="sg_annstream_src_")
+    incoming.repartition(2).write.mode("overwrite").parquet(src)
+
+    out = tempfile.mkdtemp(prefix="sg_annstream_out_") + "/hits"
+    # schema template so an EMPTY arrival backlog still reads back as
+    # zero rows instead of failing parquet schema inference
+    spark.createDataFrame(
+        [], "query_id bigint, vec_id bigint, adc_dist double, rank int"
+    ).write.mode("overwrite").parquet(out)
+
+    stream = stream_files(
+        spark, src, incoming.schema, max_files_per_trigger=1
+    ).drop("__source_file")
+
+    def probe(batch_df, _batch_id):
+        q = batch_df.select(F.col("vec_id").alias("query_id"), "embedding")
+        pq.pq_adc_topk(
+            emb, q, cb, k=_PQI_TOPK, m=_PQ_M, codes=codes
+        ).write.mode("append").parquet(out)
+
+    run_ingest(
+        stream, probe, checkpoint_dir=tempfile.mkdtemp(prefix="sg_annstream_ck_")
+    ).awaitTermination()
+    return spark.read.parquet(out)
+
+
+QUERIES_EXT40["q_stream_ann_enrich"] = q_stream_ann_enrich
+ORACLE_EXT40["q_stream_ann_enrich"] = SQL_PQ_INDEX_PERSIST
