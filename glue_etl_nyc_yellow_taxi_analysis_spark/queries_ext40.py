@@ -374,8 +374,17 @@ ORACLE_EXT40["q_pq_recall"] = SQL_PQ_RECALL
 _PQI_TOPK = 5
 _PQI_BASE = "vec_id % 7 != 0"  # the standing corpus the index covers
 _PQI_BASE_SQL = "id % 7 <> 0"
-_PQI_QPRED = "vec_id % 7 = 0"  # the incoming batch that probes it
-_PQI_QPRED_SQL = "id % 7 = 0"
+_PQI_QPRED = "vec_id % 7 = 0"  # the arrival pool the batch draws from
+# A probe BATCH is bounded (one trigger's arrivals), while the standing
+# corpus grows: the sf1 rehearsal measured 18-23x wall at 10x rows when
+# the batch also grew with the corpus — flat ADC is O(batch x corpus),
+# so a corpus-proportional batch is quadratic over time.  The capped
+# batch keeps the lane linear in corpus size; corpus-scale query loads
+# belong on the cell-bounded IVFADC path (q_ann_ivfpq_oracle).
+_PQI_BATCH = 24
+_PQI_QPRED_SQL = (
+    f"id IN (SELECT id FROM emb WHERE id % 7 = 0 ORDER BY id LIMIT {_PQI_BATCH})"
+)
 
 
 def q_pq_index_persist(spark, sf_dir):
@@ -413,8 +422,11 @@ def q_pq_index_persist(spark, sf_dir):
 
     index_codes = catalog.read_table(spark, db, "codes")
     index_cb = catalog.read_table(spark, db, "codebook")
-    incoming = emb.filter(_PQI_QPRED).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    incoming = (
+        emb.filter(_PQI_QPRED)
+        .orderBy("vec_id")
+        .limit(_PQI_BATCH)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return pq.pq_adc_topk(
         emb,
@@ -639,7 +651,12 @@ def q_stream_ann_enrich(spark, sf_dir):
     cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     codes = pq.pq_encode(base, cb, m=_PQ_M).localCheckpoint()
 
-    incoming = emb.filter(_PQI_QPRED).select("vec_id", "embedding")
+    incoming = (
+        emb.filter(_PQI_QPRED)
+        .orderBy("vec_id")
+        .limit(_PQI_BATCH)
+        .select("vec_id", "embedding")
+    )
     src = tempfile.mkdtemp(prefix="sg_annstream_src_")
     incoming.repartition(2).write.mode("overwrite").parquet(src)
 

@@ -189,6 +189,7 @@ def test_index_persist_matches_inmemory_and_reruns(spark, sf_dir):
     must be re-runnable twice in one session (drop + rmtree + overwrite)."""
     from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext40 import (
         _PQI_BASE,
+        _PQI_BATCH,
         _PQI_QPRED,
         _PQI_TOPK,
     )
@@ -198,8 +199,11 @@ def test_index_persist_matches_inmemory_and_reruns(spark, sf_dir):
     cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     from pyspark.sql import functions as F
 
-    incoming = emb.filter(_PQI_QPRED).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    incoming = (
+        emb.filter(_PQI_QPRED)
+        .orderBy("vec_id")
+        .limit(_PQI_BATCH)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     expect = {
         (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
