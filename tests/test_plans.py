@@ -516,3 +516,53 @@ def test_embedding_neardup_banded_bucket_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert plan.count("Scan ExistingRDD") >= 2  # the checkpointed sigs
+
+
+def test_pq_adc_search_is_broadcast_only(spark, sf_dir):
+    """The PQ search plan must never shuffle or sort-merge the corpus:
+    codebook and distance table are broadcast, the code table streams
+    once, and the only exchange is the per-(query, id) sum + top-k.
+    A SortMergeJoin here means a mis-broadcast distance table — invisible
+    at test scale, a corpus-wide shuffle at 100 TB."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext40 import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_QIDS,
+    )
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import pq
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    plan = _plan(pq.pq_adc_topk(emb, queries, cb, k=10, m=_PQ_M))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_single_scan_broadcast(spark, sf_dir):
+    """Encoding is one corpus scan against the broadcast m·k codebook;
+    the argmin partial-aggregates map-side (HashAggregate pair), no
+    sort-merge, no cartesian."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext40 import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+    )
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import pq
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    plan = _plan(pq.pq_encode(emb, cb, m=_PQ_M))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # struct-min argmin is not hash-aggregable — it compiles to a
+    # partial + final SortAggregate pair (map-side combine still holds)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
