@@ -282,6 +282,8 @@ def decode_wav(df: DataFrame) -> DataFrame:
     verifiable against a SQL replay of the same bytes."""
     import hashlib
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -294,22 +296,26 @@ def decode_wav(df: DataFrame) -> DataFrame:
                 except (ValueError, NotImplementedError, struct.error):
                     rows.append((mid,) + (None,) * 7)
                     continue
-                zc = sum(
-                    1
-                    for a, b in zip(samples, samples[1:])
-                    if (a < 0) != (b < 0)
-                )
+                # numpy-vectorized stats: the per-sample Python loops
+                # were the lane's hot path (repeat >2x bench flag r8) —
+                # |s| <= 32768 so int64 abs/sum/zero-cross are exact,
+                # and the md5 string (decimal reprs, comma-joined) is
+                # byte-identical to the loop form the oracle replays
+                arr = np.asarray(samples, dtype=np.int64)
+                aabs = np.abs(arr)
                 rows.append(
                     (
                         mid,
                         rate,
                         nch,
                         len(samples),
-                        sum(abs(s) for s in samples),
-                        max((abs(s) for s in samples), default=0),
-                        zc,
+                        int(aabs.sum()),
+                        int(aabs.max()) if len(samples) else 0,
+                        int(((arr[:-1] < 0) != (arr[1:] < 0)).sum())
+                        if len(samples)
+                        else 0,
                         hashlib.md5(
-                            ",".join(str(s) for s in samples).encode()
+                            ",".join(map(str, samples)).encode()
                         ).hexdigest(),
                     )
                 )
