@@ -392,7 +392,10 @@ def q_pq_index_persist(spark, sf_dir):
     over the standing corpus (vec_id % 7 != 0) and written as catalog
     tables (codes bucketed by (sub, code) — at 100 TB the code table is
     standing infrastructure, re-encoded only when the codebook
-    retrains), then the day's incoming batch (vec_id % 7 = 0) searches
+    retrains), then one bounded arrival batch (the 24 lowest
+    vec_id % 7 = 0 ids — a batch is one trigger's worth; flat ADC is
+    O(batch × corpus), so a corpus-proportional batch would be
+    quadratic over time, the sf1-rehearsal find) searches
     it by ADC top-5 WITHOUT touching the base corpus's float vectors:
     pq_adc_topk consumes the read-back code table directly, so the only
     thing read at query time is 4 bytes/vector of codes plus the
