@@ -285,6 +285,8 @@ HEADLINE = [
     # round-8: online ANN enrichment (micro-batches probe the standing
     # PQ index in foreachBatch; shares the persisted-index oracle)
     "q_stream_ann_enrich",
+    # round-8: GIF LZW codec round trip (shares the PNG content oracle)
+    "q_gif_decode",
 ]
 
 

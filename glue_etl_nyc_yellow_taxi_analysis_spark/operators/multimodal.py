@@ -1302,3 +1302,92 @@ def video_frame_hashes(
     return df.select("media_id", "payload").mapInPandas(
         run, _AUDIO_FRAME_HASH_SCHEMA
     )
+
+
+def documents_as_gif(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+) -> DataFrame:
+    """Deterministic GIF payloads from document text: the SAME raster
+    convention as documents_as_png/jpeg (utf-8 bytes top-down,
+    zero-padded, height = max(1, n_bytes//width) capped at 64 rows)
+    encoded through the real ``operators/gif.py`` LZW codec with the
+    identity-gray palette.  GIF is lossless, so the decoded pixels
+    equal the planted raster byte-for-byte — the decode lane can share
+    the PNG lane's content-exact oracle VERBATIM (same raster, same
+    stats), which is itself the point: the oracle pins CONTENT, so it
+    is codec-independent across every lossless format."""
+    import numpy as np
+
+    from . import gif
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                h = min(64, max(1, len(b) // width))
+                pix = np.frombuffer(
+                    b[: width * h].ljust(width * h, b"\x00"), dtype=np.uint8
+                ).reshape(h, width)
+                rows.append((mid, gif.encode_gif(pix)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+def decode_gif(df: DataFrame) -> DataFrame:
+    """REAL GIF decode lane: run each payload through the LZW codec and
+    reduce to the q_png_decode stats contract — (width, height,
+    n_channels, exact value sum, md5 over comma-joined decimal pixel
+    values) — so the content oracle is shared across lossless codecs.
+    Per-row fail-soft on corrupt containers."""
+    import hashlib
+
+    from . import gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    h, w, px = gif.decode_gif(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid,) + (None,) * 5)
+                    continue
+                flat = px.reshape(-1)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        1,
+                        int(flat.astype("int64").sum()),
+                        hashlib.md5(
+                            ",".join(str(int(v)) for v in flat).encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sum_luma",
+                    "pixels_md5",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _PNG_DECODE_SCHEMA)

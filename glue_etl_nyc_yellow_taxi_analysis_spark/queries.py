@@ -2287,3 +2287,8 @@ from .queries_ext41 import ORACLE_EXT41, QUERIES_EXT41  # noqa: E402
 
 QUERIES.update(QUERIES_EXT41)
 ORACLE.update(ORACLE_EXT41)
+
+from .queries_ext42 import ORACLE_EXT42, QUERIES_EXT42  # noqa: E402
+
+QUERIES.update(QUERIES_EXT42)
+ORACLE.update(ORACLE_EXT42)
