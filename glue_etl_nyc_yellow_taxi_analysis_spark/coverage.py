@@ -43,6 +43,10 @@ PINNED: tuple[str, ...] = (
     # r8: fixture writer collect+loop → executor-side foreachPartition
     # (hash-neutral locally; the pin converts that into driver evidence)
     "q_binaryfile_source",
+    # r8 late: decode stats vectorized with numpy (md5 byte-identical,
+    # hash-neutral locally — the pin re-earns driver evidence under the
+    # new kernel)
+    "q_wav_decode",
 )
 
 
