@@ -31,23 +31,23 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.
-# Round 8 pins the two lanes the advisor/verdict fixes touched:
-# q_url_canonicalize planted a non-https URL variant on BOTH engines
-# (makes the oracle's new scheme guard load-bearing) and q_uuid_pk
-# gained a hash-exact oracle for its distinctness contract (previously
-# an `err: no_oracle` row; the other four no-oracle lanes were
-# undeclared in favor of their hash-exact twins).
-PINNED: tuple[str, ...] = (
-    "q_url_canonicalize",  # r8: %11 non-https plant + oracle scheme guard
-    "q_uuid_pk",  # r8: distinctness-contract oracle added (was rows-only)
-    # r8: fixture writer collect+loop → executor-side foreachPartition
-    # (hash-neutral locally; the pin converts that into driver evidence)
-    "q_binaryfile_source",
-    # r8 late: decode stats vectorized with numpy (md5 byte-identical,
-    # hash-neutral locally — the pin re-earns driver evidence under the
-    # new kernel)
-    "q_wav_decode",
-)
+# Round 9 pins nothing: all four r8 pins earned their driver rows in
+# CORRECTNESS_r08.json and no existing lane's Spark or oracle side
+# changed this round.  Every window slot goes to the strict-gate
+# backlog (see STRICT_GATE_ROUND below).
+PINNED: tuple[str, ...] = ()
+
+# Rounds 1-2 predate the r3 bit-exact hash canonicalization, so a lane
+# whose LATEST driver row is r1/r2 has only lax-era external evidence.
+# Until that backlog is empty, those lanes outrank even never-checked
+# lanes for window slots: a brand-new lane at least has the local
+# strict gate (tools/check_oracle.py + pytest) from the round it was
+# born, while a pre-r3 row was never externally checked bit-exact at
+# all.  Round 9 has exactly 50 such lanes (18 r1 + 32 r2) — one full
+# driver window; new lanes added this round earn their driver row next
+# round, when this constant's set is empty and ordering degrades to
+# the usual fresh-then-oldest rotation.
+STRICT_GATE_ROUND = 3
 
 
 def _round_files() -> list[tuple[int, str]]:
@@ -85,23 +85,34 @@ def evidence_age() -> dict[str, int]:
 
 
 def driver_order(queries: dict) -> dict:
-    """Reorder the registry: PINNED (changed this round), then
-    never-driver-checked (new lanes, stable registry order), then ALL
-    previously-checked queries ordered oldest-evidence-first.
+    """Reorder the registry: PINNED (changed this round), then lanes
+    whose latest driver row predates the strict bit-exact gate
+    (oldest-first — see STRICT_GATE_ROUND), then never-driver-checked
+    lanes (stable registry order), then everything else ordered
+    oldest-evidence-first.
 
     With the never-checked tail closed (round 7), every window slot
-    after the pins re-verifies the stalest committed evidence — ~46
-    lanes per round, so the whole 291-query registry re-earns a fresh
+    after the pins re-verifies the stalest committed evidence — ~50
+    lanes per round, so the whole 311-query registry re-earns a fresh
     driver row about every 6 rounds.  Ordering by (latest_round,
     registry order) is self-balancing: lanes re-checked this round drop
     to the back automatically in the next round's ordering."""
     age = evidence_age()
     pinned = [n for n in PINNED if n in queries]
     head = set(pinned)
-    fresh = [n for n in queries if n not in age and n not in head]
     order = list(queries)
+    lax = sorted(
+        (
+            n
+            for n in queries
+            if n in age and age[n] < STRICT_GATE_ROUND and n not in head
+        ),
+        key=lambda n: (age[n], order.index(n)),
+    )
+    head.update(lax)
+    fresh = [n for n in queries if n not in age and n not in head]
     done = sorted(
         (n for n in queries if n in age and n not in head),
         key=lambda n: (age[n], order.index(n)),
     )
-    return {n: queries[n] for n in (*pinned, *fresh, *done)}
+    return {n: queries[n] for n in (*pinned, *lax, *fresh, *done)}

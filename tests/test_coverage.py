@@ -11,10 +11,16 @@ the window's value is now RE-verification — the order after the pins is
 oldest-evidence-first (latest committed driver round ascending), which
 is self-balancing: lanes re-checked this round sort to the back next
 round.
+
+Round 9 refinement: lanes whose latest driver row predates the r3
+bit-exact hash gate (STRICT_GATE_ROUND) outrank even never-checked
+lanes until that backlog is empty — lax-era evidence is weaker than a
+new lane's local strict gate.
 """
 
 from glue_etl_nyc_yellow_taxi_analysis_spark.coverage import (
     PINNED,
+    STRICT_GATE_ROUND,
     checked_names,
     driver_order,
     evidence_age,
@@ -33,19 +39,26 @@ def test_driver_order_retains_every_query():
 def test_driver_order_sections():
     ordered = list(driver_order(QUERIES))
     seen = checked_names()
+    age = evidence_age()
     pinned = [n for n in PINNED if n in QUERIES]
     # 1. pinned first, in declaration order
     assert ordered[: len(pinned)] == pinned
-    # 2. never-checked (new) lanes precede every already-checked lane
     rest = ordered[len(pinned):]
-    fresh_flags = [n not in seen for n in rest]
+    # 2. lax-era lanes (latest row predates the strict hash gate) come
+    #    next, oldest-first, BEFORE never-checked lanes
+    lax = [n for n in rest if n in age and age[n] < STRICT_GATE_ROUND]
+    assert rest[: len(lax)] == lax
+    lax_ages = [age[n] for n in lax]
+    assert lax_ages == sorted(lax_ages)
+    # 3. never-checked (new) lanes precede every strict-era checked lane
+    after_lax = rest[len(lax):]
+    fresh_flags = [n not in seen for n in after_lax]
     if False in fresh_flags and True in fresh_flags:
         assert fresh_flags.index(False) > max(
             i for i, f in enumerate(fresh_flags) if f
         )
-    # 3. the checked tail is ordered oldest-evidence-first
-    age = evidence_age()
-    tail_ages = [age[n] for n in rest if n in age]
+    # 4. the strict-era checked tail is ordered oldest-evidence-first
+    tail_ages = [age[n] for n in after_lax if n in age]
     assert tail_ages == sorted(tail_ages)
 
 
