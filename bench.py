@@ -287,6 +287,11 @@ HEADLINE = [
     "q_stream_ann_enrich",
     # round-8: GIF LZW codec round trip (shares the PNG content oracle)
     "q_gif_decode",
+    # round-9: RIFF AVI container lanes (MJPEG full decode, sampled
+    # demux-then-decode, content-exact uncompressed-DIB replay)
+    "q_mjpeg_decode",
+    "q_avi_framesample",
+    "q_avi_dib_decode",
 ]
 
 

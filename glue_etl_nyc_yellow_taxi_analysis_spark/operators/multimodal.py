@@ -997,6 +997,15 @@ def sample_frames(
     oracle-verified ``frame_sample`` lane.  (Pre-r4 this function used
     ``every_nth`` as BOTH the chunk size and the stride — an effective
     stride² nobody asked for — and emitted post-sampling ordinals.)
+
+    The REAL path (``fake_decode=False``, r9) demuxes RIFF AVI
+    containers with ``operators/avi.py`` — one container walk, emit
+    every ``every_nth``-th frame's raw stream bytes (a JPEG bitstream
+    for MJPG, a padded DIB raster for 00db streams), exactly ffmpeg's
+    demux-without-decode sampling shape.  Non-AVI containers (MP4/MKV
+    need an ffmpeg/PyAV demuxer) and corrupt payloads fail soft to a
+    single ``(media_id, -1, NULL)`` marker row, so one alien file in a
+    100 TB sweep surfaces in the output instead of killing the task.
     """
     out_schema = T.StructType(
         [
@@ -1007,14 +1016,24 @@ def sample_frames(
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import avi
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("wire ffmpeg/PyAV here")
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                chunk = max(1, frame_size)
-                frames = [data[i : i + chunk] for i in range(0, len(data), chunk)]
+                if fake_decode:
+                    chunk = max(1, frame_size)
+                    frames = [
+                        data[i : i + chunk] for i in range(0, len(data), chunk)
+                    ]
+                else:
+                    try:
+                        _w, _h, _codec, frames = avi.parse_avi(data)
+                    except (ValueError, NotImplementedError, struct.error):
+                        # MP4/MKV (ffmpeg/PyAV seam) or corrupt container
+                        rows.append((mid, -1, None))
+                        continue
                 kept = range(0, len(frames), max(1, every_nth))
                 for src_idx in list(kept)[:max_frames]:
                     rows.append((mid, src_idx, frames[src_idx]))

@@ -2292,3 +2292,8 @@ from .queries_ext42 import ORACLE_EXT42, QUERIES_EXT42  # noqa: E402
 
 QUERIES.update(QUERIES_EXT42)
 ORACLE.update(ORACLE_EXT42)
+
+from .queries_ext43 import ORACLE_EXT43, QUERIES_EXT43  # noqa: E402
+
+QUERIES.update(QUERIES_EXT43)
+ORACLE.update(ORACLE_EXT43)
