@@ -16,6 +16,13 @@ retry succeeds.  One lane per claimed-deterministic family:
 - md5 split          — q_train_split (the 80/10/10 release carve)
 - uuid-adjacent twin — q_taxi_star_deterministic (the full Job-1 star
                        contract minus the uuid column)
+- codec family (r9)  — q_png_decode (encode→decode content round trip:
+                       a retried task must re-emit byte-identical
+                       pixels and md5s)
+- PQ/ADC family (r9) — q_ann_pq_oracle (k-means train → encode → ADC
+                       top-k: partial-agg order under retry is exactly
+                       where a float-sum ADC would go nondeterministic;
+                       the decimal routing claims it can't)
 """
 
 import json
@@ -30,6 +37,8 @@ LANES = [
     "q_minhash_dedup_oracle",
     "q_train_split",
     "q_taxi_star_deterministic",
+    "q_png_decode",
+    "q_ann_pq_oracle",
 ]
 
 

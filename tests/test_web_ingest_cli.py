@@ -94,3 +94,66 @@ def test_web_ingest_cli(spark, sf_dir):
     # terminal-state seam fired SUCCEEDED exactly once
     states = [json.loads(l) for l in open(notify)]
     assert [s["state"] for s in states] == ["SUCCEEDED"]
+
+
+def test_web_ingest_null_source(spark, sf_dir, tmp_path):
+    """The NULL-source class, pinned end-to-end on the web on-ramp
+    (r9, the jobs/pretrain_prep twin): admission packs per-source, and
+    keyed_running_sum's offset join is the exact seam where a plain
+    equi-join silently drops every NULL-key row.  Plant NULL sources
+    (every doc_id % 7 == 0), run the CLI, and require (a) the
+    accounting to balance EXACTLY — a silent drop breaks
+    dups + dropped + admitted == n_in before anything else — and
+    (b) NULL-source docs to survive into the written corpus under
+    their own budget bucket."""
+    src = f"{tmp_path}/docs_null_source"
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+        .write.parquet(src)
+    )
+    out = f"{tmp_path}/web"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "glue_etl_nyc_yellow_taxi_analysis_spark.jobs.web_ingest",
+            "--docs", src,
+            "--output", out,
+            "--budget", str(_BUDGET),
+        ],
+        cwd=tmp_path,
+        env={**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"},
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card_line = [
+        l for l in r.stdout.splitlines() if l.startswith("ingest card: ")
+    ][0]
+    card = json.loads(card_line.removeprefix("ingest card: "))
+    n_in = spark.read.parquet(src).count()
+    assert card["n_docs_in"] == n_in
+    assert (
+        card["n_url_dups_removed"]
+        + card["n_budget_dropped"]
+        + card["n_admitted"]
+        == n_in
+    )
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    null_kept = corpus.filter(F.col("source").isNull())
+    assert null_kept.count() > 0, "NULL-source docs were dropped at admission"
+    # the NULL bucket is budgeted like any other source
+    null_tok = null_kept.select(
+        F.coalesce(
+            text.token_count("text").cast("bigint"), F.lit(0)
+        ).alias("t")
+    ).agg(F.sum("t")).collect()[0][0]
+    assert null_tok is not None and 0 < null_tok <= _BUDGET
