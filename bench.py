@@ -292,6 +292,11 @@ HEADLINE = [
     "q_mjpeg_decode",
     "q_avi_framesample",
     "q_avi_dib_decode",
+    # round-9: media format-seam closures (PCM8/24/f32 WAV, 8bpp
+    # palette BMP, Y4M 422/444/mono chroma)
+    "q_wav_formats",
+    "q_bmp_palette_decode",
+    "q_y4m_chroma_decode",
 ]
 
 

@@ -74,22 +74,28 @@ def wav_container(
     sample_rate: int = 16000,
     n_channels: int = 1,
     extra_chunks: tuple = (),
+    fmt_code: int = 1,
+    bits: int = 16,
 ) -> bytes:
-    """Wrap raw little-endian PCM16 bytes in a canonical RIFF/WAVE
+    """Wrap raw little-endian sample bytes in a canonical RIFF/WAVE
     container.  ``extra_chunks`` = ((id4, payload), ...) inserted before
     the data chunk — lets tests prove the decoder WALKS chunks rather
-    than assuming the 44-byte canonical layout."""
-    block_align = n_channels * 2
+    than assuming the 44-byte canonical layout.  ``fmt_code``/``bits``
+    select the sample encoding: (1, 16) PCM16 [default], (1, 8) unsigned
+    PCM8, (1, 24) signed PCM24, (3, 32) IEEE float32."""
+    if (fmt_code, bits) not in {(1, 16), (1, 8), (1, 24), (3, 32)}:
+        raise ValueError(f"unsupported WAV encoding ({fmt_code}, {bits})")
+    block_align = n_channels * (bits // 8)
     fmt = struct.pack(
         "<4sIHHIIHH",
         b"fmt ",
         16,
-        1,  # PCM
+        fmt_code,
         n_channels,
         sample_rate,
         sample_rate * block_align,
         block_align,
-        16,  # bits per sample
+        bits,
     )
     body = fmt
     for cid, payload in extra_chunks:
@@ -102,12 +108,38 @@ def wav_container(
     return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
 
 
+def pack_samples(samples, fmt_code: int = 1, bits: int = 16) -> bytes:
+    """Serialize int16-scale samples into the given WAV encoding's data
+    bytes.  PCM8 stores (s >> 8) + 128 (unsigned high byte), PCM24
+    stores s << 8 (exact), float32 stores s / 32768.0 (exact in f32 for
+    |s| <= 32768) — so decode(encode(s)) is bit-exact for 16/24/f32 and
+    a deterministic 256x quantization for 8-bit."""
+    if (fmt_code, bits) == (1, 16):
+        return struct.pack(f"<{len(samples)}h", *samples)
+    if (fmt_code, bits) == (1, 8):
+        return bytes(((s >> 8) + 128) & 0xFF for s in samples)
+    if (fmt_code, bits) == (1, 24):
+        out = bytearray()
+        for s in samples:
+            out += ((s << 8) & 0xFFFFFF).to_bytes(3, "little")
+        return bytes(out)
+    if (fmt_code, bits) == (3, 32):
+        return struct.pack(f"<{len(samples)}f", *(s / 32768.0 for s in samples))
+    raise ValueError(f"unsupported WAV encoding ({fmt_code}, {bits})")
+
+
 def parse_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """Parse a PCM16 RIFF/WAVE container (stdlib struct only) →
-    (sample_rate, n_channels, samples as signed ints).  Walks the chunk
-    list with word alignment, skipping unknown chunks; raises ValueError
-    on malformed containers and NotImplementedError on non-PCM16 audio
-    (where a real codec library would take over)."""
+    """Parse a RIFF/WAVE container (stdlib struct only) →
+    (sample_rate, n_channels, samples as signed ints on the INT16
+    scale).  Decodes PCM16 natively plus the three other uncompressed
+    encodings real corpora carry — unsigned PCM8 (scaled up ×256),
+    signed PCM24 (arithmetic shift down ÷256), IEEE float32 (×32768,
+    round-half-even, clamped) — all normalized to one int16-scale
+    contract so every downstream stat/fingerprint lane is
+    encoding-invariant.  Walks the chunk list with word alignment,
+    skipping unknown chunks; raises ValueError on malformed containers
+    and NotImplementedError on compressed encodings (ADPCM, MP3-in-WAV
+    — where a real codec library would take over)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, fmt, pcm = 12, None, None
@@ -126,13 +158,30 @@ def parse_wav(data: bytes) -> tuple[int, int, list[int]]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if (audio_format, bits) == (1, 16):
+        n = len(pcm) // 2
+        samples = list(struct.unpack(f"<{n}h", pcm[: n * 2]))
+    elif (audio_format, bits) == (1, 8):
+        samples = [(b - 128) << 8 for b in pcm]
+    elif (audio_format, bits) == (1, 24):
+        samples = []
+        for k in range(len(pcm) // 3):
+            v = int.from_bytes(pcm[3 * k : 3 * k + 3], "little")
+            if v >= 1 << 23:
+                v -= 1 << 24
+            samples.append(v >> 8)  # floor shift: exact for v = s*256
+    elif (audio_format, bits) == (3, 32):
+        n = len(pcm) // 4
+        samples = [
+            max(-32768, min(32767, int(round(f * 32768.0))))
+            for f in struct.unpack(f"<{n}f", pcm[: n * 4])
+        ]
+    else:
         raise NotImplementedError(
-            f"only PCM16 is decoded stdlib-side (format={audio_format}, "
-            f"bits={bits}); compressed audio needs ffmpeg/librosa"
+            f"only uncompressed PCM8/16/24 and float32 are decoded "
+            f"stdlib-side (format={audio_format}, bits={bits}); "
+            f"compressed audio needs ffmpeg/librosa"
         )
-    n = len(pcm) // 2
-    samples = list(struct.unpack(f"<{n}h", pcm[: n * 2]))
     return sample_rate, n_channels, samples
 
 
@@ -155,13 +204,46 @@ def bmp_container(pixels_topdown: bytes, width: int, height: int) -> bytes:
     return file_hdr + info + body
 
 
+def bmp_container_pal8(
+    indices_topdown: bytes,
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Wrap a top-down row-major stream of palette INDICES (len ==
+    width*height) in an 8bpp bottom-up BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + a 256-entry BGRX color table, rows written in
+    reverse order, each padded to a 4-byte boundary (stride = width
+    rounded up — at width 6 that is 2 pad bytes per row, so the strip
+    is load-bearing just like the 24bpp lane)."""
+    if len(indices_topdown) != width * height:
+        raise ValueError("index buffer does not match width*height")
+    if len(palette) != 256:
+        raise ValueError("palette must carry 256 entries")
+    pad = (-width) % 4
+    body = b"".join(
+        indices_topdown[r * width : (r + 1) * width] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
+    )
+    table = b"".join(bytes((b, g, r, 0)) for b, g, r in palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body), 0, 0, 256, 0
+    )
+    off = 14 + 40 + len(table)
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return file_hdr + info + table + body
+
+
 def parse_bmp(data: bytes) -> tuple[int, int, bytes]:
-    """Parse an uncompressed 24bpp BMP (stdlib struct only) →
-    (width, height, pixels as a TOP-DOWN row-major BGR byte stream).
-    Handles both bottom-up (positive biHeight) and top-down (negative)
-    images and strips per-row padding; raises ValueError on malformed
-    headers and NotImplementedError for bpp/compression a real image
-    library would handle."""
+    """Parse an uncompressed BMP (stdlib struct only) → (width, height,
+    pixels as a TOP-DOWN row-major BGR byte stream).  Decodes 24bpp
+    truecolor natively and 8bpp palette images by resolving each index
+    through the file's BGRX color table, so both flavors honor one
+    output contract.  Handles both bottom-up (positive biHeight) and
+    top-down (negative) images and strips per-row padding; raises
+    ValueError on malformed headers and NotImplementedError for
+    bpp/compression a real image library would handle (RLE, 1/4bpp,
+    16/32bpp bitfields)."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP file")
     _, _, _, pix_off = struct.unpack_from("<IHHI", data, 2)
@@ -169,16 +251,27 @@ def parse_bmp(data: bytes) -> tuple[int, int, bytes]:
     if hdr_size < 40:
         raise ValueError(f"unsupported DIB header size {hdr_size}")
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24) or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24bpp BMP is decoded stdlib-side "
-            f"(bpp={bpp}, compression={compression}); wire PIL here"
+            f"only uncompressed 8bpp-palette and 24bpp BMP are decoded "
+            f"stdlib-side (bpp={bpp}, compression={compression}); wire "
+            f"PIL here"
         )
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height <= 0 or planes != 1:
         raise ValueError("malformed BMP dimensions")
-    row = width * 3
+    palette = None
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_colors = clr_used or 256
+        tbl_off = 14 + hdr_size
+        if tbl_off + 4 * n_colors > len(data):
+            raise ValueError("truncated BMP color table")
+        palette = [
+            data[tbl_off + 4 * i : tbl_off + 4 * i + 3] for i in range(n_colors)
+        ]
+    row = width * (3 if bpp == 24 else 1)
     stride = row + ((-row) % 4)
     if pix_off + stride * height > len(data):
         raise ValueError("truncated BMP pixel data")
@@ -188,6 +281,11 @@ def parse_bmp(data: bytes) -> tuple[int, int, bytes]:
     ]
     if not top_down:
         rows.reverse()  # file stores bottom-up; emit top-down
+    if palette is not None:
+        try:
+            rows = [b"".join(palette[i] for i in r) for r in rows]
+        except IndexError:
+            raise ValueError("palette index out of range") from None
     return width, height, b"".join(rows)
 
 
@@ -213,6 +311,96 @@ def documents_as_wav(
                     pcm.append(b[2 * k])
                     pcm.append(b[2 * k + 1] ^ (0x80 if k % 2 else 0))
                 rows.append((mid, wav_container(bytes(pcm), sample_rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+_WAV_FORMATS = ((1, 16), (1, 8), (1, 24), (3, 32))  # doc_id % 4 → encoding
+
+
+def documents_as_wav_formats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """One corpus, four WAV encodings: the SAMPLE stream is derived from
+    text exactly as documents_as_wav does (byte pairs, odd samples' high
+    byte XOR 0x80), then serialized per ``doc_id % 4`` as PCM16 / PCM8 /
+    PCM24 / IEEE-float32 (pack_samples).  PCM16/24/f32 round-trip the
+    samples bit-exactly; PCM8 quantizes to floor(s/256)*256 — the one
+    deterministic lossy lane, which the oracle replays."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                samples = [
+                    struct.unpack(
+                        "<h",
+                        bytes(
+                            (b[2 * k], b[2 * k + 1] ^ (0x80 if k % 2 else 0))
+                        ),
+                    )[0]
+                    for k in range(len(b) // 2)
+                ]
+                fc, bits = _WAV_FORMATS[int(mid) % 4]
+                rows.append(
+                    (
+                        mid,
+                        wav_container(
+                            pack_samples(samples, fc, bits),
+                            sample_rate,
+                            fmt_code=fc,
+                            bits=bits,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+def documents_as_bmp_pal8(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 6
+) -> DataFrame:
+    """Deterministic 8bpp palette BMP payloads from document text: the
+    top-down INDEX stream is the first width*height bytes of the text
+    (zero-padded), height = max(1, n_bytes // width), and the color
+    table maps index i → BGR (i, (i*7)%256, (i*13)%256) — an affine
+    palette the oracle replays per byte.  width=6 keeps the 8bpp row
+    stride at 8 (2 pad bytes per row), so the strip stays
+    load-bearing."""
+    palette = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                h = max(1, len(b) // width)
+                idx = b[: width * h].ljust(width * h, b"\x00")
+                rows.append(
+                    (mid, bmp_container_pal8(idx, width, h, palette))
+                )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     schema = T.StructType(
@@ -401,21 +589,49 @@ def decode_bmp(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _BMP_DECODE_SCHEMA)
 
 
+def _y4m_plane_lens(width: int, height: int, chroma: str) -> tuple[int, int]:
+    """(y_len, chroma_plane_len) for a Y4M chroma-sampling tag.  420* →
+    quarter-res chroma, 422 → half-horizontal, 444 → full-res, mono →
+    no chroma planes at all."""
+    if chroma.startswith("420"):
+        if width % 2 or height % 2:
+            raise ValueError("C420 needs even dimensions")
+        return width * height, (width // 2) * (height // 2)
+    if chroma == "422":
+        if width % 2:
+            raise ValueError("C422 needs even width")
+        return width * height, (width // 2) * height
+    if chroma == "444":
+        return width * height, width * height
+    if chroma == "mono":
+        return width * height, 0
+    raise NotImplementedError(
+        f"chroma sampling C{chroma} is not decoded stdlib-side "
+        f"(only 420*/422/444/mono); other samplings need ffmpeg"
+    )
+
+
 def y4m_container(
-    frames: list[bytes], width: int, height: int, frame_params: tuple = ()
+    frames: list[bytes],
+    width: int,
+    height: int,
+    frame_params: tuple = (),
+    chroma: str = "420jpeg",
 ) -> bytes:
-    """Wrap 4:2:0 frame payloads in a YUV4MPEG2 (Y4M) container.  Each
-    entry of ``frames`` is one frame's Y+U+V planes concatenated
-    (width*height + 2*(width//2)*(height//2) bytes; width/height even).
-    ``frame_params`` = (frame_index, b" Xtag") pairs appended to those
-    frames' FRAME lines — Y4M allows per-frame parameters, and tests use
-    them to prove the parser scans to the newline instead of assuming a
-    fixed 6-byte "FRAME\\n" marker."""
-    if width % 2 or height % 2:
-        raise ValueError("C420 needs even dimensions")
-    frame_len = width * height + 2 * (width // 2) * (height // 2)
+    """Wrap frame payloads in a YUV4MPEG2 (Y4M) container.  Each entry
+    of ``frames`` is one frame's Y+U+V planes concatenated, sized per
+    ``chroma`` (420*: quarter-res chroma; 422: half-horizontal; 444:
+    full-res; mono: luma only).  ``frame_params`` = (frame_index,
+    b" Xtag") pairs appended to those frames' FRAME lines — Y4M allows
+    per-frame parameters, and tests use them to prove the parser scans
+    to the newline instead of assuming a fixed 6-byte "FRAME\\n"
+    marker."""
+    y_len, c_len = _y4m_plane_lens(width, height, chroma)
+    frame_len = y_len + 2 * c_len
     params = dict(frame_params)
-    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    out = [
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{chroma}\n".encode()
+    ]
     for i, fr in enumerate(frames):
         if len(fr) != frame_len:
             raise ValueError(f"frame {i}: {len(fr)} bytes, want {frame_len}")
@@ -425,11 +641,13 @@ def y4m_container(
 
 def parse_y4m(data: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]]:
     """Parse a YUV4MPEG2 stream (stdlib only) → (width, height, frames as
-    (y_plane, u_plane, v_plane) tuples).  Walks the stream header's
-    space-separated tags, then each FRAME marker (scanning past optional
-    per-frame parameters to the newline).  Raises ValueError on malformed
-    or truncated streams and NotImplementedError for chroma samplings
-    other than 4:2:0 (where ffmpeg would take over)."""
+    (y_plane, u_plane, v_plane) tuples — chroma planes sized per the
+    stream's C tag, empty for mono).  Decodes 420*/422/444/mono chroma
+    samplings.  Walks the stream header's space-separated tags, then
+    each FRAME marker (scanning past optional per-frame parameters to
+    the newline).  Raises ValueError on malformed or truncated streams
+    and NotImplementedError for chroma samplings beyond those four
+    (where ffmpeg would take over)."""
     nl = data.find(b"\n")
     if nl < 0 or not data.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
@@ -452,13 +670,7 @@ def parse_y4m(data: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]]:
     # (or not at all) and spin forever accumulating frames.
     if width <= 0 or height <= 0:
         raise ValueError(f"non-positive dimensions W{width} H{height}")
-    if not chroma.startswith("420"):
-        raise NotImplementedError(
-            f"only 4:2:0 chroma is decoded stdlib-side (C{chroma}); "
-            f"other samplings need ffmpeg"
-        )
-    y_len = width * height
-    c_len = (width // 2) * (height // 2)
+    y_len, c_len = _y4m_plane_lens(width, height, chroma)
     frame_len = y_len + 2 * c_len
     pos, frames = nl + 1, []
     while pos < len(data):
@@ -485,14 +697,16 @@ def documents_as_y4m(
     text_col: str = "text",
     width: int = 6,
     height: int = 4,
+    chroma: str = "420jpeg",
 ) -> DataFrame:
     """Deterministic Y4M payloads from document text: the byte stream of
-    frame f is text[f*36 : (f+1)*36] (Y plane 24 bytes, then U 6, V 6 at
-    W6 H4 — the plane SPLIT is load-bearing for the decoder), zero-padded
-    in the last frame; n_frames = max(1, n_bytes // 36).  Odd frames get
-    an ``Xodd`` per-frame parameter so the FRAME-line scan is exercised
-    on every multi-frame document."""
-    frame_len = width * height + 2 * (width // 2) * (height // 2)
+    frame f is text[f*flen : (f+1)*flen] (Y plane first, then the U and
+    V planes sized per ``chroma`` — the plane SPLIT is load-bearing for
+    the decoder), zero-padded in the last frame; n_frames = max(1,
+    n_bytes // flen).  Odd frames get an ``Xodd`` per-frame parameter so
+    the FRAME-line scan is exercised on every multi-frame document."""
+    y_len, c_len = _y4m_plane_lens(width, height, chroma)
+    frame_len = y_len + 2 * c_len
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -506,7 +720,10 @@ def documents_as_y4m(
                 ]
                 params = tuple((i, b" Xodd") for i in range(1, n, 2))
                 rows.append(
-                    (mid, y4m_container(frames, width, height, params))
+                    (
+                        mid,
+                        y4m_container(frames, width, height, params, chroma),
+                    )
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 

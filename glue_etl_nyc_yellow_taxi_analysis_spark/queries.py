@@ -2297,3 +2297,8 @@ from .queries_ext43 import ORACLE_EXT43, QUERIES_EXT43  # noqa: E402
 
 QUERIES.update(QUERIES_EXT43)
 ORACLE.update(ORACLE_EXT43)
+
+from .queries_ext44 import ORACLE_EXT44, QUERIES_EXT44  # noqa: E402
+
+QUERIES.update(QUERIES_EXT44)
+ORACLE.update(ORACLE_EXT44)

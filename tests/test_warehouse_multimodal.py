@@ -150,10 +150,30 @@ def test_parse_bmp_rejects_malformed():
         multimodal.parse_bmp(b"PNG\x00" * 20)
     with pytest.raises(ValueError):  # truncated pixel data
         multimodal.parse_bmp(multimodal.bmp_container(bytes(18), 6, 1)[:-3])
-    with pytest.raises(NotImplementedError):  # 8bpp needs PIL
+    with pytest.raises(NotImplementedError):  # 4bpp still needs PIL
+        payload = bytearray(multimodal.bmp_container(bytes(18), 6, 1))
+        payload[28] = 4
+        multimodal.parse_bmp(bytes(payload))
+    with pytest.raises(ValueError):  # 8bpp but color table truncated
         payload = bytearray(multimodal.bmp_container(bytes(18), 6, 1))
         payload[28] = 8
         multimodal.parse_bmp(bytes(payload))
+
+
+def test_parse_bmp_pal8_roundtrip():
+    """8bpp palette decode resolves indices through the file's own color
+    table into the same top-down BGR contract as the 24bpp lane."""
+    palette = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    w, h = 6, 2  # stride 8 → 2 pad bytes per row
+    idx = bytes([0, 1, 2, 255, 40, 7, 200, 130, 64, 3, 9, 99])
+    payload = multimodal.bmp_container_pal8(idx, w, h, palette)
+    got_w, got_h, got = multimodal.parse_bmp(payload)
+    want = b"".join(bytes(palette[i]) for i in idx)
+    assert (got_w, got_h, got) == (w, h, want)
+    # clr_used=0 must mean "256 entries", per the BMP spec
+    payload0 = bytearray(payload)
+    payload0[46:50] = b"\x00\x00\x00\x00"
+    assert multimodal.parse_bmp(bytes(payload0))[2] == want
 
 
 def test_parse_y4m_roundtrip_and_frame_params():
@@ -197,9 +217,55 @@ def test_parse_y4m_rejects_malformed():
         good = multimodal.y4m_container([bytes(36), bytes(36)], 6, 4)
         broken = good.replace(b"FRAME\n" + bytes(36), b"XRAME\n" + bytes(36), 1)
         multimodal.parse_y4m(broken)
-    with pytest.raises(NotImplementedError):  # 4:2:2 needs ffmpeg
-        payload = b"YUV4MPEG2 W6 H4 C422\nFRAME\n" + bytes(48)
+    with pytest.raises(NotImplementedError):  # 4:1:1 still needs ffmpeg
+        payload = b"YUV4MPEG2 W8 H4 C411\nFRAME\n" + bytes(48)
         multimodal.parse_y4m(payload)
+
+
+def test_parse_y4m_chroma_samplings():
+    """422/444/mono plane geometry: the split must follow the C tag."""
+    w, h = 6, 4
+    fr422 = bytes(range(48))
+    got = multimodal.parse_y4m(
+        multimodal.y4m_container([fr422], w, h, chroma="422")
+    )
+    assert got[2] == [(fr422[:24], fr422[24:36], fr422[36:48])]
+    fr444 = bytes(range(72))
+    got = multimodal.parse_y4m(
+        multimodal.y4m_container([fr444], w, h, chroma="444")
+    )
+    assert got[2] == [(fr444[:24], fr444[24:48], fr444[48:72])]
+    fry = bytes(range(24))
+    got = multimodal.parse_y4m(
+        multimodal.y4m_container([fry], w, h, chroma="mono")
+    )
+    assert got[2] == [(fry, b"", b"")]
+
+
+def test_parse_wav_format_normalization():
+    """PCM8/24/f32 decode to the int16 scale: 16/24/f32 round-trip the
+    samples bit-exactly, PCM8 quantizes to floor(s/256)*256."""
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 255, -255]
+    for fc, bits in ((1, 16), (1, 24), (3, 32)):
+        payload = multimodal.wav_container(
+            multimodal.pack_samples(samples, fc, bits), fmt_code=fc, bits=bits
+        )
+        assert multimodal.parse_wav(payload)[2] == samples, (fc, bits)
+    payload = multimodal.wav_container(
+        multimodal.pack_samples(samples, 1, 8), fmt_code=1, bits=8
+    )
+    import math
+
+    want = [math.floor(s / 256) * 256 for s in samples]
+    assert multimodal.parse_wav(payload)[2] == want
+    # odd-length PCM8 data chunk exercises the RIFF pad byte
+    payload = multimodal.wav_container(
+        multimodal.pack_samples(samples[:3], 1, 8),
+        fmt_code=1,
+        bits=8,
+        extra_chunks=((b"LIST", b"xx"),),
+    )
+    assert multimodal.parse_wav(payload)[2] == want[:3]
 
 
 def test_y4m_decode_lane_features(spark):
