@@ -297,6 +297,9 @@ HEADLINE = [
     "q_wav_formats",
     "q_bmp_palette_decode",
     "q_y4m_chroma_decode",
+    # round-9: FLAC compressed-audio codec (rice/LPC, CRC+MD5 gate)
+    "q_flac_roundtrip",
+    "q_flac_transcode",
 ]
 
 

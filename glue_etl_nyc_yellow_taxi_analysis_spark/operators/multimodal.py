@@ -524,6 +524,107 @@ def decode_wav(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _WAV_DECODE_SCHEMA)
 
 
+def documents_as_flac(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic FLAC payloads from document text: the SAMPLE
+    stream is documents_as_wav's byte-pair rule verbatim (so the two
+    audio codecs share one oracle), compressed through the in-repo
+    subset encoder (operators/flac.py — fixed predictors, rice
+    residuals, STREAMINFO MD5)."""
+    from . import flac as _flac
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                b = ("" if text is None else text).encode("utf-8")
+                samples = [
+                    struct.unpack(
+                        "<h",
+                        bytes(
+                            (b[2 * k], b[2 * k + 1] ^ (0x80 if k % 2 else 0))
+                        ),
+                    )[0]
+                    for k in range(len(b) // 2)
+                ]
+                rows.append(
+                    (mid, _flac.encode_flac(samples, sample_rate))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(build, schema)
+
+
+def decode_flac(df: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode lane: parse each payload as a FLAC
+    stream (operators/flac.py — metadata walk, frame sync, rice/LPC
+    reconstruction, CRC-8/16 + STREAMINFO MD5 verified) and reduce the
+    samples to the SAME exact-integer stats as decode_wav, so a WAV
+    lane and a FLAC lane over the same signal are value-hash
+    interchangeable."""
+    import hashlib
+
+    import numpy as np
+
+    from . import flac as _flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # per-row fail-soft (see decode_wav)
+                try:
+                    rate, nch, samples = _flac.parse_flac(bytes(payload))
+                except (ValueError, NotImplementedError, struct.error):
+                    rows.append((mid,) + (None,) * 7)
+                    continue
+                arr = np.asarray(samples, dtype=np.int64)
+                aabs = np.abs(arr)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        nch,
+                        len(samples),
+                        int(aabs.sum()),
+                        int(aabs.max()) if len(samples) else 0,
+                        int(((arr[:-1] < 0) != (arr[1:] < 0)).sum())
+                        if len(samples)
+                        else 0,
+                        hashlib.md5(
+                            ",".join(map(str, samples)).encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "sum_abs",
+                    "peak_abs",
+                    "n_zero_cross",
+                    "samples_md5",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _WAV_DECODE_SCHEMA)
+
+
 _BMP_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -2302,3 +2302,8 @@ from .queries_ext44 import ORACLE_EXT44, QUERIES_EXT44  # noqa: E402
 
 QUERIES.update(QUERIES_EXT44)
 ORACLE.update(ORACLE_EXT44)
+
+from .queries_ext45 import ORACLE_EXT45, QUERIES_EXT45  # noqa: E402
+
+QUERIES.update(QUERIES_EXT45)
+ORACLE.update(ORACLE_EXT45)
