@@ -300,6 +300,9 @@ HEADLINE = [
     # round-9: FLAC compressed-audio codec (rice/LPC, CRC+MD5 gate)
     "q_flac_roundtrip",
     "q_flac_transcode",
+    # round-9: audio DSP conditioning (exact-integer, SQL-replayed)
+    "q_audio_decimate",
+    "q_audio_normalize",
 ]
 
 

@@ -2307,3 +2307,8 @@ from .queries_ext45 import ORACLE_EXT45, QUERIES_EXT45  # noqa: E402
 
 QUERIES.update(QUERIES_EXT45)
 ORACLE.update(ORACLE_EXT45)
+
+from .queries_ext46 import ORACLE_EXT46, QUERIES_EXT46  # noqa: E402
+
+QUERIES.update(QUERIES_EXT46)
+ORACLE.update(ORACLE_EXT46)
