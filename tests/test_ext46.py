@@ -103,3 +103,36 @@ def test_normalize_silent_passthrough(spark, tmp_path):
     assert got[0]["peak_abs_out"] == 0
     assert got[0]["n_out"] == 1
     assert got[0]["out_md5"] == hashlib.md5(b"0").hexdigest()
+
+
+def test_r9_media_lanes_never_shuffle_payloads(spark, sf_dir):
+    """Every round-9 codec/DSP lane is encode->decode maps only: the
+    binary payload must never cross an Exchange (at 100 TB a shuffled
+    media column IS the bottleneck), and no lane may introduce a KEYED
+    shuffle at all — the only Exchange allowed is the round-robin
+    spread of the tiny (doc_id, text) scan before encoding, which a
+    parallel parquet source wouldn't need."""
+    import re
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES
+
+    from test_plans import _plan
+
+    for name in (
+        "q_wav_formats",
+        "q_bmp_palette_decode",
+        "q_y4m_chroma_decode",
+        "q_flac_roundtrip",
+        "q_flac_transcode",
+        "q_audio_decimate",
+        "q_audio_normalize",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "hashpartitioning" not in plan, f"{name} keyed-shuffles"
+        for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        ):
+            assert "payload" not in m.group(1), (
+                f"{name} shuffles the payload: {m.group(1)}"
+            )
