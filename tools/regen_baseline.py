@@ -104,6 +104,13 @@ RESET_ROUND: dict[str, int] = {
     # the single-task sort of the hottest domain at 100 TB.  The 0.4s
     # anchor belonged to the old plan; the new plan's floor is ~1.0s.
     "q_token_budget_pack": 8,
+    # r6 re-planned the bloom probe (prefixed temp columns, 811c8bc) and
+    # hardened the lane against degenerate corpora (72026ab); the 0.667s
+    # anchor belongs to the pre-hardening plan — the r6 sf1 rehearsal
+    # already measured the hardened plan at 1.65s, and the r9 exclusive
+    # re-time floors at ~2.2s.  Without the reset the old floor flags
+    # the hardened plan forever (it surfaced as r9's only real >2x).
+    "q_bloom_semijoin": 6,
 }
 
 
