@@ -303,6 +303,8 @@ HEADLINE = [
     # round-9: audio DSP conditioning (exact-integer, SQL-replayed)
     "q_audio_decimate",
     "q_audio_normalize",
+    # round-9: WebDataset-style ustar shard round trip
+    "q_tar_shard_roundtrip",
 ]
 
 

@@ -2312,3 +2312,8 @@ from .queries_ext46 import ORACLE_EXT46, QUERIES_EXT46  # noqa: E402
 
 QUERIES.update(QUERIES_EXT46)
 ORACLE.update(ORACLE_EXT46)
+
+from .queries_ext47 import ORACLE_EXT47, QUERIES_EXT47  # noqa: E402
+
+QUERIES.update(QUERIES_EXT47)
+ORACLE.update(ORACLE_EXT47)
