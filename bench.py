@@ -303,8 +303,9 @@ HEADLINE = [
     # round-9: audio DSP conditioning (exact-integer, SQL-replayed)
     "q_audio_decimate",
     "q_audio_normalize",
-    # round-9: WebDataset-style ustar shard round trip
+    # round-9: WebDataset-style ustar shard round trips (raw + gzip)
     "q_tar_shard_roundtrip",
+    "q_targz_shard_roundtrip",
 ]
 
 

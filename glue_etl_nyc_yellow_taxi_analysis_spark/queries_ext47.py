@@ -123,3 +123,69 @@ FROM documents
 
 QUERIES_EXT47["q_tar_shard_roundtrip"] = q_tar_shard_roundtrip
 ORACLE_EXT47["q_tar_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
+
+
+def q_targz_shard_roundtrip(spark, sf_dir):
+    """The wire form shards actually ship in: the same ustar archives
+    gzip-framed (RFC 1952 header + deflate + CRC32/ISIZE trailer,
+    stdlib zlib — the PNG codec's deflate precedent), walked back
+    through gunzip → checksum-verified tar parse.  The gzip trailer's
+    CRC32 covers the whole archive, so a single flipped byte anywhere
+    in the compressed stream fails loudly; the decoded rows — and the
+    oracle — are identical to the uncompressed lane's."""
+    import zlib
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text"
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(d)}.txt", ("" if t is None else t).encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)  # wbits 31 = gzip frame
+        gz = co.compress(tar.tar_container(members)) + co.flush()
+        return pd.DataFrame(
+            [(int(key[0]), gz)], columns=["shard_id", "payload"]
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                try:
+                    raw = zlib.decompress(bytes(payload), 31)
+                    members = tar.parse_tar(raw)
+                except (ValueError, zlib.error):
+                    rows.append((sid, None, None, None, None))
+                    continue
+                for i, (name, data) in enumerate(members):
+                    rows.append(
+                        (
+                            sid,
+                            i,
+                            int(name.removesuffix(".txt")),
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id",
+                    "member_idx",
+                    "doc_id",
+                    "n_bytes",
+                    "text_md5",
+                ],
+            )
+
+    return shards.mapInPandas(walk, _MEMBER_SCHEMA)
+
+
+QUERIES_EXT47["q_targz_shard_roundtrip"] = q_targz_shard_roundtrip
+ORACLE_EXT47["q_targz_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
