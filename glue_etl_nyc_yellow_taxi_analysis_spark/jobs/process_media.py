@@ -6,7 +6,10 @@ a crawl's media bucket is actually processed, in one Spark session:
 
   1. sniff + decode — one Arrow pass routes each payload by magic
      (RIFF/WAVE → parse_wav, fLaC → parse_flac), normalizes everything
-     to the one int16-scale contract, and re-containers as PCM16 WAV;
+     to the one int16-scale contract — multichannel payloads are
+     explicitly downmixed to mono (per-frame integer mean over the
+     interleaved channels) BEFORE conditioning, never pair-averaged by
+     the decimator — and re-containers as PCM16 WAV;
      corrupt/unknown payloads are COUNTED and dropped, never fatal
      (the 100 TB fail-soft posture).
   2. condition — decimate-by-2 box FIR, then peak-normalize to ±30000
@@ -87,10 +90,10 @@ def decode_and_condition(media, decimate: bool = True):
                 try:
                     if raw[:4] == b"RIFF":
                         kind = "wav"
-                        rate, _, samples = multimodal.parse_wav(raw)
+                        rate, nch, samples = multimodal.parse_wav(raw)
                     elif raw[:4] == b"fLaC":
                         kind = "flac"
-                        rate, _, samples = _flac.parse_flac(raw)
+                        rate, nch, samples = _flac.parse_flac(raw)
                     else:
                         rows.append((mid, "unknown", None, None, None))
                         continue
@@ -99,6 +102,13 @@ def decode_and_condition(media, decimate: bool = True):
                     continue
                 x = np.asarray(samples, dtype=np.int64)
                 n_in = len(x)
+                if nch > 1:
+                    # explicit downmix BEFORE decimation: the samples are
+                    # channel-interleaved, so letting the decimator
+                    # pair-average them would silently mangle stereo into
+                    # mono-at-half-rate; per-frame mean keeps rate intact
+                    nf = (len(x) // nch) * nch
+                    x = x[:nf].reshape(-1, nch).sum(axis=1) // nch
                 if decimate:
                     n2 = (n_in // 2) * 2
                     x = x[:n2].reshape(-1, 2).sum(axis=1) // 2

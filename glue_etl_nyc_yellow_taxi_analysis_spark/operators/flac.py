@@ -265,7 +265,8 @@ def parse_flac(data: bytes) -> tuple[int, int, list[int]]:
     CRC-8/CRC-16 and, when STREAMINFO carries one, the MD5 of the
     decoded signal.  Raises ValueError on malformed/corrupt streams and
     NotImplementedError on sample sizes no lane produces (we decode
-    8..32-bit; anything else is reserved)."""
+    4..32-bit — RFC 9639's full range, minimum 4; anything else is
+    reserved)."""
     if len(data) < 42 or data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

@@ -12,7 +12,9 @@ archive layer.  The deliberately small surface:
   two-zero-block trailer.  Deterministic (fixed mtime/uid/gid).
 - ``parse_tar(data)`` — walk a shard → [(name, payload)].  Verifies
   every header checksum, handles the prefix field, skips non-file
-  member types (directories, links) by size like real readers, raises
+  member types (directories, links, devices, fifos) as ZERO-data
+  entries regardless of their size field (hard-link headers from some
+  writers store the target's size while writing no blocks), raises
   ValueError on truncation/corruption — never a silent partial read.
 
 Intentionally NOT implemented (the python ``tarfile`` swap seam): GNU
@@ -101,9 +103,15 @@ def parse_tar(data: bytes) -> list[tuple[str, bytes]]:
                 name = f"{prefix}/{name}"
         typeflag = h[156:157]
         pos += _BLOCK
-        end = pos + size
+        # only regular/contiguous files (0, NUL, 7) carry data blocks;
+        # link/dir/char/block/fifo entries write NONE, and some foreign
+        # writers still store the TARGET's size on hard-link headers —
+        # advancing by that size would desync the walk into a checksum
+        # error mid-archive, so their size field is ignored here
+        data_size = size if typeflag in (b"0", b"\x00", b"7") else 0
+        end = pos + data_size
         if end > len(data):
             raise ValueError(f"truncated tar member {name!r}")
-        if typeflag in (b"0", b"\x00"):  # regular file
+        if typeflag in (b"0", b"\x00", b"7"):  # regular/contiguous file
             members.append((name, data[pos:end]))
-        pos = end + ((-size) % _BLOCK)
+        pos = end + ((-data_size) % _BLOCK)

@@ -62,7 +62,9 @@ def q_tar_shard_roundtrip(spark, sf_dir):
         (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text"
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # both params annotated: a pdf-only hint is ambiguous to PySpark's
+    # eval-type inference (it warns and falls back on every run)
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         members = [
             (f"{int(d)}.txt", ("" if t is None else t).encode("utf-8"))
@@ -139,7 +141,7 @@ def q_targz_shard_roundtrip(spark, sf_dir):
         (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text"
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         members = [
             (f"{int(d)}.txt", ("" if t is None else t).encode("utf-8"))

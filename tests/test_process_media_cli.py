@@ -113,3 +113,28 @@ def test_mixed_synth_sniffs_by_magic(spark, sf_dir):
     }
     for mid, kind in kinds.items():
         assert kind == ("wav" if mid % 2 == 0 else "flac"), (mid, kind)
+
+
+def test_stereo_downmixes_before_conditioning(spark):
+    """A stereo payload must be explicitly downmixed (per-frame integer
+    mean over interleaved channels) BEFORE decimation — equivalent to
+    conditioning the pre-downmixed mono signal, never pair-averaged
+    into mono-at-half-rate by the decimator (round-9 advice)."""
+    import struct as _struct
+
+    lr = [(i * 211 % 2003 - 1001, i * 157 % 1999 - 999) for i in range(64)]
+    stereo_pcm = b"".join(_struct.pack("<hh", l, r) for l, r in lr)
+    # integer mean with Python floor semantics == numpy sum // 2
+    mono_pcm = b"".join(_struct.pack("<h", (l + r) // 2) for l, r in lr)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.wav_container(stereo_pcm, 16000, n_channels=2))),
+            (2, bytearray(multimodal.wav_container(mono_pcm, 16000))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_and_condition(media).collect()}
+    assert rows[1]["kind"] == "wav"
+    # same conditioned bytes as the hand-downmixed mono twin
+    assert bytes(rows[1]["payload"]) == bytes(rows[2]["payload"])
+    assert rows[1]["n_out"] == rows[2]["n_out"]

@@ -131,3 +131,46 @@ def test_tar_lane_plan_one_grouping_shuffle(spark, sf_dir):
         r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
     ):
         assert "payload" not in m.group(1), m.group(1)
+
+
+def _typed_header(name: str, size: int, typeflag: str) -> bytes:
+    """A ustar header with an arbitrary typeflag and the checksum
+    recomputed — simulates foreign writers the builder never produces."""
+    h = bytearray(tar._header(name, size))
+    h[156] = ord(typeflag)
+    h[148:156] = b" " * 8
+    chk = sum(h)
+    h[148:155] = f"{chk:06o}".encode() + b"\x00"
+    h[155] = ord(" ")
+    return bytes(h)
+
+
+def test_hard_link_with_target_size_writes_no_data():
+    """Some foreign writers store the TARGET's size on hard-link entries
+    while writing zero data blocks; advancing by that size would desync
+    the walk into a mid-archive checksum error (round-9 advice)."""
+    archive = (
+        _typed_header("ln.txt", 1000, "1")  # hard link, size=target's
+        + _typed_header("sym.txt", 512, "2")  # symlink, ditto
+        + tar._header("f.txt", 2)
+        + b"ok"
+        + b"\x00" * 510
+        + b"\x00" * 1024
+    )
+    assert tar.parse_tar(archive) == [("f.txt", b"ok")]
+
+
+def test_device_and_fifo_members_are_zero_data():
+    archive = (
+        _typed_header("dev", 64, "3")
+        + _typed_header("fifo", 64, "6")
+        + b"\x00" * 1024
+    )
+    assert tar.parse_tar(archive) == []
+
+
+def test_contiguous_type7_reads_as_regular_file():
+    archive = (
+        _typed_header("c.txt", 3, "7") + b"abc" + b"\x00" * 509 + b"\x00" * 1024
+    )
+    assert tar.parse_tar(archive) == [("c.txt", b"abc")]
