@@ -2317,3 +2317,13 @@ from .queries_ext47 import ORACLE_EXT47, QUERIES_EXT47  # noqa: E402
 
 QUERIES.update(QUERIES_EXT47)
 ORACLE.update(ORACLE_EXT47)
+
+from .queries_ext48 import ORACLE_EXT48, QUERIES_EXT48  # noqa: E402
+
+QUERIES.update(QUERIES_EXT48)
+ORACLE.update(ORACLE_EXT48)
+
+from .queries_ext49 import ORACLE_EXT49, QUERIES_EXT49  # noqa: E402
+
+QUERIES.update(QUERIES_EXT49)
+ORACLE.update(ORACLE_EXT49)

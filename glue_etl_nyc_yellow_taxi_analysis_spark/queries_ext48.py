@@ -1,0 +1,247 @@
+"""Extended inventory XLVIII — the WARC/HTML web on-ramp (round 10).
+
+A CommonCrawl-style ingest starts at WARC shards (ISO 28500) and
+HTML→text extraction — the two first-mile steps BEFORE the existing
+URL-canonicalization / boilerplate / blocklist / quality gates.  The
+archive ingredients landed in round 9 (ustar walk, gzip member
+framing); this module assembles them into the web shape:
+
+- ``q_warc_ingest`` — documents → 4 real .warc shards (warcinfo head
+  record + one HTTP-response record per doc, deterministic record ids)
+  → walk back (version/framing/Content-Length verification, HTTP
+  envelope split) → per-record rows.  A fifth, deliberately TRUNCATED
+  shard exercises the fail-soft path: one NULL marker row, never a
+  dead stage — and the oracle pins that row too.
+- ``q_warcgz_ingest`` — the wire form: the same records as per-record
+  gzip members (.warc.gz, the seekability convention); decoded rows —
+  and the oracle — are identical to the uncompressed lane's.
+- ``q_html_extract`` — tag-strip text extraction as PURE column
+  expressions (script/style/comment removal, tag strip, entity decode,
+  whitespace collapse — whole-stage codegen, zero Python).  Every
+  third page carries malformed tag soup (unclosed tags, bare ``<``,
+  ``>`` inside an attribute value) — hostile input must produce
+  deterministic text, not a crash.
+- ``q_html_links`` — link extraction for the crawl frontier: every
+  href, host parsed from absolute URLs, per-host link/doc counts.
+
+Scale shape: shard construction is ONE keyed shuffle (grouping is
+inherent to sharding); walks are linear per-shard Arrow passes whose
+payloads never cross another Exchange (the ext47 tar-lane contract);
+the HTML lanes are pure projections + one keyed aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators import html as H
+from .operators import warc
+from .queries import _t
+
+QUERIES_EXT48 = {}
+ORACLE_EXT48 = {}
+
+_N_SHARDS = 4
+_BAD_SHARD = _N_SHARDS  # shard_id of the injected truncated shard
+_URI_PREFIX = "https://crawl.example.org/doc/"
+
+_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("record_idx", T.IntegerType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("html_md5", T.StringType(), True),
+    ]
+)
+
+
+def _warc_lane(spark, sf_dir, gz: bool):
+    # every name a worker closure touches is a LOCAL bound from the
+    # standalone operators.warc / operators.html modules — a closure
+    # referencing a queries_ext48-level helper would make cloudpickle
+    # import this module on the executor, mid-cycle with .queries
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text", "source"
+    )
+    synth = H.synth_html
+    warcinfo, response = warc.warcinfo_record, warc.response_record
+    http_response, split_http = warc.http_response, warc.split_http_response
+    container = warc.warc_gz_container if gz else warc.warc_container
+    parse = warc.parse_warc_gz if gz else warc.parse_warc
+    uri_prefix = _URI_PREFIX
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        # warcinfo head record + one response record per doc
+        records = [warcinfo("software: glue-etl-nyc-yellow-taxi-analysis-spark\r\n")]
+        for d, t, s in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            page = synth(int(d), t, s).encode("utf-8")
+            records.append(response(f"{uri_prefix}{int(d)}", http_response(page)))
+        return pd.DataFrame(
+            [(int(key[0]), container(records))], columns=["shard_id", "payload"]
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+    # the hostile row: a shard cut mid-header — the walker must account
+    # it as ONE NULL marker row, never kill the stage
+    bad = spark.createDataFrame(
+        [(_BAD_SHARD, bytearray(b"WARC/1.0\r\nWARC-Type: resp"))], _SHARD_SCHEMA
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                try:
+                    records = parse(bytes(payload))
+                    idx = 0
+                    shard_rows = []
+                    for headers, block in records:
+                        if headers.get("warc-type") != "response":
+                            continue
+                        uri = headers["warc-target-uri"]
+                        _, http_headers, body = split_http(block)
+                        if int(http_headers.get("content-length", -1)) != len(body):
+                            raise ValueError("HTTP Content-Length mismatch")
+                        shard_rows.append(
+                            (
+                                sid,
+                                idx,
+                                int(uri.removeprefix(uri_prefix)),
+                                len(body),
+                                hashlib.md5(body).hexdigest(),
+                            )
+                        )
+                        idx += 1
+                except (ValueError, KeyError):
+                    rows.append((sid, None, None, None, None))
+                    continue
+                rows.extend(shard_rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "record_idx", "doc_id", "n_bytes", "html_md5"],
+            )
+
+    return shards.unionByName(bad).mapInPandas(walk, _RECORD_SCHEMA)
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC shard round trip (uncompressed): docs → .warc → walk.
+    See module docstring."""
+    return _warc_lane(spark, sf_dir, gz=False)
+
+
+def q_warcgz_ingest(spark, sf_dir):
+    """The wire form: per-record gzip members (.warc.gz).  Same decoded
+    rows — and the same oracle — as the uncompressed lane."""
+    return _warc_lane(spark, sf_dir, gz=True)
+
+
+SQL_WARC_INGEST = f"""
+SELECT doc_id % {_N_SHARDS} AS shard_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % {_N_SHARDS}
+                               ORDER BY doc_id) - 1 AS INTEGER)
+         AS record_idx,
+       doc_id,
+       CAST(octet_length(encode({H.synth_html_sql()})) AS BIGINT) AS n_bytes,
+       md5({H.synth_html_sql()}) AS html_md5
+FROM documents
+UNION ALL
+SELECT {_BAD_SHARD}, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+"""
+
+QUERIES_EXT48["q_warc_ingest"] = q_warc_ingest
+ORACLE_EXT48["q_warc_ingest"] = SQL_WARC_INGEST
+QUERIES_EXT48["q_warcgz_ingest"] = q_warcgz_ingest
+ORACLE_EXT48["q_warcgz_ingest"] = SQL_WARC_INGEST
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML→text extraction, zero Python: synthesize each doc's page
+    (boilerplate + entities + per-``doc_id%3==1`` malformed tag soup),
+    tag-strip it with ordered regex steps, emit per-doc accounting —
+    html/text sizes, token count, and the md5 of the extracted text.
+    The whole lane is one projection inside whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    page = H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source"))
+    txt = H.extract_text_col(page)
+    return docs.select(
+        "doc_id",
+        F.length(page).cast("bigint").alias("n_html_chars"),
+        F.length(txt).cast("bigint").alias("n_text_chars"),
+        F.size(F.split(txt, " ")).cast("bigint").alias("n_tokens"),
+        F.md5(txt).alias("text_md5"),
+    )
+
+
+_HTML_SQL = H.synth_html_sql()
+_TEXT_SQL = H.extract_text_sql("page")
+
+SQL_HTML_EXTRACT = f"""
+WITH p AS (
+  SELECT doc_id, {_HTML_SQL} AS page FROM documents
+), x AS (
+  SELECT doc_id, page, {_TEXT_SQL} AS txt FROM p
+)
+SELECT doc_id,
+       CAST(length(page) AS BIGINT) AS n_html_chars,
+       CAST(length(txt) AS BIGINT) AS n_text_chars,
+       CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+       md5(txt) AS text_md5
+FROM x
+"""
+
+QUERIES_EXT48["q_html_extract"] = q_html_extract
+ORACLE_EXT48["q_html_extract"] = SQL_HTML_EXTRACT
+
+
+def q_html_links(spark, sf_dir):
+    """Crawl-frontier link extraction: every href in every page (the
+    nav comment's relative link included — a frontier sees raw HTML),
+    hosts parsed from absolute URLs, per-host link and doc counts.
+    One projection + explode + one host-keyed aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    page = H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source"))
+    links = docs.select(
+        "doc_id", F.explode(H.links_col(page)).alias("url")
+    ).withColumn("host", H.host_col(F.col("url")))
+    return (
+        links.filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_HTML_LINKS = f"""
+WITH p AS (
+  SELECT doc_id, {_HTML_SQL} AS page FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(page, 'href="([^"]+)"', 1)) AS url
+  FROM p
+), h AS (
+  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS host FROM l
+)
+SELECT host, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+FROM h WHERE host <> '' GROUP BY host
+"""
+
+QUERIES_EXT48["q_html_links"] = q_html_links
+ORACLE_EXT48["q_html_links"] = SQL_HTML_LINKS

@@ -1,0 +1,206 @@
+"""Extended inventory XLIX — the SemDeDup scale path (round 10).
+
+``q_semdedup`` (queries_ext16) assigns every vector to its nearest
+representative by scoring ALL k ≈ n/target reps — O(n·k) = O(n²/target)
+dot products, the one admitted super-linear term in the registry
+(SCALE_SF10.json measured 61.7× wall at 100× rows; sub-linear, but the
+asymptote is wrong).  This module lands the documented fix: route rep
+assignment through the IVF coarse probe (the ``similarity.ivf_topk``
+shape), exactly how production SemDeDup assigns against a FAISS IVF
+index:
+
+  1. routers — ONE deterministic router per cell (the cell's lowest-id
+     rep; cells = labels, the repo's coarse-quantizer convention).
+     O(|cells|) rows, broadcast.
+  2. probe — each vector scores only the |cells| routers and keeps its
+     ``_NPROBE`` best cells.  O(n·|cells|) work, no shuffle of the
+     corpus (routers broadcast; top-nprobe via a vec_id-keyed window).
+  3. assign — score only the reps INSIDE the probed cells:
+     O(n·nprobe·k/|cells|) instead of O(n·k) — the per-vector work
+     drops by |cells|/nprobe, and with a trained coarse quantizer
+     (``similarity.kmeans_train``) whose |cells| grows ~√k the
+     assignment is O(n·√k): the standard two-level production shape.
+     The swap is mechanical (routers := trained centroids); labels keep
+     this lane fully SQL-replayable.
+  4. prune — unchanged from q_semdedup: within each assigned
+     sub-cluster, drop any vector rounded-cosine ≥ τ to a lower-id
+     member.
+
+Approximation surface (honest): a vector whose true nearest rep lives
+in a cell whose ROUTER ranks below nprobe is assigned to its best
+probed cell instead — the recall dial every IVF index trades on.  At
+shipped SFs (one rep per label) probe order equals rep order, so the
+output matches q_semdedup bit-for-bit; the chained-CTE oracle replays
+the probe itself, so the gate holds at ANY scale, not just where the
+two lanes coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import similarity
+from .queries import _COSINE_SQL, _t
+from .queries_ext16 import _SD_TARGET, _SD_TAU
+
+QUERIES_EXT49 = {}
+ORACLE_EXT49 = {}
+
+_NPROBE = 3
+
+
+def _assign_ivf(emb):
+    """The probe+assign stages (pre-materialization) — separated so the
+    plan-contract test can pin THIS plan broadcast-only; the lane's
+    ``localCheckpoint`` would otherwise swallow it from explain()."""
+    wlab = Window.partitionBy("label")
+    reps = (
+        emb.withColumn("cnt", F.count(F.lit(1)).over(wlab))
+        .withColumn("rep_rn", F.row_number().over(wlab.orderBy("vec_id")))
+        .filter(
+            F.col("rep_rn") <= F.greatest(F.lit(1), F.expr(f"cnt div {_SD_TARGET}"))
+        )
+        .select(
+            F.col("label").alias("cluster"),
+            F.col("vec_id").alias("rep_id"),
+            F.col("embedding").alias("centroid"),
+            F.col("rep_rn"),
+        )
+        # consumed twice (routers + probed-cell join) and the window
+        # chain above is one narrow label-keyed pass — materialize once
+        .localCheckpoint()
+    )
+    routers = reps.filter(F.col("rep_rn") == 1).select("cluster", "centroid")
+
+    # stage 2: probe — score |cells| broadcast routers per vector, keep
+    # the _NPROBE best cells (rounded cosine, ties toward lower cluster)
+    probe_cos = F.round(
+        similarity.cosine(F.col("embedding"), F.col("centroid")), 6
+    )
+    wprobe = Window.partitionBy("vec_id").orderBy(
+        F.desc("probe_cos"), F.col("cluster")
+    )
+    probed = (
+        emb.crossJoin(F.broadcast(routers))
+        .select("vec_id", "embedding", "cluster", probe_cos.alias("probe_cos"))
+        .withColumn("pn", F.row_number().over(wprobe))
+        .filter(F.col("pn") <= _NPROBE)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+    # stage 3: assign — score ONLY the probed cells' reps (broadcast
+    # cluster-keyed join, n·nprobe·k/|cells| dots instead of n·k)
+    rep_cos = F.round(
+        similarity.cosine(F.col("embedding"), F.col("centroid")), 6
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.desc("rep_cos"), F.col("cluster"), F.col("rep_id")
+    )
+    return (
+        probed.join(
+            F.broadcast(reps.select("cluster", "rep_id", "centroid")), "cluster"
+        )
+        .select("vec_id", "embedding", "cluster", "rep_id", rep_cos.alias("rep_cos"))
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        # nrm hoisted per vector — same expression tree as the inline
+        # cosine denominator, so pair doubles stay bit-identical
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            "rep_id",
+            similarity.l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+
+
+def q_semdedup_ivf(spark, sf_dir):
+    """SemDeDup with IVF-probed rep assignment — the 100 TB shape.
+    See module docstring; output schema identical to ``q_semdedup``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # the assignment feeds both self-join sides + the verdict
+    # projection (the q_semdedup materialization finding: 18 exchanges
+    # → 6 without) — materialize once
+    assigned = _assign_ivf(emb).localCheckpoint()
+
+    # stage 4: prune within the assigned sub-cluster (q_semdedup rule)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = F.round(
+        F.try_divide(
+            similarity.dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
+        6,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.rep_id") == F.col("b.rep_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= F.lit(_SD_TAU))
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_pruned"),
+        "dup_of",
+    )
+
+
+SQL_SEMDEDUP_IVF = f"""
+WITH reps AS (
+  SELECT label AS cluster, vec_id AS rep_id, embedding AS centroid, rn AS rep_rn
+  FROM (
+    SELECT label, vec_id, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY label) AS cnt
+    FROM embeddings) WHERE rn <= greatest(1, cnt // {_SD_TARGET})
+), routers AS (
+  SELECT cluster, centroid FROM reps WHERE rep_rn = 1
+), probed AS (
+  -- each vector keeps its {_NPROBE} best cells by rounded router cosine
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, r.cluster,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COSINE_SQL.format(a='e.embedding', b='r.centroid')} DESC,
+                        r.cluster) AS pn
+    FROM embeddings e, routers r) WHERE pn <= {_NPROBE}
+), assigned AS (
+  -- best rep INSIDE the probed cells; nrm hoisted per vector
+  SELECT vec_id, embedding, cluster, rep_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM (
+    SELECT p.vec_id, p.embedding, s.cluster, s.rep_id,
+           row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {_COSINE_SQL.format(a='p.embedding', b='s.centroid')} DESC,
+                        s.cluster, s.rep_id) AS rn
+    FROM probed p JOIN reps s ON p.cluster = s.cluster) WHERE rn = 1
+), dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.rep_id = b.rep_id AND a.vec_id < b.vec_id
+  -- len() guard mirrors Spark's NULL-propagating zip_with dot on
+  -- ragged vectors; NULL >= tau is false on both engines
+  WHERE CASE WHEN len(a.embedding) <> len(b.embedding) THEN NULL ELSE
+          ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (a.nrm * b.nrm), 6) END >= {_SD_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cluster,
+       CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_pruned,
+       d.dup_of
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+QUERIES_EXT49["q_semdedup_ivf"] = q_semdedup_ivf
+ORACLE_EXT49["q_semdedup_ivf"] = SQL_SEMDEDUP_IVF

@@ -1,0 +1,212 @@
+"""ext48 — WARC/HTML web on-ramp lanes.
+
+The synth page is implemented THREE ways (Python for WARC payloads,
+Spark column, DuckDB SQL) — the tri-agreement test here is what makes
+the shared oracle an actual cross-check rather than a tautology.
+Extraction semantics are replayed INDEPENDENTLY with stdlib
+html.parser, never the production regexes.
+"""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES  # noqa: F401  (registry root first: ext modules import from .queries)
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import html as H
+from glue_etl_nyc_yellow_taxi_analysis_spark.operators import warc
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext48 import (
+    _BAD_SHARD,
+    q_html_extract,
+    q_warc_ingest,
+    q_warcgz_ingest,
+)
+
+
+def test_synth_html_tri_agreement(spark, sf_dir):
+    """Python, Spark-column, and DuckDB-SQL builders must emit
+    byte-identical pages for every doc (soup rows included)."""
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .limit(60)
+        .toPandas()
+    )
+    via_spark = {
+        r["doc_id"]: r["page"]
+        for r in spark.createDataFrame(pdf)
+        .select(
+            "doc_id",
+            H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias(
+                "page"
+            ),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    via_sql = dict(
+        con.execute(
+            f"SELECT doc_id, {H.synth_html_sql()} FROM documents"
+        ).fetchall()
+    )
+    assert len(via_spark) == 60
+    for _, row in pdf.iterrows():
+        d = int(row["doc_id"])
+        py = H.synth_html(d, row["text"], row["source"])
+        assert via_spark[d] == py, f"spark!=py for doc {d}"
+        assert via_sql[d] == py, f"sql!=py for doc {d}"
+
+
+class _StdlibExtractor:
+    """Independent replay: stdlib html.parser walk, skipping script and
+    style content — what a 'real' extractor computes on these pages."""
+
+    def extract(self, page: str) -> str:
+        from html.parser import HTMLParser
+
+        chunks = []
+
+        class P(HTMLParser):
+            skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in ("script", "style"):
+                    self.skip += 1
+                chunks.append(" ")  # every tag is a word separator
+
+            def handle_endtag(self, tag):
+                if tag in ("script", "style") and self.skip:
+                    self.skip -= 1
+                chunks.append(" ")
+
+            def handle_comment(self, data):
+                chunks.append(" ")
+
+            def handle_decl(self, decl):
+                chunks.append(" ")
+
+            def handle_data(self, data):
+                if not self.skip:
+                    chunks.append(data)
+
+        p = P(convert_charrefs=True)
+        p.feed(page)
+        return re.sub(r"[ \t\r\n\xa0]+", " ", "".join(chunks)).strip()
+
+
+def test_extract_matches_stdlib_parser_on_wellformed_pages(spark):
+    """On well-formed pages (no soup: doc_id % 3 != 1) the regex
+    pipeline must agree with the stdlib HTML parser."""
+    rows = [(d, f"some body text {d} with words", f"src{d % 3}") for d in (0, 2, 3, 5, 6, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: r["txt"]
+        for r in df.select(
+            "doc_id",
+            H.extract_text_col(
+                H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source"))
+            ).alias("txt"),
+        ).collect()
+    }
+    ex = _StdlibExtractor()
+    for d, t, s in rows:
+        want = ex.extract(H.synth_html(d, t, s))
+        assert got[d] == want, f"doc {d}: {got[d]!r} != {want!r}"
+
+
+def test_soup_rows_extract_deterministically(spark):
+    """Malformed tag soup must not crash and must keep the page's real
+    text; the soup fragment degrades to its non-tag words."""
+    df = spark.createDataFrame([(1, "payload words", "srcx")], ["doc_id", "text", "source"])
+    txt = df.select(
+        H.extract_text_col(
+            H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source"))
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert "payload words" in txt
+    assert "unclosed" in txt and "soup" in txt and "stray" in txt
+    assert "<b>" not in txt and "not text" not in txt  # tags + script gone
+    assert '<tag> & "q"' in txt  # entities decoded AFTER tag strip
+
+
+def test_warc_lane_fail_soft_marker_row(spark, sf_dir):
+    for q in (q_warc_ingest, q_warcgz_ingest):
+        rows = q(spark, sf_dir).filter(F.col("shard_id") == _BAD_SHARD).collect()
+        assert len(rows) == 1
+        assert rows[0]["record_idx"] is None and rows[0]["html_md5"] is None
+
+
+def test_warc_shards_are_real_archives(spark, sf_dir):
+    """Pull one shard's payload pre-walk and re-parse it here: warcinfo
+    head record, response records in doc_id order, HTTP envelopes."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext48 import (
+        _N_SHARDS,
+        _SHARD_SCHEMA,
+        _URI_PREFIX,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text", "source")
+        .filter(F.col("shard_id") == 0)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    import pandas as pd
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        records = [warc.warcinfo_record("software: t\r\n")]
+        for d, t, s in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            records.append(
+                warc.response_record(
+                    f"{_URI_PREFIX}{int(d)}",
+                    warc.http_response(H.synth_html(int(d), t, s).encode()),
+                )
+            )
+        return pd.DataFrame(
+            [(int(key[0]), warc.warc_container(records))],
+            columns=["shard_id", "payload"],
+        )
+
+    payload = bytes(
+        spark.createDataFrame(docs)
+        .groupBy("shard_id")
+        .applyInPandas(build, _SHARD_SCHEMA)
+        .collect()[0]["payload"]
+    )
+    parsed = warc.parse_warc(payload)
+    assert parsed[0][0]["warc-type"] == "warcinfo"
+    uris = [h["warc-target-uri"] for h, _ in parsed[1:]]
+    assert uris == [f"{_URI_PREFIX}{d}" for d in docs["doc_id"]]
+    _, _, body = warc.split_http_response(parsed[1][1])
+    assert body.decode() == H.synth_html(
+        int(docs.iloc[0]["doc_id"]), docs.iloc[0]["text"], docs.iloc[0]["source"]
+    )
+
+
+def test_warc_lane_plan_payload_never_crosses_exchange(spark, sf_dir):
+    from test_plans import _plan
+
+    for name in ("q_warc_ingest", "q_warcgz_ingest"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        ):
+            assert "payload" not in m.group(1), (name, m.group(1))
+
+
+def test_html_extract_plan_is_pure_codegen(spark, sf_dir):
+    """The extraction lane must stay JVM-side: no Python evaluation
+    node anywhere in the physical plan."""
+    from test_plans import _plan
+
+    plan = _plan(q_html_extract(spark, sf_dir))
+    assert "Python" not in plan  # no BatchEvalPython / MapInPandas node
+    # one projection over the scan: no join, no aggregate, no extra
+    # shuffle beyond the input-spread repartition
+    for node in ("Join", "Aggregate", "Sort ", "Window"):
+        assert node not in plan, node
+    assert plan.count("+- Exchange") <= 1
