@@ -79,6 +79,20 @@ run's min (the convention every round has used).  `bench.py` reads
 ratio over anchored queries, worst query) automatically; the
 correctness gate's companion perf bar is aggregate ≤ 2×.
 
+**Two ratios (r9 verdict item 4).** The all-time anchor is a minimum
+over EVERY committed artifact, so it only ratchets down as rounds
+accumulate lucky runs — the aggregate ratio then climbs on statistics
+alone (r7 1.03× → r9 1.46× with zero plan regressions).  `bench.py`
+therefore also emits `vs_recent`: the same aggregate against a
+RECENT-WINDOW floor (per-query min over the last 3 full runs recorded
+in `BENCH_history.jsonl`, same sf).  Read them together: a real
+regression moves BOTH ratios; an all-time-only climb is the ratchet.
+When a lane's all-time anchor sits >1.5× below its recent floor,
+bench.py lists it under `vs_recent.reset_candidates` — review the
+lane's plan history and, if the old floor belongs to a retired plan,
+add a `RESET_ROUND` entry in `tools/regen_baseline.py` (never reset to
+hide a genuine regression; document the WHY inline).
+
 Regenerate with `python tools/regen_baseline.py` after a fresh
 `python bench.py` whenever queries were added.
 
