@@ -4,6 +4,13 @@
 stages a web corpus passes BEFORE content ever matters, composing the
 ext30 operator lanes end to end:
 
+  0. WARC first mile (``--warc`` / ``--synth-warc-from-docs``, r10) —
+     walk (shard_id, payload) WARC shards (ISO 28500 record framing,
+     operators/warc.py), split the HTTP envelope, extract text from the
+     HTML (operators/html.py pure projections), derive ``source`` from
+     the target URI's host; corrupt shards are counted, never fatal.
+     The WARC-Target-URI feeds stage 1 directly — real crawl URLs, no
+     planted column.
   1. URL dedup      — canonicalize each doc's URL
                       (``queries_ext30.canonical_url``: lowercase host,
                       strip :443/fragment/trailing-slash/utm_*, sort
@@ -48,14 +55,152 @@ from ..session import get_spark
 from .notify import JobNotifier, jsonl_sink, run_with_notification, stderr_sink
 
 
-def run_ingest(spark, docs_path: str, output: str, budget: int = 1000) -> dict:
-    """Run the on-ramp; returns the accounting card."""
+def synth_warc_shards(docs, n_shards: int = 4):
+    """A (shard_id, payload) WARC-shard frame from a documents table —
+    the --synth path for tests/rehearsals without real crawl shards on
+    disk (process_media's --synth-from-docs pattern).  One warcinfo
+    head record + one HTTP-response record per doc, page = the
+    deterministic synth HTML."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import html as H
+    from ..operators import warc
+
+    synth = H.synth_html
+    warcinfo, response = warc.warcinfo_record, warc.response_record
+    http_response, container = warc.http_response, warc.warc_container
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        records = [warcinfo("software: web-ingest-synth\r\n")]
+        for d, t, s in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            page = synth(int(d), t, s).encode("utf-8")
+            records.append(
+                response(
+                    f"https://crawl.example.org/doc/{int(d)}",
+                    http_response(page),
+                )
+            )
+        return pd.DataFrame(
+            [(int(key[0]), container(records))], columns=["shard_id", "payload"]
+        )
+
+    return (
+        docs.select(
+            (F.col("doc_id") % n_shards).alias("shard_id"),
+            "doc_id",
+            "text",
+            "source",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(build, schema)
+    )
+
+
+def docs_from_warc(spark, shards):
+    """The real first mile: (shard_id, payload) WARC shards → a
+    documents frame (doc_id, url, source, text, n_chars).  One Arrow
+    pass walks records and splits the HTTP envelope (fail-soft: a
+    corrupt shard yields one NULL marker row, counted by the card);
+    HTML→text extraction and host parsing are pure projections.  The
+    WARC-Target-URI feeds URL dedup directly — no planted URL.
+
+    doc_id: the URI's trailing path integer when present (the synth
+    convention), else the first 60 bits of md5(uri) — deterministic
+    either way, so retries and re-runs key identically."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import html as H
+    from ..operators import warc
+
+    parse, split_http = warc.parse_warc, warc.split_http_response
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("page", T.StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    records = parse(bytes(payload))
+                    shard_rows = []
+                    for headers, block in records:
+                        if headers.get("warc-type") != "response":
+                            continue
+                        uri = headers["warc-target-uri"]
+                        _, _, body = split_http(block)
+                        tail = uri.rstrip("/").rsplit("/", 1)[-1]
+                        did = (
+                            int(tail)
+                            if tail.isdigit()
+                            else int.from_bytes(
+                                hashlib.md5(uri.encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        shard_rows.append(
+                            (did, uri, body.decode("utf-8", "replace"))
+                        )
+                except (ValueError, KeyError):
+                    rows.append((None, None, None))  # corrupt-shard marker
+                    continue
+                rows.extend(shard_rows)
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "page"])
+
+    walked = shards.select("payload").mapInPandas(walk, schema)
+    txt = H.extract_text_col(F.col("page"))
+    return walked.select(
+        "doc_id",
+        "url",
+        H.host_col(F.col("url")).alias("source"),
+        txt.alias("text"),
+        F.length(txt).cast("bigint").alias("n_chars"),
+    )
+
+
+def run_ingest(
+    spark,
+    docs_path: str,
+    output: str,
+    budget: int = 1000,
+    from_warc: bool = False,
+) -> dict:
+    """Run the on-ramp; returns the accounting card.  With
+    ``from_warc``, ``docs_path`` is a (shard_id, payload) WARC-shard
+    parquet and the job runs the FULL first mile — record walk, HTTP
+    split, HTML→text extraction, host-derived source — before the
+    URL-dedup/topic/budget stages."""
     # enter through the registry module FIRST: queries_ext30 and
     # .queries import each other (registry wiring), so the ext module
     # must never be the cycle's entry point
     from .. import queries as _queries  # noqa: F401
     from ..queries_ext30 import _messy_url, canonical_url, keyword_tags
-    docs = spark.read.parquet(docs_path)
+
+    n_corrupt_shards = 0
+    if from_warc:
+        walked = docs_from_warc(spark, spark.read.parquet(docs_path))
+        # one pass materializes walk results for the corrupt count +
+        # the pipeline (codec work must not run once per consumer)
+        walked = walked.localCheckpoint()
+        n_corrupt_shards = walked.filter(F.col("doc_id").isNull()).count()
+        docs = walked.filter(F.col("doc_id").isNotNull())
+    else:
+        docs = spark.read.parquet(docs_path)
     n_in = docs.count()
     if n_in == 0:
         raise ValueError(f"no documents under {docs_path!r}")
@@ -129,6 +274,7 @@ def run_ingest(spark, docs_path: str, output: str, budget: int = 1000) -> dict:
 
     card = {
         "n_docs_in": n_in,
+        "n_corrupt_shards": n_corrupt_shards,
         "n_url_dups_removed": n_in - n_survivors,
         "n_budget_dropped": n_survivors - acc["n"],
         "n_admitted": acc["n"],
@@ -142,7 +288,18 @@ def run_ingest(spark, docs_path: str, output: str, budget: int = 1000) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="web-crawl ingest on-ramp")
-    p.add_argument("--docs", required=True, help="documents parquet path")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="documents parquet path")
+    src.add_argument(
+        "--warc",
+        help="(shard_id, payload) WARC-shard parquet: run the full "
+        "first mile (record walk, HTTP split, HTML->text) first",
+    )
+    src.add_argument(
+        "--synth-warc-from-docs",
+        help="documents parquet: synthesize WARC shards, then ingest "
+        "them through the --warc path (tests/rehearsals)",
+    )
     p.add_argument("--output", required=True, help="output dir")
     p.add_argument("--budget", type=int, default=1000, help="tokens per source")
     p.add_argument(
@@ -158,13 +315,30 @@ def main(argv: list[str] | None = None) -> None:
 
     def _run() -> dict:
         spark = get_spark(app_name="web-ingest")
+        if args.synth_warc_from_docs:
+            shards_path = f"{args.output}/warc_shards"
+            synth_warc_shards(
+                spark.read.parquet(args.synth_warc_from_docs)
+            ).write.mode("overwrite").parquet(shards_path)
+            return run_ingest(
+                spark, shards_path, args.output, budget=args.budget,
+                from_warc=True,
+            )
+        if args.warc:
+            return run_ingest(
+                spark, args.warc, args.output, budget=args.budget,
+                from_warc=True,
+            )
         return run_ingest(spark, args.docs, args.output, budget=args.budget)
 
     run_with_notification(
         "web-ingest",
         _run,
         notifier,
-        detail={"docs": args.docs, "output": args.output},
+        detail={
+            "docs": args.docs or args.warc or args.synth_warc_from_docs,
+            "output": args.output,
+        },
     )
 
 

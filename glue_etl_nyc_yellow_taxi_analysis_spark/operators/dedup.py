@@ -439,9 +439,13 @@ def ngram_jaccard_pairs(
     |S| − ceil(τ·|S|) + 1 shingles under any consistent global order.
     Ordering each document's shingles by ascending corpus document
     frequency (rarest first) makes the prefix elements rare, so the
-    shingle-keyed candidate join touches ~near-duplicate pairs instead of
-    every same-block pair.  Candidates are then verified with the same
-    exact jaccard fold — output is bit-identical to the naive join.  The
+    candidate join touches ~near-duplicate pairs instead of every
+    same-block pair.  The candidate stages (df counts, prefix window,
+    candidate join) all key on xxhash64(shingle) — 8-byte longs, never
+    shingle strings (single-JVM footprint fix, r9 verdict item 5; see
+    the inline no-recall-loss argument).  Candidates are then verified
+    with the same exact STRING-space jaccard fold — output is
+    bit-identical to the naive join.  The
     r6 sf1 rehearsal measured the naive blocked join at 14-16x wall
     growth for 10x rows (fixed block count → per-block m² enumeration);
     the prefix join's candidate count scales with the planted-duplicate
@@ -490,31 +494,46 @@ def ngram_jaccard_pairs(
     # shingle set + block computed ONCE; three consumers (explode, two
     # verify join-backs) would otherwise re-run the n-gram construction
     base = base.localCheckpoint()
-    ex = base.select("id", "block", "sz", F.explode("sh").alias("s"))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # the candidate stages run in HASH space: every df-count, window and
+    # candidate join below keys on xxhash64(shingle) — 8-byte longs —
+    # so shingle STRINGS never cross an Exchange (the sf10 probe OOMed
+    # the default single-JVM heap on the string-keyed shuffle; r9
+    # verdict item 5).  No recall loss: a qualifying pair shares a real
+    # prefix shingle, hence its hash; prefix lengths stay sized by the
+    # STRING-set cardinality `sz`, and |S_hash| <= |S_str| with
+    # s − floor(τ·s) + 1 non-decreasing in s, so an (astronomically
+    # rare) in-doc hash collision only LENGTHENS the effective prefix —
+    # collisions can add candidates, never drop one.  Verification below
+    # stays in exact string space, so output is bit-identical
+    # unconditionally.
+    ex = base.select(
+        "id", "block", "sz",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
+    )
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # prefix length |S| − floor(τ·|S|) + 1 >= the exact requirement
     # |S| − ceil(τ·|S|) + 1: floor-for-ceil only LENGTHENS the prefix,
     # which adds candidates but can never drop a qualifying pair
     pref = (
-        ex.join(dfreq, "s")
+        ex.join(dfreq, "h")
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("id").orderBy("df", "s")
+                Window.partitionBy("id").orderBy("df", "h")
             ),
         )
         .filter(
             F.col("rn")
             <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("id", "block", "s")
+        .select("id", "block", "h")
     )
     pa, pb = pref.alias("a"), pref.alias("b")
     cand = (
         pa.join(
             pb,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

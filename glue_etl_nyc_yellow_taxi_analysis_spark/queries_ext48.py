@@ -245,3 +245,94 @@ FROM h WHERE host <> '' GROUP BY host
 
 QUERIES_EXT48["q_html_links"] = q_html_links
 ORACLE_EXT48["q_html_links"] = SQL_HTML_LINKS
+
+
+def q_stream_warc_ingest(spark, sf_dir):
+    """The first mile IN-STREAM: WARC shards arrive as a file-source
+    stream (2 parquet shard files, maxFilesPerTrigger=1 → ≥2
+    micro-batches); the record walk + HTTP envelope split run as a
+    stateless Arrow mapInPandas stage and the HTML→text extraction as
+    pure projections — append mode, no watermark, no state store.  The
+    drained sink must equal the batch lane ``q_html_extract`` row for
+    row, so this lane shares its oracle VERBATIM (stream/batch
+    equivalence through the whole WARC→HTML→text chain).  Scale
+    posture: per-batch linear walks, zero shuffle, shard payloads never
+    leave the walking executor."""
+    import tempfile
+
+    from .streaming.ingest import stream_files
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("shard_id"), "doc_id", "text", "source"
+    )
+    synth = H.synth_html
+    warcinfo, response = warc.warcinfo_record, warc.response_record
+    http_response, split_http = warc.http_response, warc.split_http_response
+    container, parse = warc.warc_container, warc.parse_warc
+    uri_prefix = _URI_PREFIX
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        records = [warcinfo("software: stream-fixture\r\n")]
+        for d, t, s in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            page = synth(int(d), t, s).encode("utf-8")
+            records.append(response(f"{uri_prefix}{int(d)}", http_response(page)))
+        return pd.DataFrame(
+            [(int(key[0]), container(records))], columns=["shard_id", "payload"]
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+    src_dir = tempfile.mkdtemp(prefix="sg_warc_src_")
+    shards.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    pages_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("page", T.StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                for headers, block in parse(bytes(payload)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    _, _, body = split_http(block)
+                    rows.append(
+                        (
+                            int(headers["warc-target-uri"].removeprefix(uri_prefix)),
+                            body.decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "page"])
+
+    stream = stream_files(
+        spark, src_dir, _SHARD_SCHEMA, max_files_per_trigger=1
+    ).drop("__source_file")
+    pages = stream.mapInPandas(walk, pages_schema)
+    txt = H.extract_text_col(F.col("page"))
+    out = pages.select(
+        "doc_id",
+        F.length("page").cast("bigint").alias("n_html_chars"),
+        F.length(txt).cast("bigint").alias("n_text_chars"),
+        F.size(F.split(txt, " ")).cast("bigint").alias("n_tokens"),
+        F.md5(txt).alias("text_md5"),
+    )
+    sink = "sg_stream_warc_ingest"
+    ckpt = tempfile.mkdtemp(prefix="sg_warc_ckpt_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+QUERIES_EXT48["q_stream_warc_ingest"] = q_stream_warc_ingest
+ORACLE_EXT48["q_stream_warc_ingest"] = SQL_HTML_EXTRACT

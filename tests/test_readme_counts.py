@@ -29,9 +29,10 @@ def test_readme_counts_match_registry():
 
 
 def test_readme_test_count_not_stale():
-    """The advertised pytest count may trail reality (tests get added)
-    but must never exceed it, and must be within 15% — 'roughly right
-    forever' beats 'exactly right once'."""
+    """The advertised pytest count is PINNED exactly, like the
+    capability counts (r9 verdict item 8: the 15% tolerance let the
+    README trail the live suite by 96 tests) — a failing run prints
+    the number to paste."""
     collected = subprocess.run(
         [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
         cwd=REPO,
@@ -46,6 +47,7 @@ def test_readme_test_count_not_stale():
     adv = re.search(r"# (\d+) unit/property/plan-contract/e2e tests", readme)
     assert adv, "README.md lost its test-count line"
     advertised = int(adv.group(1))
-    assert advertised <= actual <= int(advertised * 1.15), (
-        f"README advertises {advertised} tests, suite has {actual}"
+    assert advertised == actual, (
+        f"README advertises {advertised} tests, suite collects {actual} "
+        f"— update the README.md count"
     )

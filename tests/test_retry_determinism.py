@@ -39,6 +39,10 @@ LANES = [
     "q_taxi_star_deterministic",
     "q_png_decode",
     "q_ann_pq_oracle",
+    # r9 verdict item 6: one archive lane (shard assignment / member
+    # order must be partition-retry-stable) and one container lane
+    "q_tar_shard_roundtrip",
+    "q_avi_dib_decode",
 ]
 
 

@@ -157,3 +157,63 @@ def test_web_ingest_null_source(spark, sf_dir, tmp_path):
         ).alias("t")
     ).agg(F.sum("t")).collect()[0][0]
     assert null_tok is not None and 0 < null_tok <= _BUDGET
+
+
+def test_web_ingest_from_warc(spark, sf_dir, tmp_path):
+    """The r10 first mile end-to-end: documents → synthesized WARC
+    shards (+ one planted corrupt shard) → record walk → HTTP split →
+    HTML→text extraction → URL dedup/topic/budget stages.  The
+    WARC-Target-URI must feed URL dedup (real host in `source`), the
+    corrupt shard must be counted not fatal, and extraction must
+    recover every document's text words."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.jobs.web_ingest import (
+        synth_warc_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    shards = synth_warc_shards(docs)
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"WARC/1.0\r\ntruncated mid-hea"))],
+        "shard_id long, payload binary",
+    )
+    shards_path = f"{tmp_path}/shards"
+    shards.unionByName(corrupt).write.parquet(shards_path)
+
+    out = f"{tmp_path}/web"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "glue_etl_nyc_yellow_taxi_analysis_spark.jobs.web_ingest",
+            "--warc", shards_path,
+            "--output", out,
+            "--budget", "500",
+        ],
+        cwd=tmp_path,
+        env={**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"},
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("ingest card: ")][0]
+        .removeprefix("ingest card: ")
+    )
+    assert card["n_docs_in"] == n_docs  # every record walked out
+    assert card["n_corrupt_shards"] == 1
+    assert card["n_url_dups_removed"] == 0  # real URIs are all distinct
+    assert card["n_budget_dropped"] + card["n_admitted"] == n_docs
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    row = corpus.orderBy("doc_id").limit(1).collect()[0]
+    # source derived from the target URI's host, url is the real URI
+    assert row["source"] == "crawl.example.org"
+    assert row["url"] == f"https://crawl.example.org/doc/{row['doc_id']}"
+    # extraction recovered the document's own words
+    orig = (
+        docs.filter(F.col("doc_id") == row["doc_id"]).collect()[0]["text"]
+    )
+    assert orig.split()[0] in row["text"]
+    assert "<p>" not in row["text"] and "not text" not in row["text"]
