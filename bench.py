@@ -312,6 +312,7 @@ HEADLINE = [
     "q_warcgz_ingest",
     "q_html_extract",
     "q_html_links",
+    "q_stream_warc_ingest",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]
