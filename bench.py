@@ -313,6 +313,7 @@ HEADLINE = [
     "q_html_extract",
     "q_html_links",
     "q_stream_warc_ingest",
+    "q_robots_filter",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]

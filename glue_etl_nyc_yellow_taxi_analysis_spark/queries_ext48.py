@@ -336,3 +336,132 @@ def q_stream_warc_ingest(spark, sf_dir):
 
 QUERIES_EXT48["q_stream_warc_ingest"] = q_stream_warc_ingest
 ORACLE_EXT48["q_stream_warc_ingest"] = SQL_HTML_EXTRACT
+
+
+# --------------------------------------------------------------------------
+# robots.txt gate — REP 9309 longest-match filtering of the link frontier
+# --------------------------------------------------------------------------
+
+# one deterministic robots.txt per host (single `User-agent: *` group —
+# multi-group agent selection is the documented seam; comment and
+# Crawl-delay lines prove the parser skips non-rule directives).
+# Odd-mirror hosts block /d/ with a longest-match Allow carve-out for
+# /d/1*; even mirrors publish only no-op lines (empty Disallow); the
+# hub blocks one source path.
+_ROBOTS_ODD = "User-agent: *\n# mirror policy\nDisallow: /d/\nAllow: /d/1\nCrawl-delay: 2"
+_ROBOTS_EVEN = "User-agent: *\n# open mirror\nDisallow:\nCrawl-delay: 3"
+_ROBOTS_HUB = "User-agent: *\nDisallow: /s/src1\n# hub rules"
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt gate over the crawl frontier (REP 9309 semantics):
+    synthesize one robots.txt per host, PARSE it (line split, rule
+    extraction, no-op/comment/Crawl-delay skipping), then filter every
+    absolute link by longest-prefix match — ties break toward Allow,
+    no matching rule means allowed.  Emits one verdict row per
+    (doc_id, url) with the winning rule.
+
+    Scale shape: the rules table is |hosts|-bounded and broadcast; the
+    frontier streams through one prefix-match join + one (doc_id, url)
+    keyed argmax — no self-joins, no windows over the frontier."""
+    docs = _t(spark, sf_dir, "documents")
+    page = H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source"))
+    frontier = (
+        docs.select("doc_id", F.explode(H.links_col(page)).alias("url"))
+        .withColumn("host", H.host_col(F.col("url")))
+        .filter(F.col("host") != "")
+        .withColumn("path", F.regexp_extract("url", "^https?://[^/]+(/.*)$", 1))
+    )
+    k = F.regexp_extract("host", "^m([0-9])", 1)
+    robots = (
+        frontier.select("host").distinct()
+        .withColumn(
+            "txt",
+            F.when(F.col("host") == "hub.example.net", F.lit(_ROBOTS_HUB))
+            .when(k.cast("int") % 2 == 1, F.lit(_ROBOTS_ODD))
+            .otherwise(F.lit(_ROBOTS_EVEN)),
+        )
+    )
+    lines = robots.select("host", F.explode(F.split("txt", "\n")).alias("line"))
+    rules = (
+        lines.filter(
+            F.col("line").startswith("Allow:")
+            | F.col("line").startswith("Disallow:")
+        )
+        .select(
+            "host",
+            F.when(F.col("line").startswith("Allow:"), 1)
+            .otherwise(0)
+            .alias("is_allow"),
+            F.trim(
+                F.when(
+                    F.col("line").startswith("Allow:"),
+                    F.substring("line", 7, 10000),
+                ).otherwise(F.substring("line", 10, 10000))
+            ).alias("prefix"),
+        )
+        .filter(F.col("prefix") != "")  # empty Disallow: = allow-all no-op
+    )
+    matches = frontier.join(F.broadcast(rules), "host").filter(
+        F.expr("left(path, length(prefix))") == F.col("prefix")
+    )
+    best = matches.groupBy("doc_id", "url").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("is_allow").alias("a"),
+                F.col("prefix").alias("p"),
+            )
+        ).alias("b")
+    )
+    return frontier.join(best, ["doc_id", "url"], "left").select(
+        "doc_id",
+        "url",
+        "host",
+        F.coalesce(F.col("b.a"), F.lit(1)).alias("is_allowed"),
+        F.col("b.p").alias("rule"),
+    )
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH p AS (
+  SELECT doc_id, {_HTML_SQL} AS page FROM documents
+), frontier AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(page, 'href="([^"]+)"', 1)) AS url
+        FROM p)
+  WHERE regexp_extract(url, '^https?://([^/]+)/', 1) <> ''
+), robots AS (
+  SELECT host,
+         CASE WHEN host = 'hub.example.net' THEN '{_ROBOTS_HUB}'
+              WHEN CAST(regexp_extract(host, '^m([0-9])', 1) AS INTEGER) % 2 = 1
+                THEN '{_ROBOTS_ODD}'
+              ELSE '{_ROBOTS_EVEN}' END AS txt
+  FROM (SELECT DISTINCT host FROM frontier)
+), rules AS (
+  SELECT host,
+         CASE WHEN line LIKE 'Allow:%' THEN 1 ELSE 0 END AS is_allow,
+         trim(CASE WHEN line LIKE 'Allow:%' THEN substr(line, 7)
+                   ELSE substr(line, 10) END) AS prefix
+  FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM robots)
+  WHERE (line LIKE 'Allow:%' OR line LIKE 'Disallow:%')
+        AND trim(CASE WHEN line LIKE 'Allow:%' THEN substr(line, 7)
+                      ELSE substr(line, 10) END) <> ''
+), best AS (
+  SELECT doc_id, url,
+         max(struct_pack(l := length(prefix), a := is_allow, p := prefix)) AS b
+  FROM frontier f JOIN rules r
+    ON f.host = r.host AND left(f.path, length(r.prefix)) = r.prefix
+  GROUP BY doc_id, url
+)
+SELECT f.doc_id, f.url, f.host,
+       COALESCE(b.b.a, 1) AS is_allowed,
+       b.b.p AS rule
+FROM frontier f LEFT JOIN best b ON f.doc_id = b.doc_id AND f.url = b.url
+"""
+
+QUERIES_EXT48["q_robots_filter"] = q_robots_filter
+ORACLE_EXT48["q_robots_filter"] = SQL_ROBOTS_FILTER

@@ -210,3 +210,29 @@ def test_html_extract_plan_is_pure_codegen(spark, sf_dir):
     for node in ("Join", "Aggregate", "Sort ", "Window"):
         assert node not in plan, node
     assert plan.count("+- Exchange") <= 1
+
+
+def test_robots_longest_match_semantics(spark, sf_dir):
+    """REP 9309 contracts, pinned row-level: the Allow carve-out must
+    BEAT the shorter Disallow on odd mirrors (/d/1* allowed, other /d/*
+    blocked); even mirrors (no-op Disallow) and unmatched paths default
+    to allowed; the hub blocks exactly its /s/src1 prefix."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext48 import (
+        q_robots_filter,
+    )
+
+    rows = q_robots_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        host, url, ok, rule = r["host"], r["url"], r["is_allowed"], r["rule"]
+        if host == "hub.example.net":
+            want = 0 if "/s/src1" in url else 1
+            assert ok == want, (url, ok, rule)
+        elif host[1] in "13":  # odd mirrors
+            path_id = url.rsplit("/", 1)[-1]
+            want = 1 if path_id.startswith("1") else 0
+            assert ok == want, (url, ok, rule)
+            # the winning rule is the most specific one
+            assert rule == ("/d/1" if want else "/d/"), (url, rule)
+        else:  # even mirrors: empty Disallow is a no-op -> no rule fires
+            assert ok == 1 and rule is None, (url, ok, rule)
