@@ -314,6 +314,10 @@ HEADLINE = [
     "q_html_links",
     "q_stream_warc_ingest",
     "q_robots_filter",
+    # round-10 second wave: ZIP shards, sitemap discovery, NFC cleanup
+    "q_zip_shard_roundtrip",
+    "q_sitemap_parse",
+    "q_unicode_normalize",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]

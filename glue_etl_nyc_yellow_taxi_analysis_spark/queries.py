@@ -2327,3 +2327,8 @@ from .queries_ext49 import ORACLE_EXT49, QUERIES_EXT49  # noqa: E402
 
 QUERIES.update(QUERIES_EXT49)
 ORACLE.update(ORACLE_EXT49)
+
+from .queries_ext50 import ORACLE_EXT50, QUERIES_EXT50  # noqa: E402
+
+QUERIES.update(QUERIES_EXT50)
+ORACLE.update(ORACLE_EXT50)

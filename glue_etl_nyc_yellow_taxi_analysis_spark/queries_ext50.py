@@ -1,0 +1,229 @@
+"""Extended inventory L — round-10 second wave: the remaining ingest
+surfaces a crawl/corpus pipeline meets before content processing.
+
+- ``q_zip_shard_roundtrip`` — ZIP is the other shard container (Kaggle
+  corpora, office-document bundles).  ``operators/pkzip.py`` builds and
+  walks real central-directory archives (APPNOTE.TXT layout, CRC-32
+  verified, stored + deflate, stdlib-zipfile cross-agreement both
+  directions); this lane round-trips the documents table through 8 ZIP
+  shards — per-shard compression alternates stored/deflate (shard_id
+  parity), and the decoded rows — and the oracle — are the tar lane's
+  verbatim: the archive FORMAT must be invisible to the content.
+- ``q_sitemap_parse`` — the crawl's third discovery input (after WARC
+  captures and page links): per-host sitemap.xml built from the corpus
+  (urlset/url/loc/lastmod, the sitemaps.org shape), then parsed back
+  with positional loc↔lastmod pairing; oracle replays the logical rows
+  straight from the documents table, so a mis-paired zip or a dropped
+  entry fails the value hash.
+- ``q_unicode_normalize`` — NFC normalization, the first text-cleaning
+  step of every multilingual corpus pipeline: synthesize decomposed
+  text (combining acute on every 'e'), normalize via Arrow-batched
+  unicodedata (the documented escape hatch — Spark has no NFC
+  built-in), account changed rows and codepoint deltas; DuckDB's
+  native ``nfc_normalize`` replays the whole lane, so the UDF is
+  pinned by an independent NFC implementation (ICU-backed).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators import pkzip
+from .queries import _t
+from .queries_ext47 import _MEMBER_SCHEMA, _N_SHARDS, _SHARD_SCHEMA, SQL_TAR_SHARD_ROUNDTRIP
+
+QUERIES_EXT50 = {}
+ORACLE_EXT50 = {}
+
+
+def q_zip_shard_roundtrip(spark, sf_dir):
+    """ZIP shard round trip: docs → 8 central-directory archives
+    (stored for even shards, deflate for odd — the walk must be
+    method-blind) → CRC-verified walk → per-member rows.  Shares the
+    tar lane's oracle verbatim.  Scale shape: one keyed shuffle to form
+    shards, then linear walks; payloads never shuffle again."""
+    import hashlib
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text"
+    )
+    container, parse = pkzip.zip_container, pkzip.parse_zip
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(d)}.txt", ("" if t is None else t).encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        method = "stored" if int(key[0]) % 2 == 0 else "deflate"
+        return pd.DataFrame(
+            [(int(key[0]), container(members, method=method))],
+            columns=["shard_id", "payload"],
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                try:
+                    members = parse(bytes(payload))
+                except ValueError:
+                    rows.append((sid, None, None, None, None))
+                    continue
+                for i, (name, data) in enumerate(members):
+                    rows.append(
+                        (
+                            sid,
+                            i,
+                            int(name.removesuffix(".txt")),
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "member_idx", "doc_id", "n_bytes", "text_md5"],
+            )
+
+    return shards.mapInPandas(walk, _MEMBER_SCHEMA)
+
+
+QUERIES_EXT50["q_zip_shard_roundtrip"] = q_zip_shard_roundtrip
+ORACLE_EXT50["q_zip_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
+
+
+# --------------------------------------------------------------------------
+# sitemap.xml — the third crawl-discovery input
+# --------------------------------------------------------------------------
+
+_SM_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+)
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """sitemap.xml round trip: each mirror host publishes a sitemap
+    listing its documents (url/loc/lastmod entries, lastmod derived
+    from doc_id), built as ONE XML string per host (host-keyed
+    aggregate, entries in url order) — then parsed back by positional
+    loc↔lastmod pairing (arrays_zip over regexp_extract_all).  The
+    oracle replays the logical rows straight from documents: a dropped
+    entry, shuffled order, or mis-paired lastmod fails the hash.
+
+    Scale shape: one host-keyed aggregate builds, one projection
+    parses; |hosts| XML strings total."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id").cast("string"))
+    lastmod = F.concat(
+        F.lit("2021-01-"), F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        docs.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(_SM_HEAD),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    locs = F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]+)</loc>"), 1)
+    mods = F.regexp_extract_all(
+        F.col("xml"), F.lit("<lastmod>([^<]+)</lastmod>"), 1
+    )
+    return (
+        sitemaps.select("host", F.explode(F.arrays_zip(locs, mods)).alias("z"))
+        .select(
+            "host",
+            F.col("z.0").alias("url"),
+            F.col("z.1").alias("lastmod"),
+        )
+    )
+
+
+SQL_SITEMAP_PARSE = """
+SELECT 'm' || (doc_id % 5) || '.example.org' AS host,
+       'https://m' || (doc_id % 5) || '.example.org/d/' || doc_id AS url,
+       '2021-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS lastmod
+FROM documents
+"""
+
+QUERIES_EXT50["q_sitemap_parse"] = q_sitemap_parse
+ORACLE_EXT50["q_sitemap_parse"] = SQL_SITEMAP_PARSE
+
+
+# --------------------------------------------------------------------------
+# NFC normalization — the first multilingual text-cleaning step
+# --------------------------------------------------------------------------
+
+_COMBINING_ACUTE = "́"
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """NFC normalization: plant decomposed sequences (every 'e' becomes
+    'e' + U+0301 combining acute), normalize with unicodedata in ONE
+    Arrow-batched pandas UDF (Spark ships no NFC built-in — this is the
+    documented escape hatch, scalar pandas_udf so the lane stays one
+    projection), and account the delta: codepoint counts before/after,
+    changed flag, md5 of the normalized text.  DuckDB's native
+    nfc_normalize (ICU) replays the lane — two independent NFC
+    implementations must agree byte-for-byte."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("e"),
+        F.lit("e" + _COMBINING_ACUTE),
+    )
+    out = docs.select("doc_id", raw.alias("raw")).select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_cp_raw"),
+        nfc(F.col("raw")).alias("norm"),
+    )
+    return out.select(
+        "doc_id",
+        "n_cp_raw",
+        F.length("norm").cast("bigint").alias("n_cp_nfc"),
+        (F.length("norm") < F.col("n_cp_raw")).cast("int").alias("changed"),
+        F.md5("norm").alias("nfc_md5"),
+    )
+
+
+SQL_UNICODE_NORMALIZE = f"""
+WITH r AS (
+  SELECT doc_id,
+         replace(COALESCE(text, ''), 'e', 'e' || chr(769)) AS raw
+  FROM documents
+), n AS (
+  SELECT doc_id, length(raw) AS n_cp_raw, nfc_normalize(raw) AS norm FROM r
+)
+SELECT doc_id,
+       CAST(n_cp_raw AS BIGINT) AS n_cp_raw,
+       CAST(length(norm) AS BIGINT) AS n_cp_nfc,
+       CASE WHEN length(norm) < n_cp_raw THEN 1 ELSE 0 END AS changed,
+       md5(norm) AS nfc_md5
+FROM n
+"""
+
+QUERIES_EXT50["q_unicode_normalize"] = q_unicode_normalize
+ORACLE_EXT50["q_unicode_normalize"] = SQL_UNICODE_NORMALIZE

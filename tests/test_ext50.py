@@ -1,0 +1,76 @@
+"""ext50 — ZIP shards, sitemap round trip, NFC normalization."""
+
+import re
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries import QUERIES  # noqa: F401  (registry root first)
+from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext50 import (
+    q_sitemap_parse,
+    q_unicode_normalize,
+    q_zip_shard_roundtrip,
+)
+
+
+def test_zip_lane_matches_tar_lane_rows(spark, sf_dir):
+    """The archive FORMAT must be invisible: ZIP shards (mixed
+    stored/deflate) and tar shards decode to identical member rows."""
+    zip_rows = sorted(
+        map(tuple, q_zip_shard_roundtrip(spark, sf_dir).collect())
+    )
+    tar_rows = sorted(
+        map(tuple, QUERIES["q_tar_shard_roundtrip"](spark, sf_dir).collect())
+    )
+    assert zip_rows == tar_rows
+
+
+def test_zip_lane_plan_payload_never_crosses_exchange(spark, sf_dir):
+    from test_plans import _plan
+
+    plan = _plan(q_zip_shard_roundtrip(spark, sf_dir))
+    assert plan.count("+- Exchange") <= 2  # input spread + shard grouping
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "payload" not in m.group(1), m.group(1)
+
+
+def test_sitemap_entries_complete_and_paired(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = q_sitemap_parse(spark, sf_dir).collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        did = int(r["url"].rsplit("/", 1)[-1])
+        assert r["host"] == f"m{did % 5}.example.org"
+        assert r["lastmod"] == f"2021-01-{(did % 28) + 1:02d}"
+
+
+def test_nfc_lane_matches_python_unicodedata(spark, sf_dir):
+    """Independent replay of a sample of rows with unicodedata (the
+    oracle uses DuckDB's ICU nfc_normalize — this pins the third
+    implementation)."""
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(40)
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in q_unicode_normalize(spark, sf_dir)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    }
+    for did, text in docs.items():
+        raw = (text or "").replace("e", "e\u0301")  # decomposed plant
+        norm = unicodedata.normalize("NFC", raw)
+        r = got[did]
+        assert r["n_cp_raw"] == len(raw)
+        assert r["n_cp_nfc"] == len(norm)
+        assert r["changed"] == int(len(norm) < len(raw))
+        assert r["nfc_md5"] == hashlib.md5(norm.encode()).hexdigest()
+        if "e" in (text or ""):
+            assert r["changed"] == 1  # the plant must actually fire
