@@ -318,6 +318,7 @@ HEADLINE = [
     "q_zip_shard_roundtrip",
     "q_sitemap_parse",
     "q_unicode_normalize",
+    "q_pdf_extract",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]

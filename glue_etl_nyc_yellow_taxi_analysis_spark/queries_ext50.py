@@ -22,6 +22,11 @@ surfaces a crawl/corpus pipeline meets before content processing.
   built-in), account changed rows and codepoint deltas; DuckDB's
   native ``nfc_normalize`` replays the whole lane, so the UDF is
   pinned by an independent NFC implementation (ICU-backed).
+- ``q_pdf_extract`` — the document-layer codec (operators/pdf.py, PDF
+  1.4 subset): every doc round-trips through a real multi-page PDF
+  (xref bookkeeping, FlateDecode on odd ids) and back out through the
+  catalog → page tree → content-stream → Tj-literal extraction path;
+  page count and recovered-text md5 replayed by the oracle.
 """
 
 from __future__ import annotations
@@ -227,3 +232,101 @@ FROM n
 
 QUERIES_EXT50["q_unicode_normalize"] = q_unicode_normalize
 ORACLE_EXT50["q_unicode_normalize"] = SQL_UNICODE_NORMALIZE
+
+
+# --------------------------------------------------------------------------
+# PDF text extraction — the document-layer codec lane
+# --------------------------------------------------------------------------
+
+_PDF_WORDS_PER_PAGE = 40
+
+
+def q_pdf_extract(spark, sf_dir):
+    """Document-format round trip through the subset-PDF codec
+    (operators/pdf.py): each doc becomes a REAL multi-page PDF
+    (40 words per page, 60-char text lines, xref/trailer bookkeeping;
+    odd doc_ids FlateDecode their content streams — extraction must be
+    filter-blind), then the parser resolves catalog → page tree →
+    content streams → Tj literals and reassembles the text.  The
+    oracle replays page count and the md5 of the recovered text from
+    the documents table: a dropped page, mis-ordered kid, or broken
+    escape fails the hash.
+
+    Scale shape: two stateless Arrow map stages (build, parse) — no
+    shuffle at all; payloads stay inside their input partition."""
+    import hashlib
+    import math
+
+    from .operators import pdf
+
+    build_pdf, parse_pdf, split = pdf.pdf_container, pdf.parse_pdf, pdf.split_lines
+    wpp = _PDF_WORDS_PER_PAGE
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    pdf_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for d, t in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                words = ("" if t is None else t).split(" ")
+                pages = [
+                    split(" ".join(words[i : i + wpp]))
+                    for i in range(0, len(words), wpp)
+                ] or [[""]]
+                rows.append(
+                    (int(d), build_pdf(pages, compress=bool(int(d) % 2)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_pages", T.IntegerType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+            T.StructField("text_md5", T.StringType(), True),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for d, payload in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+                try:
+                    pages = parse_pdf(bytes(payload))
+                except ValueError:
+                    rows.append((d, None, None, None))  # fail-soft marker
+                    continue
+                text = " ".join(pages)
+                rows.append(
+                    (
+                        d,
+                        len(pages),
+                        len(text),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "n_chars", "text_md5"]
+            )
+
+    return docs.mapInPandas(build, pdf_schema).mapInPandas(extract, out_schema)
+
+
+SQL_PDF_EXTRACT = f"""
+SELECT doc_id,
+       CAST(greatest(1, ceil(len(string_split(COALESCE(text, ''), ' '))
+                             / {_PDF_WORDS_PER_PAGE}.0)) AS INTEGER) AS n_pages,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+       md5(COALESCE(text, '')) AS text_md5
+FROM documents
+"""
+
+QUERIES_EXT50["q_pdf_extract"] = q_pdf_extract
+ORACLE_EXT50["q_pdf_extract"] = SQL_PDF_EXTRACT

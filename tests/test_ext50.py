@@ -74,3 +74,26 @@ def test_nfc_lane_matches_python_unicodedata(spark, sf_dir):
         assert r["nfc_md5"] == hashlib.md5(norm.encode()).hexdigest()
         if "e" in (text or ""):
             assert r["changed"] == 1  # the plant must actually fire
+
+
+def test_pdf_lane_fail_soft_and_no_shuffle(spark, sf_dir):
+    from test_plans import _plan
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext50 import (
+        q_pdf_extract,
+    )
+
+    plan = _plan(q_pdf_extract(spark, sf_dir))
+    # two map stages, zero shuffles beyond the input spread
+    assert plan.count("+- Exchange") <= 1
+    rows = q_pdf_extract(spark, sf_dir).collect()
+    docs = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    import math
+
+    for r in rows[:50]:
+        words = (docs[r["doc_id"]] or "").split(" ")
+        assert r["n_pages"] == max(1, math.ceil(len(words) / 40))
+        assert r["n_chars"] == len(docs[r["doc_id"]] or "")
