@@ -170,6 +170,7 @@ def docs_from_warc(spark, shards):
         H.host_col(F.col("url")).alias("source"),
         txt.alias("text"),
         F.length(txt).cast("bigint").alias("n_chars"),
+        "page",  # kept for the frontier stage (dropped before the write)
     )
 
 
@@ -179,12 +180,17 @@ def run_ingest(
     output: str,
     budget: int = 1000,
     from_warc: bool = False,
+    robots_path: str | None = None,
 ) -> dict:
     """Run the on-ramp; returns the accounting card.  With
     ``from_warc``, ``docs_path`` is a (shard_id, payload) WARC-shard
     parquet and the job runs the FULL first mile — record walk, HTTP
     split, HTML→text extraction, host-derived source — before the
-    URL-dedup/topic/budget stages."""
+    URL-dedup/topic/budget stages, then CLOSES the crawl loop: links
+    discovered in the fetched pages are robots-gated (``robots_path``:
+    a (host, txt) parquet of robots.txt bodies; absent → all allowed),
+    already-fetched URLs are removed, and the remainder is written as
+    ``{output}/frontier`` — the next crawl's input."""
     # enter through the registry module FIRST: queries_ext30 and
     # .queries import each other (registry wiring), so the ext module
     # must never be the cycle's entry point
@@ -192,13 +198,14 @@ def run_ingest(
     from ..queries_ext30 import _messy_url, canonical_url, keyword_tags
 
     n_corrupt_shards = 0
+    walked = None
     if from_warc:
         walked = docs_from_warc(spark, spark.read.parquet(docs_path))
         # one pass materializes walk results for the corrupt count +
         # the pipeline (codec work must not run once per consumer)
         walked = walked.localCheckpoint()
         n_corrupt_shards = walked.filter(F.col("doc_id").isNull()).count()
-        docs = walked.filter(F.col("doc_id").isNotNull())
+        docs = walked.filter(F.col("doc_id").isNotNull()).drop("page")
     else:
         docs = spark.read.parquet(docs_path)
     n_in = docs.count()
@@ -272,9 +279,49 @@ def run_ingest(
         .collect()
     }  # bounded: |topics| + 1
 
+    # close the crawl loop: discovered links → robots gate → minus
+    # already-fetched → the next crawl's frontier
+    frontier_card = {}
+    if walked is not None:
+        from ..operators import html as H
+        from ..operators import robots as R
+
+        links = (
+            walked.filter(F.col("page").isNotNull())
+            .select(F.explode(H.links_col(F.col("page"))).alias("url"))
+            .withColumn("host", H.host_col(F.col("url")))
+            .filter(F.col("host") != "")
+            .withColumn("path", R.url_path(F.col("url")))
+            .distinct()
+        )
+        if robots_path:
+            rules = R.parse_robots(spark.read.parquet(robots_path))
+        else:
+            rules = spark.createDataFrame(
+                [], "host string, is_allow int, prefix string"
+            )
+        gated = R.gate_frontier(links, rules, ["url"]).localCheckpoint()
+        fetched = docs.select(F.col("url").alias("f_url")).distinct()
+        frontier = (
+            gated.filter(F.col("is_allowed") == 1)
+            .join(fetched, gated["url"] == fetched["f_url"], "left_anti")
+            .select("url", "host")
+        )
+        frontier.write.mode("overwrite").parquet(f"{output}/frontier")
+        n_front = spark.read.parquet(f"{output}/frontier").count()
+        n_links = gated.count()
+        n_blocked = gated.filter(F.col("is_allowed") == 0).count()
+        frontier_card = {
+            "n_links_discovered": n_links,
+            "n_blocked_robots": n_blocked,
+            "n_already_fetched": n_links - n_blocked - n_front,
+            "n_frontier": n_front,
+        }
+
     card = {
         "n_docs_in": n_in,
         "n_corrupt_shards": n_corrupt_shards,
+        **frontier_card,
         "n_url_dups_removed": n_in - n_survivors,
         "n_budget_dropped": n_survivors - acc["n"],
         "n_admitted": acc["n"],
@@ -303,6 +350,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", required=True, help="output dir")
     p.add_argument("--budget", type=int, default=1000, help="tokens per source")
     p.add_argument(
+        "--robots",
+        default=None,
+        help="(host, txt) parquet of robots.txt bodies gating the "
+        "emitted frontier (WARC modes only; absent = all allowed)",
+    )
+    p.add_argument(
         "--notify-jsonl",
         default=None,
         help="append a SUCCEEDED/FAILED terminal-state payload here",
@@ -322,12 +375,12 @@ def main(argv: list[str] | None = None) -> None:
             ).write.mode("overwrite").parquet(shards_path)
             return run_ingest(
                 spark, shards_path, args.output, budget=args.budget,
-                from_warc=True,
+                from_warc=True, robots_path=args.robots,
             )
         if args.warc:
             return run_ingest(
                 spark, args.warc, args.output, budget=args.budget,
-                from_warc=True,
+                from_warc=True, robots_path=args.robots,
             )
         return run_ingest(spark, args.docs, args.output, budget=args.budget)
 

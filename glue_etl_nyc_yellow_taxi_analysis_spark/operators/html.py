@@ -37,7 +37,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # --- the page template, as segments around the dynamic slots ------------
-# full page = A1·id·A2·id·A3·text·A4·[SOUP if id%3==1]·B1·(id%5)·B2·id·B3·source·B4
+# full page = A1·id·A2·id·A3·text·A4·[SOUP if id%3==1]
+#             ·B1·(id%5)·B2·id·B3·source·B4·id·B5
 # No single quotes anywhere: every segment must embed verbatim in a
 # single-quoted SQL literal.
 _A1 = "<!DOCTYPE html><html><head><title>Doc "
@@ -53,7 +54,10 @@ _SOUP = '<b>unclosed <i>soup < not a tag <p attr=">stray</p>'
 _B1 = '<a href="https://m'
 _B2 = ".example.org/d/"
 _B3 = '">next</a> <a href="http://hub.example.net/s/'
-_B4 = '">hub</a></body></html>'
+# the page's own capture URI (rel=canonical shape): gives the frontier
+# stage real already-fetched links to subtract
+_B4 = '">hub</a> <a rel="canonical" href="https://crawl.example.org/doc/'
+_B5 = '">self</a></body></html>'
 
 _N_MIRRORS = 5  # link host fan-out: m0..m4.example.org
 
@@ -66,7 +70,7 @@ def synth_html(doc_id: int, text: str | None, source: str | None) -> str:
     i = str(doc_id)
     return (
         _A1 + i + _A2 + i + _A3 + t + _A4 + soup
-        + _B1 + str(doc_id % _N_MIRRORS) + _B2 + i + _B3 + s + _B4
+        + _B1 + str(doc_id % _N_MIRRORS) + _B2 + i + _B3 + s + _B4 + i + _B5
     )
 
 
@@ -83,7 +87,7 @@ def synth_html_col(
         F.lit(_B1), (doc_id % _N_MIRRORS).cast("string"),
         F.lit(_B2), i, F.lit(_B3),
         F.coalesce(source, F.lit("")),
-        F.lit(_B4),
+        F.lit(_B4), i, F.lit(_B5),
     )
 
 
@@ -98,7 +102,7 @@ def synth_html_sql(
         f"{text_expr} || '{_A4}' || "
         f"CASE WHEN ({id_expr}) % 3 = 1 THEN '{_SOUP}' ELSE '' END || "
         f"'{_B1}' || (({id_expr}) % {_N_MIRRORS}) || '{_B2}' || ({id_expr}) || "
-        f"'{_B3}' || {src_expr} || '{_B4}')"
+        f"'{_B3}' || {src_expr} || '{_B4}' || ({id_expr}) || '{_B5}')"
     )
 
 

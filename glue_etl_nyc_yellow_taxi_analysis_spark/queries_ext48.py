@@ -364,13 +364,15 @@ def q_robots_filter(spark, sf_dir):
     Scale shape: the rules table is |hosts|-bounded and broadcast; the
     frontier streams through one prefix-match join + one (doc_id, url)
     keyed argmax — no self-joins, no windows over the frontier."""
+    from .operators import robots as R
+
     docs = _t(spark, sf_dir, "documents")
     page = H.synth_html_col(F.col("doc_id"), F.col("text"), F.col("source"))
     frontier = (
         docs.select("doc_id", F.explode(H.links_col(page)).alias("url"))
         .withColumn("host", H.host_col(F.col("url")))
         .filter(F.col("host") != "")
-        .withColumn("path", F.regexp_extract("url", "^https?://[^/]+(/.*)$", 1))
+        .withColumn("path", R.url_path(F.col("url")))
     )
     k = F.regexp_extract("host", "^m([0-9])", 1)
     robots = (
@@ -378,48 +380,13 @@ def q_robots_filter(spark, sf_dir):
         .withColumn(
             "txt",
             F.when(F.col("host") == "hub.example.net", F.lit(_ROBOTS_HUB))
-            .when(k.cast("int") % 2 == 1, F.lit(_ROBOTS_ODD))
+            .when(k.try_cast("int") % 2 == 1, F.lit(_ROBOTS_ODD))
             .otherwise(F.lit(_ROBOTS_EVEN)),
         )
     )
-    lines = robots.select("host", F.explode(F.split("txt", "\n")).alias("line"))
-    rules = (
-        lines.filter(
-            F.col("line").startswith("Allow:")
-            | F.col("line").startswith("Disallow:")
-        )
-        .select(
-            "host",
-            F.when(F.col("line").startswith("Allow:"), 1)
-            .otherwise(0)
-            .alias("is_allow"),
-            F.trim(
-                F.when(
-                    F.col("line").startswith("Allow:"),
-                    F.substring("line", 7, 10000),
-                ).otherwise(F.substring("line", 10, 10000))
-            ).alias("prefix"),
-        )
-        .filter(F.col("prefix") != "")  # empty Disallow: = allow-all no-op
-    )
-    matches = frontier.join(F.broadcast(rules), "host").filter(
-        F.expr("left(path, length(prefix))") == F.col("prefix")
-    )
-    best = matches.groupBy("doc_id", "url").agg(
-        F.max(
-            F.struct(
-                F.length("prefix").alias("l"),
-                F.col("is_allow").alias("a"),
-                F.col("prefix").alias("p"),
-            )
-        ).alias("b")
-    )
-    return frontier.join(best, ["doc_id", "url"], "left").select(
-        "doc_id",
-        "url",
-        "host",
-        F.coalesce(F.col("b.a"), F.lit(1)).alias("is_allowed"),
-        F.col("b.p").alias("rule"),
+    rules = R.parse_robots(robots)
+    return R.gate_frontier(frontier, rules, ["doc_id", "url"]).select(
+        "doc_id", "url", "host", "is_allowed", "rule"
     )
 
 
@@ -437,7 +404,7 @@ WITH p AS (
 ), robots AS (
   SELECT host,
          CASE WHEN host = 'hub.example.net' THEN '{_ROBOTS_HUB}'
-              WHEN CAST(regexp_extract(host, '^m([0-9])', 1) AS INTEGER) % 2 = 1
+              WHEN TRY_CAST(regexp_extract(host, '^m([0-9])', 1) AS INTEGER) % 2 = 1
                 THEN '{_ROBOTS_ODD}'
               ELSE '{_ROBOTS_EVEN}' END AS txt
   FROM (SELECT DISTINCT host FROM frontier)

@@ -180,6 +180,13 @@ def test_web_ingest_from_warc(spark, sf_dir, tmp_path):
     shards_path = f"{tmp_path}/shards"
     shards.unionByName(corrupt).write.parquet(shards_path)
 
+    # robots bodies gating the emitted frontier: hub blocks /s/src1
+    robots_path = f"{tmp_path}/robots"
+    spark.createDataFrame(
+        [("hub.example.net", "User-agent: *\nDisallow: /s/src1\n# note")],
+        "host string, txt string",
+    ).write.parquet(robots_path)
+
     out = f"{tmp_path}/web"
     r = subprocess.run(
         [
@@ -189,6 +196,7 @@ def test_web_ingest_from_warc(spark, sf_dir, tmp_path):
             "--warc", shards_path,
             "--output", out,
             "--budget", "500",
+            "--robots", robots_path,
         ],
         cwd=tmp_path,
         env={**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"},
@@ -217,3 +225,19 @@ def test_web_ingest_from_warc(spark, sf_dir, tmp_path):
     )
     assert orig.split()[0] in row["text"]
     assert "<p>" not in row["text"] and "not text" not in row["text"]
+
+    # the crawl loop closed: discovered links were robots-gated and
+    # already-fetched URLs subtracted before the frontier write
+    assert card["n_links_discovered"] > 0
+    assert card["n_blocked_robots"] > 0  # hub's /s/src1 rule fired
+    assert card["n_already_fetched"] == n_docs  # every self-link removed
+    assert card["n_frontier"] == (
+        card["n_links_discovered"]
+        - card["n_blocked_robots"]
+        - card["n_already_fetched"]
+    )
+    frontier = spark.read.parquet(f"{out}/frontier")
+    assert frontier.count() == card["n_frontier"]
+    assert frontier.filter(F.col("host") == "crawl.example.org").count() == 0
+    assert frontier.filter(F.col("url").contains("/s/src1")).count() == 0
+    assert frontier.filter(F.col("url").contains("/s/src0")).count() > 0
