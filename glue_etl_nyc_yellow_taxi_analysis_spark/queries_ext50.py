@@ -330,3 +330,183 @@ FROM documents
 
 QUERIES_EXT50["q_pdf_extract"] = q_pdf_extract
 ORACLE_EXT50["q_pdf_extract"] = SQL_PDF_EXTRACT
+
+
+# --------------------------------------------------------------------------
+# DOCX extraction — office documents via codec composition (zip + XML)
+# --------------------------------------------------------------------------
+
+_DOCX_WORDS_PER_PARA = 20
+
+
+def q_docx_extract(spark, sf_dir):
+    """Office-document round trip: each doc becomes a minimal VALID
+    .docx (operators/docx.py — [Content_Types].xml + rels + a
+    WordprocessingML main part, deflate ZIP members via the in-repo
+    pkzip walker; 20-word paragraphs, XML-escaped runs), then text is
+    re-extracted through the package walk → content-type check →
+    ``<w:t>`` run extraction → entity decode.  The oracle replays
+    paragraph count and recovered-text md5 from documents.  Two
+    stateless Arrow map stages, zero shuffle."""
+    import hashlib
+    import math
+
+    from .operators import docx
+
+    build, extract_text = docx.docx_container, docx.docx_text
+    wpp = _DOCX_WORDS_PER_PARA
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    pkg_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, t in zip(b["doc_id"], b["text"]):
+                words = ("" if t is None else t).split(" ")
+                paras = [
+                    " ".join(words[i : i + wpp])
+                    for i in range(0, len(words), wpp)
+                ] or [""]
+                rows.append((int(d), build(paras)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_paragraphs", T.IntegerType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+            T.StructField("text_md5", T.StringType(), True),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, payload in zip(b["doc_id"], b["payload"]):
+                try:
+                    paras = extract_text(bytes(payload))
+                except ValueError:
+                    rows.append((d, None, None, None))
+                    continue
+                text = " ".join(paras)
+                rows.append(
+                    (
+                        d,
+                        len(paras),
+                        len(text),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_paragraphs", "n_chars", "text_md5"]
+            )
+
+    return docs.mapInPandas(make, pkg_schema).mapInPandas(extract, out_schema)
+
+
+SQL_DOCX_EXTRACT = f"""
+SELECT doc_id,
+       CAST(greatest(1, ceil(len(string_split(COALESCE(text, ''), ' '))
+                             / {_DOCX_WORDS_PER_PARA}.0)) AS INTEGER)
+           AS n_paragraphs,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+       md5(COALESCE(text, '')) AS text_md5
+FROM documents
+"""
+
+QUERIES_EXT50["q_docx_extract"] = q_docx_extract
+ORACLE_EXT50["q_docx_extract"] = SQL_DOCX_EXTRACT
+
+
+# --------------------------------------------------------------------------
+# xz / bz2 tar shards — the remaining stdlib compression frames
+# --------------------------------------------------------------------------
+
+
+def _tar_compressed_lane(spark, sf_dir, codec: str):
+    """The ext47 tar round trip through an alternative whole-archive
+    compression frame (xz/LZMA2 or bzip2, both stdlib) — the .tar.xz /
+    .tar.bz2 shard shapes; decoded rows and oracle are the tar lane's
+    verbatim."""
+    import hashlib
+
+    from .operators import tar
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text"
+    )
+    tar_container, parse_tar = tar.tar_container, tar.parse_tar
+
+    if codec == "xz":
+        import lzma as mod
+
+        compress = lambda b: mod.compress(b, preset=6)  # noqa: E731
+        decompress, err = mod.decompress, mod.LZMAError
+    else:
+        import bz2 as mod
+
+        compress = lambda b: mod.compress(b, 6)  # noqa: E731
+        decompress, err = mod.decompress, OSError
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(d)}.txt", ("" if t is None else t).encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            [(int(key[0]), compress(tar_container(members)))],
+            columns=["shard_id", "payload"],
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                try:
+                    members = parse_tar(decompress(bytes(payload)))
+                except (ValueError, err):
+                    rows.append((sid, None, None, None, None))
+                    continue
+                for i, (name, data) in enumerate(members):
+                    rows.append(
+                        (
+                            sid,
+                            i,
+                            int(name.removesuffix(".txt")),
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "member_idx", "doc_id", "n_bytes", "text_md5"],
+            )
+
+    return shards.mapInPandas(walk, _MEMBER_SCHEMA)
+
+
+def q_tarxz_shard_roundtrip(spark, sf_dir):
+    """.tar.xz shards (stdlib lzma): the highest-ratio frame corpora
+    actually ship in; shares the tar oracle verbatim."""
+    return _tar_compressed_lane(spark, sf_dir, "xz")
+
+
+def q_tarbz2_shard_roundtrip(spark, sf_dir):
+    """.tar.bz2 shards (stdlib bz2); shares the tar oracle verbatim."""
+    return _tar_compressed_lane(spark, sf_dir, "bz2")
+
+
+QUERIES_EXT50["q_tarxz_shard_roundtrip"] = q_tarxz_shard_roundtrip
+ORACLE_EXT50["q_tarxz_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
+QUERIES_EXT50["q_tarbz2_shard_roundtrip"] = q_tarbz2_shard_roundtrip
+ORACLE_EXT50["q_tarbz2_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
