@@ -27,6 +27,12 @@ surfaces a crawl/corpus pipeline meets before content processing.
   (xref bookkeeping, FlateDecode on odd ids) and back out through the
   catalog → page tree → content-stream → Tj-literal extraction path;
   page count and recovered-text md5 replayed by the oracle.
+- ``q_docx_extract`` — office documents by CODEC COMPOSITION
+  (operators/docx.py = pkzip + WordprocessingML): package walk,
+  content-type gate, ``<w:t>`` run extraction, entity decode.
+- ``q_tarxz_shard_roundtrip`` / ``q_tarbz2_shard_roundtrip`` — the
+  remaining stdlib compression frames over the ustar walk; with
+  gzip/xz/bz2/zip-stored/zip-deflate the shard matrix is closed.
 """
 
 from __future__ import annotations
