@@ -320,6 +320,7 @@ HEADLINE = [
     "q_unicode_normalize",
     "q_pdf_extract",
     "q_docx_extract",
+    "q_markdown_extract",
     "q_tarxz_shard_roundtrip",
     "q_tarbz2_shard_roundtrip",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)

@@ -516,3 +516,54 @@ QUERIES_EXT50["q_tarxz_shard_roundtrip"] = q_tarxz_shard_roundtrip
 ORACLE_EXT50["q_tarxz_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
 QUERIES_EXT50["q_tarbz2_shard_roundtrip"] = q_tarbz2_shard_roundtrip
 ORACLE_EXT50["q_tarbz2_shard_roundtrip"] = SQL_TAR_SHARD_ROUNDTRIP
+
+
+# --------------------------------------------------------------------------
+# Markdown→text — the README/docs-site text carrier
+# --------------------------------------------------------------------------
+
+
+def q_markdown_extract(spark, sf_dir):
+    """Markdown→text extraction, zero Python (operators/markdown.py):
+    synthesize each doc's page (header, emphasis, inline code, a fenced
+    code block that must NOT leak, a kept-text link, a dropped image,
+    blockquote, list), strip it with ordered regex steps, emit per-doc
+    accounting.  One whole-stage-codegen projection; the oracle runs
+    the same regex pipeline in DuckDB (RE2) — the one engine-specific
+    piece is the backreference syntax in the link-text replacement."""
+    from .operators import markdown as M
+
+    docs = _t(spark, sf_dir, "documents")
+    page = M.synth_md_col(F.col("doc_id"), F.col("text"))
+    txt = M.extract_md_col(page)
+    return docs.select(
+        "doc_id",
+        F.length(page).cast("bigint").alias("n_md_chars"),
+        F.length(txt).cast("bigint").alias("n_text_chars"),
+        F.size(F.split(txt, " ")).cast("bigint").alias("n_tokens"),
+        F.md5(txt).alias("text_md5"),
+    )
+
+
+def _sql_markdown_extract() -> str:
+    from .operators import markdown as M
+
+    md = M.synth_md_sql()
+    txt = M.extract_md_sql("page")
+    return f"""
+WITH p AS (
+  SELECT doc_id, {md} AS page FROM documents
+), x AS (
+  SELECT doc_id, page, {txt} AS txt FROM p
+)
+SELECT doc_id,
+       CAST(length(page) AS BIGINT) AS n_md_chars,
+       CAST(length(txt) AS BIGINT) AS n_text_chars,
+       CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+       md5(txt) AS text_md5
+FROM x
+"""
+
+
+QUERIES_EXT50["q_markdown_extract"] = q_markdown_extract
+ORACLE_EXT50["q_markdown_extract"] = _sql_markdown_extract()

@@ -97,3 +97,23 @@ def test_pdf_lane_fail_soft_and_no_shuffle(spark, sf_dir):
         words = (docs[r["doc_id"]] or "").split(" ")
         assert r["n_pages"] == max(1, math.ceil(len(words) / 40))
         assert r["n_chars"] == len(docs[r["doc_id"]] or "")
+
+
+def test_markdown_extraction_semantics(spark):
+    """Row-level pins: fenced code and inline code must not leak, the
+    image is dropped, the link keeps its TEXT, markers/emphasis strip,
+    and the doc's own words survive."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import markdown as M
+
+    df = spark.createDataFrame([(7, "alpha beta gamma")], ["doc_id", "text"])
+    txt = df.select(
+        M.extract_md_col(M.synth_md_col(F.col("doc_id"), F.col("text"))).alias("t")
+    ).collect()[0]["t"]
+    assert "alpha beta gamma" in txt
+    assert "Doc 7" in txt and "bold7" in txt and "em" in txt
+    assert "next page" in txt            # link text kept
+    assert "example.org" not in txt      # link target dropped
+    assert "alt text dropped" not in txt # image alt+target dropped
+    assert "fenced code" not in txt and "inline code" not in txt
+    assert "#" not in txt and "*" not in txt and ">" not in txt
+    assert "  " not in txt and txt == txt.strip()
