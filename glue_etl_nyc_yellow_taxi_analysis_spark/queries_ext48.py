@@ -46,8 +46,12 @@ from .queries import _t
 QUERIES_EXT48 = {}
 ORACLE_EXT48 = {}
 
-_N_SHARDS = 4
-_BAD_SHARD = _N_SHARDS  # shard_id of the injected truncated shard
+_DOCS_PER_SHARD = 250  # shard count GROWS with the corpus (the 10x-rows
+# probe measured the gz lane at 13x wall with a fixed 4-shard layout:
+# per-record deflate work grew 10x while parallelism stayed 4 of 32
+# cores — shard count is the parallelism, so size shards by content,
+# exactly how a production writer targets ~1 GB per shard)
+_BAD_SHARD = -1  # shard_id of the injected truncated shard
 _URI_PREFIX = "https://crawl.example.org/doc/"
 
 _SHARD_SCHEMA = T.StructType(
@@ -68,13 +72,21 @@ _RECORD_SCHEMA = T.StructType(
 )
 
 
+def _n_shards(docs) -> int:
+    """Content-sized shard count: ceil(n / _DOCS_PER_SHARD), min 1 —
+    one bounded metadata-cheap count action."""
+    return max(1, -(-docs.count() // _DOCS_PER_SHARD))
+
+
 def _warc_lane(spark, sf_dir, gz: bool):
     # every name a worker closure touches is a LOCAL bound from the
     # standalone operators.warc / operators.html modules — a closure
     # referencing a queries_ext48-level helper would make cloudpickle
     # import this module on the executor, mid-cycle with .queries
-    docs = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % _N_SHARDS).alias("shard_id"), "doc_id", "text", "source"
+    base = _t(spark, sf_dir, "documents")
+    n_shards = _n_shards(base)
+    docs = base.select(
+        (F.col("doc_id") % n_shards).alias("shard_id"), "doc_id", "text", "source"
     )
     synth = H.synth_html
     warcinfo, response = warc.warcinfo_record, warc.response_record
@@ -151,8 +163,12 @@ def q_warcgz_ingest(spark, sf_dir):
 
 
 SQL_WARC_INGEST = f"""
-SELECT doc_id % {_N_SHARDS} AS shard_id,
-       CAST(row_number() OVER (PARTITION BY doc_id % {_N_SHARDS}
+WITH k AS (
+  SELECT greatest(1, CAST(ceil(COUNT(*) / {_DOCS_PER_SHARD}.0) AS BIGINT))
+      AS n FROM documents
+)
+SELECT doc_id % (SELECT n FROM k) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % (SELECT n FROM k)
                                ORDER BY doc_id) - 1 AS INTEGER)
          AS record_idx,
        doc_id,
