@@ -323,6 +323,7 @@ HEADLINE = [
     "q_markdown_extract",
     "q_tarxz_shard_roundtrip",
     "q_tarbz2_shard_roundtrip",
+    "q_sft_chat_mask",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]

@@ -567,3 +567,114 @@ FROM x
 
 QUERIES_EXT50["q_markdown_extract"] = q_markdown_extract
 ORACLE_EXT50["q_markdown_extract"] = _sql_markdown_extract()
+
+
+# --------------------------------------------------------------------------
+# SFT chat-template assembly + loss masking — the fine-tuning data prep
+# --------------------------------------------------------------------------
+
+_SFT_WORDS_PER_TURN = 15
+_SFT_SYSTEM = "You are a helpful assistant."
+
+
+def q_sft_chat_mask(spark, sf_dir):
+    """SFT data prep, the step between a curated corpus and a
+    fine-tuning run: each document becomes a multi-turn conversation
+    (15-word turns, alternating user/assistant, one system turn),
+    rendered through a chat template
+    (``<|role|>content<|end|>`` markers) with per-turn LOSS MASKING —
+    only assistant turns are trainable; user/system tokens are context.
+    Emits per-doc: turn count, total/trainable token counts (word count
+    + 2 marker tokens per turn), the trainable ratio in ppm (exact
+    integer), and the md5 of the rendered template.
+
+    Zero Python: turn slicing, role assignment, template render, and
+    mask accounting are all array expressions inside one
+    whole-stage-codegen projection — the oracle replays them with
+    DuckDB list ops."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_turns = F.greatest(
+        F.lit(1), F.ceil(F.size(words) / _SFT_WORDS_PER_TURN).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_turns - 1)
+    turn_text = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(words, i * _SFT_WORDS_PER_TURN + 1, _SFT_WORDS_PER_TURN)
+    )
+    role = lambda i: F.when(i % 2 == 0, F.lit("user")).otherwise(  # noqa: E731
+        F.lit("assistant")
+    )
+    rendered = F.concat(
+        F.lit(f"<|system|>{_SFT_SYSTEM}<|end|>"),
+        F.concat_ws(
+            "",
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.lit("<|"), role(i), F.lit("|>"), turn_text(i), F.lit("<|end|>")
+                ),
+            ),
+        ),
+    )
+    tok = lambda i: F.size(F.split(turn_text(i), " ")) + 2  # noqa: E731
+    total = F.aggregate(
+        F.transform(idx, tok), F.lit(0), lambda acc, t: acc + t
+    )
+    trainable = F.aggregate(
+        F.transform(idx, lambda i: F.when(i % 2 == 1, tok(i)).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, t: acc + t,
+    )
+    # exact integer ppm: numerator <= ~1e12, exact in double, floored —
+    # matches the oracle's integer // division
+    ppm = F.floor(trainable.cast("bigint") * 1000000 / total.cast("bigint"))
+    return docs.select(
+        "doc_id",
+        n_turns.alias("n_turns"),
+        total.cast("bigint").alias("n_tokens"),
+        trainable.cast("bigint").alias("n_trainable"),
+        ppm.cast("bigint").alias("trainable_ppm"),
+        F.md5(rendered).alias("template_md5"),
+    )
+
+
+SQL_SFT_CHAT_MASK = f"""
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, words,
+         greatest(1, CAST(ceil(len(words) / {_SFT_WORDS_PER_TURN}.0) AS INTEGER))
+             AS n_turns
+  FROM t
+), r AS (
+  SELECT doc_id, n_turns,
+         list_transform(range(0, n_turns), i ->
+             array_to_string(list_slice(words, i * {_SFT_WORDS_PER_TURN} + 1,
+                                        (i + 1) * {_SFT_WORDS_PER_TURN}), ' '))
+             AS turns
+  FROM s
+), m AS (
+  SELECT doc_id, n_turns,
+         '<|system|>{_SFT_SYSTEM}<|end|>' ||
+         array_to_string(list_transform(range(0, n_turns), i ->
+             '<|' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+             '|>' || turns[i + 1] || '<|end|>'), '') AS rendered,
+         list_transform(range(0, n_turns), i ->
+             len(string_split(turns[i + 1], ' ')) + 2) AS toks
+  FROM r
+)
+SELECT doc_id, n_turns,
+       CAST(list_sum(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(range(0, n_turns), i ->
+            CASE WHEN i % 2 = 1 THEN toks[i + 1] ELSE 0 END)) AS BIGINT)
+           AS n_trainable,
+       CAST(CAST(list_sum(list_transform(range(0, n_turns), i ->
+            CASE WHEN i % 2 = 1 THEN toks[i + 1] ELSE 0 END)) AS BIGINT)
+            * 1000000 // CAST(list_sum(toks) AS BIGINT) AS BIGINT)
+           AS trainable_ppm,
+       md5(rendered) AS template_md5
+FROM m
+"""
+
+QUERIES_EXT50["q_sft_chat_mask"] = q_sft_chat_mask
+ORACLE_EXT50["q_sft_chat_mask"] = SQL_SFT_CHAT_MASK

@@ -117,3 +117,24 @@ def test_markdown_extraction_semantics(spark):
     assert "fenced code" not in txt and "inline code" not in txt
     assert "#" not in txt and "*" not in txt and ">" not in txt
     assert "  " not in txt and txt == txt.strip()
+
+
+def test_sft_mask_semantics(spark):
+    """Row-level pins on a hand-sized doc: alternating roles, assistant
+    turns trainable, counts exact."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext50 import (
+        q_sft_chat_mask,
+    )
+
+    # 35 words -> 3 turns (15/15/5): user, assistant, user
+    text = " ".join(f"w{i}" for i in range(35))
+    d = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="sg_sft_")
+    d.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    r = q_sft_chat_mask(spark, sf).collect()[0]
+    assert r["n_turns"] == 3
+    assert r["n_tokens"] == (15 + 2) + (15 + 2) + (5 + 2)
+    assert r["n_trainable"] == 15 + 2  # only the assistant middle turn
+    assert r["trainable_ppm"] == (17 * 1000000) // 41
