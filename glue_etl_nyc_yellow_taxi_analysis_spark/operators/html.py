@@ -141,6 +141,23 @@ def extract_text_sql(html_expr: str) -> str:
     return f"trim(regexp_replace({t}, '{_RE_WS}', ' ', 'g'))"
 
 
+def extract_text_py(html: str) -> str:
+    """CPython twin of ``extract_text_col`` — same pattern constants,
+    same step order, stdlib ``re`` — for Python-side consumers
+    (jobs.process_documents routes sniffed HTML payloads here).  The
+    cross-engine agreement (Python re vs Java regex) is pinned by the
+    process_documents CLI test."""
+    import re as _re
+
+    t = _re.sub(_RE_SCRIPT, " ", html)
+    t = _re.sub(_RE_STYLE, " ", t)
+    t = _re.sub(_RE_COMMENT, " ", t)
+    t = _re.sub(_RE_TAG, " ", t)
+    for ent, ch in _ENTITIES:
+        t = t.replace(ent, ch)
+    return _re.sub(_RE_WS, " ", t).strip()
+
+
 _RE_HREF = 'href="([^"]+)"'
 _RE_HOST = "^https?://([^/]+)/"
 

@@ -40,6 +40,13 @@ _M6 = (
 )
 
 
+def synth_md(doc_id: int, text: str | None) -> str:
+    """Python builder twin (feeds jobs.process_documents' synth mode)."""
+    i = str(doc_id)
+    t = "" if text is None else text
+    return _M1 + i + _M2 + t + _M3 + i + _M4 + str(doc_id % 5) + _M5 + i + _M6
+
+
 def synth_md_col(doc_id: Column, text: Column) -> Column:
     i = doc_id.cast("string")
     return F.concat(
@@ -77,6 +84,21 @@ def extract_md_col(md: Column) -> Column:
     t = F.replace(t, F.lit("**"), F.lit(""))
     t = F.replace(t, F.lit("*"), F.lit(""))
     return F.trim(F.regexp_replace(t, _RE_WS, " "))
+
+
+def extract_md_py(md: str) -> str:
+    """CPython twin of ``extract_md_col`` — same pattern constants and
+    step order, for Python-side consumers (jobs.process_documents);
+    cross-engine agreement pinned by that job's CLI test."""
+    import re as _re
+
+    t = _re.sub(_RE_FENCE, " ", md)
+    t = _re.sub(_RE_INLINE_CODE, " ", t)
+    t = _re.sub(_RE_IMAGE, " ", t)
+    t = _re.sub(_RE_LINK, r"\1", t)
+    t = _re.sub(_RE_LINE_MARKER, "", t)
+    t = t.replace("**", "").replace("*", "")
+    return _re.sub(_RE_WS, " ", t).strip()
 
 
 def extract_md_sql(md_expr: str) -> str:

@@ -43,6 +43,10 @@ LANES = [
     # order must be partition-retry-stable) and one container lane
     "q_tar_shard_roundtrip",
     "q_avi_dib_decode",
+    # r10: the content-sized WARC sharding (count-derived modulus) and
+    # the PDF round trip must also be retry-stable
+    "q_warcgz_ingest",
+    "q_pdf_extract",
 ]
 
 
