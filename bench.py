@@ -324,6 +324,7 @@ HEADLINE = [
     "q_tarxz_shard_roundtrip",
     "q_tarbz2_shard_roundtrip",
     "q_sft_chat_mask",
+    "q_preference_pairs",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]

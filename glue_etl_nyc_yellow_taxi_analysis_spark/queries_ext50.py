@@ -678,3 +678,85 @@ FROM m
 
 QUERIES_EXT50["q_sft_chat_mask"] = q_sft_chat_mask
 ORACLE_EXT50["q_sft_chat_mask"] = SQL_SFT_CHAT_MASK
+
+
+# --------------------------------------------------------------------------
+# Preference-pair construction — DPO/RLHF data prep
+# --------------------------------------------------------------------------
+
+
+def q_preference_pairs(spark, sf_dir):
+    """Preference-pair construction (the DPO/reward-model data-prep
+    step): rank documents per source by the quality-classifier logit
+    (the ext16 integer lane), then pair rank i with rank n+1−i — best
+    vs worst, second vs second-worst — keeping only strict preferences
+    (margin > 0).  Emits (source, pair_idx, chosen_id, rejected_id,
+    margin_centi), all exact integers.
+
+    Scale note: pairing needs a total order per key; the per-source
+    window is the honest plan at bounded source cardinality (the
+    corpus' sources are a fixed small set), and the two-phase
+    keyed_running_sum rewrite (q_token_budget_pack precedent) is the
+    documented dial if a single key ever dominates."""
+    from pyspark.sql import Window
+
+    from .queries_ext16 import quality_scores
+
+    scores = quality_scores(_t(spark, sf_dir, "documents")).select(
+        "source", "doc_id", "logit_centi"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("logit_centi"), "doc_id")
+    ranked = scores.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    hi = ranked.filter(F.col("rk") <= F.expr("n div 2")).select(
+        "source",
+        F.col("rk").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("logit_centi").alias("lc"),
+        "n",
+    )
+    lo = ranked.select(
+        "source",
+        (F.col("n") + 1 - F.col("rk")).alias("pair_idx"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("logit_centi").alias("ll"),
+    )
+    return (
+        hi.join(lo, ["source", "pair_idx"])
+        .filter(F.col("lc") > F.col("ll"))
+        .select(
+            "source",
+            F.col("pair_idx").cast("int").alias("pair_idx"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("lc") - F.col("ll")).cast("bigint").alias("margin_centi"),
+        )
+    )
+
+
+def _sql_preference_pairs() -> str:
+    from .queries_ext16 import SQL_QUALITY_CLASSIFIER
+
+    return f"""
+WITH q AS ({SQL_QUALITY_CLASSIFIER}),
+r AS (
+  SELECT source, doc_id, logit_centi,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY logit_centi DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT h.source,
+       CAST(h.rk AS INTEGER) AS pair_idx,
+       h.doc_id AS chosen_id,
+       l.doc_id AS rejected_id,
+       CAST(h.logit_centi - l.logit_centi AS BIGINT) AS margin_centi
+FROM r h JOIN r l
+  ON h.source = l.source AND l.rk = h.n + 1 - h.rk AND h.rk <= h.n // 2
+WHERE h.logit_centi > l.logit_centi
+"""
+
+
+QUERIES_EXT50["q_preference_pairs"] = q_preference_pairs
+ORACLE_EXT50["q_preference_pairs"] = _sql_preference_pairs()
