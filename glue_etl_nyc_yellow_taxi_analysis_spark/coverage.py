@@ -31,11 +31,17 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.
-# Round 9 pins nothing: all four r8 pins earned their driver rows in
-# CORRECTNESS_r08.json and no existing lane's Spark or oracle side
-# changed this round.  Every window slot goes to the strict-gate
-# backlog (see STRICT_GATE_ROUND below).
-PINNED: tuple[str, ...] = ()
+# Round 10: the PPJoin candidate stages moved to xxhash64 keys
+# (operators/dedup.py, r9 verdict item 5) — output proven bit-identical
+# locally (oracle family re-checked + prefix-vs-allpairs equivalence
+# suite), but the three lanes whose PLAN changed re-earn their driver
+# rows anyway, per protocol.  All other r10-touched lanes are new this
+# round (never checked → already front-of-window).
+PINNED: tuple[str, ...] = (
+    "q_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_savings",
+)
 
 # Rounds 1-2 predate the r3 bit-exact hash canonicalization, so a lane
 # whose LATEST driver row is r1/r2 has only lax-era external evidence.
