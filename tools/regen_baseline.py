@@ -182,6 +182,12 @@ def collect_anchors() -> dict[str, float]:
         data = json.load(open(path))
         if isinstance(data.get("parsed"), dict):  # driver-run wrapper
             data = data["parsed"]
+        # anchors are sf0.1 numbers by protocol: a BENCH_full.json left
+        # behind by a smaller-sf smoke run must NEVER fold in (it would
+        # collapse every anchor to an impossible floor — r10 near-miss)
+        if data.get("sf") is not None and float(data["sf"]) != 0.1:
+            print(f"skipping {artifact}: sf={data['sf']} (anchors are sf0.1)")
+            continue
         for key in keys:
             for name, sec in (data.get(key) or {}).items():
                 fold(name, sec, src_round)
