@@ -115,7 +115,9 @@ _XREF_ENTRY = re.compile(rb"^(\d{10}) (\d{5}) ([nf]) ?$")
 
 
 def _obj_at(data: bytes, offset: int, num: int) -> bytes:
-    """Slice object ``num`` at ``offset``, verifying the header."""
+    """Slice a NON-stream object ``num`` at ``offset``, verifying the
+    header.  (Stream objects go through ``_stream_at`` — their payload
+    bytes may legitimately contain the ``endobj`` sentinel.)"""
     head = f"{num} 0 obj".encode()
     if data[offset : offset + len(head)] != head:
         raise ValueError(f"xref offset for object {num} does not point at it")
@@ -123,6 +125,32 @@ def _obj_at(data: bytes, offset: int, num: int) -> bytes:
     if end < 0:
         raise ValueError(f"object {num} has no endobj")
     return data[offset + len(head) : end]
+
+
+def _stream_at(data: bytes, offset: int, num: int) -> tuple[bytes, bytes]:
+    """Slice a STREAM object → (dict bytes, raw stream bytes).  The
+    extent comes from /Length, never from sentinel scanning: a content
+    stream whose bytes happen to contain ``endobj``/``endstream`` (an
+    uncompressed page whose text says "endobj", or any FlateDecode
+    output) must not truncate the walk."""
+    head = f"{num} 0 obj".encode()
+    if data[offset : offset + len(head)] != head:
+        raise ValueError(f"xref offset for object {num} does not point at it")
+    sm = re.compile(rb"stream\r?\n").search(data, offset)
+    eo = data.find(b"endobj", offset)
+    if sm is None or (0 <= eo < sm.start()):
+        raise ValueError(f"object {num} is not a stream object")
+    obj_dict = data[offset + len(head) : sm.start()]
+    lm = re.search(rb"/Length\s+(\d+)", obj_dict)
+    if not lm:
+        raise ValueError(f"stream object {num} missing /Length")
+    start = sm.end()
+    end = start + int(lm.group(1))
+    if end > len(data):
+        raise ValueError(f"truncated stream in object {num}")
+    if not data[end:].lstrip(b"\r\n").startswith(b"endstream"):
+        raise ValueError("/Length disagrees with the stream extent")
+    return obj_dict, data[start:end]
 
 
 def _dict_ref(body: bytes, key: bytes) -> int:
@@ -225,21 +253,13 @@ def parse_pdf(data: bytes) -> list[str]:
         sn = _dict_ref(page, rb"/Contents")
         if sn not in offsets:
             raise ValueError(f"content stream {sn} not in xref")
-        sobj = _obj_at(data, offsets[sn], sn)
-        lm = re.search(rb"/Length\s+(\d+)", sobj)
-        sm = re.search(rb"stream\r?\n", sobj)
-        if not lm or not sm:
-            raise ValueError("content object missing /Length or stream")
-        raw = sobj[sm.end() : sm.end() + int(lm.group(1))]
-        after = sobj[sm.end() + int(lm.group(1)) :]
-        if not after.lstrip(b"\r\n").startswith(b"endstream"):
-            raise ValueError("/Length disagrees with the stream extent")
-        if re.search(rb"/Filter\s*/FlateDecode", sobj[: sm.start()]):
+        obj_dict, raw = _stream_at(data, offsets[sn], sn)
+        if re.search(rb"/Filter\s*/FlateDecode", obj_dict):
             try:
                 raw = zlib.decompress(raw)
             except zlib.error as e:
                 raise ValueError(f"bad FlateDecode stream: {e}") from None
-        elif re.search(rb"/Filter", sobj[: sm.start()]):
+        elif re.search(rb"/Filter", obj_dict):
             raise ValueError("only FlateDecode filters are supported")
         texts.append(_page_text(raw))
     return texts

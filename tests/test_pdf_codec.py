@@ -126,3 +126,17 @@ def test_foreign_features_raise_descriptively():
     lzw = flate.replace(b"/FlateDecode", b"/LZWDecode  ", 1)
     with pytest.raises(ValueError, match="FlateDecode"):
         pdf.parse_pdf(lzw)
+
+
+def test_sentinel_words_inside_streams_do_not_truncate():
+    """A page whose TEXT contains 'endobj'/'endstream' (or whose flate
+    bytes happen to) must round-trip — extents come from /Length, never
+    sentinel scanning (r10 hardening)."""
+    pages = [["the word endobj appears here", "and endstream too"],
+             ["stream endobj endstream xref trailer"]]
+    for compress in (False, True):
+        got = pdf.parse_pdf(pdf.pdf_container(pages, compress=compress))
+        assert got == [
+            "the word endobj appears here and endstream too",
+            "stream endobj endstream xref trailer",
+        ]
