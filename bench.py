@@ -325,6 +325,8 @@ HEADLINE = [
     "q_tarbz2_shard_roundtrip",
     "q_sft_chat_mask",
     "q_preference_pairs",
+    "q_epub_extract",
+    "q_jsonlgz_source",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
 ]

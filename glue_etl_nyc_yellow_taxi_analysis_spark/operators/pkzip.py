@@ -42,14 +42,25 @@ _DOS_TIME = 0
 _METHODS = {"stored": 0, "deflate": 8}
 
 
-def zip_container(members: list[tuple[str, bytes]], method: str = "stored") -> bytes:
-    """Build a deterministic ZIP shard from (name, payload) pairs."""
-    if method not in _METHODS:
-        raise ValueError(f"unsupported method {method!r}")
-    m = _METHODS[method]
+def zip_container(
+    members: list[tuple[str, bytes]],
+    method: str = "stored",
+    methods: list[str] | None = None,
+) -> bytes:
+    """Build a deterministic ZIP shard from (name, payload) pairs.
+    ``methods`` overrides the compression per member (EPUB's OCF spec
+    requires the ``mimetype`` member FIRST and STORED while the rest
+    may deflate)."""
+    per_member = methods if methods is not None else [method] * len(members)
+    if len(per_member) != len(members):
+        raise ValueError("methods must match members 1:1")
+    for mm in per_member:
+        if mm not in _METHODS:
+            raise ValueError(f"unsupported method {mm!r}")
     out = bytearray()
     central = bytearray()
-    for name, payload in members:
+    for (name, payload), mname in zip(members, per_member):
+        m = _METHODS[mname]
         nb = name.encode("utf-8")
         crc = zlib.crc32(payload) & 0xFFFFFFFF
         if m == 8:

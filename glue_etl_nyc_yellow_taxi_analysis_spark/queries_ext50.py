@@ -760,3 +760,140 @@ WHERE h.logit_centi > l.logit_centi
 
 QUERIES_EXT50["q_preference_pairs"] = q_preference_pairs
 ORACLE_EXT50["q_preference_pairs"] = _sql_preference_pairs()
+
+
+# --------------------------------------------------------------------------
+# EPUB extraction — e-books by triple codec composition
+# --------------------------------------------------------------------------
+
+_EPUB_WORDS_PER_CH = 30
+
+
+def q_epub_extract(spark, sf_dir):
+    """E-book round trip (operators/epub.py = pkzip + OPF/spine layer +
+    the shared HTML extractor): each doc becomes a minimal valid EPUB
+    (stored-first mimetype per OCF, container.xml → OPF → spine,
+    30-word XHTML chapters), text re-extracted IN SPINE ORDER.  The
+    oracle replays chapter count + recovered-text md5 from documents;
+    two stateless Arrow map stages, zero shuffle."""
+    import hashlib
+    import math
+
+    from .operators import epub
+
+    build, extract_chapters = epub.epub_container, epub.epub_text
+    wpc = _EPUB_WORDS_PER_CH
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pkg_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, t in zip(b["doc_id"], b["text"]):
+                words = ("" if t is None else t).split(" ")
+                chapters = [
+                    " ".join(words[i : i + wpc])
+                    for i in range(0, len(words), wpc)
+                ] or [""]
+                rows.append((int(d), build(chapters)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_chapters", T.IntegerType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+            T.StructField("text_md5", T.StringType(), True),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, payload in zip(b["doc_id"], b["payload"]):
+                try:
+                    chapters = extract_chapters(bytes(payload))
+                except ValueError:
+                    rows.append((d, None, None, None))
+                    continue
+                text = " ".join(chapters)
+                rows.append(
+                    (
+                        d,
+                        len(chapters),
+                        len(text),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chapters", "n_chars", "text_md5"]
+            )
+
+    return docs.mapInPandas(make, pkg_schema).mapInPandas(extract, out_schema)
+
+
+SQL_EPUB_EXTRACT = f"""
+SELECT doc_id,
+       CAST(greatest(1, ceil(len(string_split(COALESCE(text, ''), ' '))
+                             / {_EPUB_WORDS_PER_CH}.0)) AS INTEGER)
+           AS n_chapters,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+       md5(COALESCE(text, '')) AS text_md5
+FROM documents
+"""
+
+QUERIES_EXT50["q_epub_extract"] = q_epub_extract
+ORACLE_EXT50["q_epub_extract"] = SQL_EPUB_EXTRACT
+
+
+# --------------------------------------------------------------------------
+# .jsonl.gz corpus shards — the most common LLM-corpus wire format
+# --------------------------------------------------------------------------
+
+
+def q_jsonlgz_source(spark, sf_dir):
+    """Gzipped JSON-lines corpus round trip — the format LLM corpora
+    most often ship in (one JSON object per line, whole-file gzip):
+    write the documents table as .json.gz through Spark's native codec
+    path, read it back with an EXPLICIT schema (inference is a full
+    extra pass at scale; codec detection is by extension), and
+    aggregate per source.  Oracle replays the aggregate from the
+    table.  Scale shape: gzip is splittable-by-FILE, not by block —
+    at 100 TB the file count is the parallelism (the same
+    size-shards-by-content rule as the WARC lanes)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="sg_jsonlgz_") + "/data"
+    docs.coalesce(4).write.mode("overwrite").option("compression", "gzip").json(
+        out_dir
+    )
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out_dir)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+SQL_JSONLGZ_SOURCE = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+QUERIES_EXT50["q_jsonlgz_source"] = q_jsonlgz_source
+ORACLE_EXT50["q_jsonlgz_source"] = SQL_JSONLGZ_SOURCE
