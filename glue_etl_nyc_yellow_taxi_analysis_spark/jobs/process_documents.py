@@ -140,11 +140,23 @@ def extract_documents(media):
                             raise
                         kind = "docx"
                         n_units, text = len(paras), " ".join(paras)
-                    elif raw.startswith(b"<!DOCTYPE html") or raw.startswith(b"<html"):
+                    elif (
+                        # case-insensitive, whitespace-tolerant HTML sniff
+                        # (r10 advice: real-world `<!doctype html>` and
+                        # BOM/indented pages must not land in 'unknown')
+                        (low := raw[:64].lstrip().lower()).startswith(
+                            b"<!doctype html"
+                        )
+                        or low.startswith(b"<html")
+                    ):
                         kind = "html"
                         text = html_py(raw.decode("utf-8"))
                         n_units = 1
                     elif raw.startswith(b"# "):
+                        # synth-only convention: corpus Markdown always
+                        # opens with an H1 (`# `); foreign Markdown with
+                        # no magic number is indistinguishable from
+                        # plain text and lands in 'unknown' by design
                         kind = "markdown"
                         text = md_py(raw.decode("utf-8"))
                         n_units = 1

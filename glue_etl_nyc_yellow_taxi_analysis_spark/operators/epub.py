@@ -99,12 +99,16 @@ def epub_text(data: bytes) -> list[str]:
     if opf is None:
         raise ValueError(f"missing OPF rootfile {opf_path!r}")
     base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
-    hrefs = dict(
-        re.findall(
-            rb'<item id="([^"]+)" href="([^"]+)"[^>]*media-type="application/xhtml\+xml"',
-            opf,
-        )
-    )
+    # manifest <item> elements: attributes extracted independently of
+    # their order (legal XML permits any order — r10 advice); the \b
+    # keeps <itemref> spine entries out of the manifest scan
+    hrefs = {}
+    for item in re.findall(rb"<item\b[^>]*>", opf):
+        iid = re.search(rb'\bid="([^"]+)"', item)
+        href = re.search(rb'\bhref="([^"]+)"', item)
+        mtype = re.search(rb'\bmedia-type="([^"]+)"', item)
+        if iid and href and mtype and mtype.group(1) == b"application/xhtml+xml":
+            hrefs[iid.group(1)] = href.group(1)
     spine = re.findall(rb'<itemref idref="([^"]+)"', opf)
     texts: list[str] = []
     for idref in spine:

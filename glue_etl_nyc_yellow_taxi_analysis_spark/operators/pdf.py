@@ -47,7 +47,15 @@ def _content_stream(lines: list[str]) -> bytes:
             ops.append("T*")
         ops.append(f"({_escape(line)}) Tj")
     ops.append("ET")
-    return "\n".join(ops).encode("latin-1")
+    try:
+        return "\n".join(ops).encode("latin-1")
+    except UnicodeEncodeError as e:
+        # ValueError (not UnicodeEncodeError) so the fail-soft callers'
+        # corrupt-payload accounting catches it — the subset codec has
+        # no /Encoding machinery beyond PDFDocEncoding's Latin-1 core.
+        raise ValueError(
+            "non-Latin-1 text unsupported by the subset PDF codec"
+        ) from e
 
 
 def split_lines(text: str, width: int = 60) -> list[str]:

@@ -2,8 +2,13 @@
 DataFrame operators, shared by the ``q_robots_filter`` lane and the
 ``jobs.web_ingest`` frontier stage.
 
-Subset (documented seam: multi-group agent selection): each robots.txt
-carries a single ``User-agent: *`` group; comment lines, Crawl-delay,
+Subset (documented seam, LOUD like the codec seams): each robots.txt
+must carry only ``User-agent: *`` groups — a non-``*`` agent group
+raises a descriptive error instead of silently merging its rules into
+the global set, and RFC 9309 ``*``/``$`` wildcard metacharacters in a
+rule path raise instead of being matched as literal prefix bytes.
+Directive names are matched case-insensitively per RFC 9309 §2.1
+(``disallow:`` == ``Disallow:``).  Comment lines, Crawl-delay,
 Sitemap, and empty-Disallow (allow-all) lines are non-rule directives
 the parser skips.
 
@@ -20,24 +25,59 @@ from pyspark.sql import functions as F
 
 def parse_robots(robots: DataFrame) -> DataFrame:
     """(host, txt) → (host, is_allow, prefix): line split, Allow/
-    Disallow extraction, everything else skipped."""
+    Disallow extraction (directive names case-insensitive), everything
+    else skipped.
+
+    Unsupported-feature guards stay inside the kept expressions (the
+    filter predicate and the ``prefix`` projection) so Catalyst column
+    pruning cannot optimize them away: a ``User-agent:`` group naming
+    any agent other than ``*`` and a rule path carrying ``*``/``$``
+    wildcards both ``raise_error`` at the exact offending line instead
+    of producing silently-wrong verdicts downstream."""
     lines = robots.select("host", F.explode(F.split("txt", "\n")).alias("line"))
-    return (
-        lines.filter(
-            F.col("line").startswith("Allow:")
-            | F.col("line").startswith("Disallow:")
+    low = F.lower(F.trim("line"))
+    is_allow_l = low.startswith("allow:")
+    is_dis_l = low.startswith("disallow:")
+    # guard: a non-`*` agent group would otherwise merge foreign rules
+    # into the global set — the one silent mis-parse RFC 9309 forbids.
+    bad_ua = low.startswith("user-agent:") & (
+        F.trim(F.substring(F.trim("line"), 12, 10000)) != "*"
+    )
+    keep = F.when(
+        bad_ua,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multi-group robots.txt unsupported by the subset "
+                    "parser (only 'User-agent: *'): "
+                ),
+                F.col("line"),
+            )
+        ).isNotNull(),
+    ).otherwise(is_allow_l | is_dis_l)
+    raw_prefix = F.trim(
+        F.when(is_allow_l, F.substring(F.trim("line"), 7, 10000)).otherwise(
+            F.substring(F.trim("line"), 10, 10000)
         )
+    )
+    prefix = F.when(
+        raw_prefix.rlike("[*$]"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "RFC 9309 wildcard metacharacters (*/$) unsupported "
+                    "by the subset parser: "
+                ),
+                F.col("line"),
+            )
+        ).cast("string"),
+    ).otherwise(raw_prefix)
+    return (
+        lines.filter(keep)
         .select(
             "host",
-            F.when(F.col("line").startswith("Allow:"), 1)
-            .otherwise(0)
-            .alias("is_allow"),
-            F.trim(
-                F.when(
-                    F.col("line").startswith("Allow:"),
-                    F.substring("line", 7, 10000),
-                ).otherwise(F.substring("line", 10, 10000))
-            ).alias("prefix"),
+            F.when(is_allow_l, 1).otherwise(0).alias("is_allow"),
+            prefix.alias("prefix"),
         )
         .filter(F.col("prefix") != "")  # empty Disallow: = allow-all no-op
     )

@@ -425,14 +425,16 @@ WITH p AS (
               ELSE '{_ROBOTS_EVEN}' END AS txt
   FROM (SELECT DISTINCT host FROM frontier)
 ), rules AS (
+  -- directive names matched case-insensitively, in lockstep with
+  -- operators/robots.py (RFC 9309 §2.1)
   SELECT host,
-         CASE WHEN line LIKE 'Allow:%' THEN 1 ELSE 0 END AS is_allow,
-         trim(CASE WHEN line LIKE 'Allow:%' THEN substr(line, 7)
-                   ELSE substr(line, 10) END) AS prefix
+         CASE WHEN lower(trim(line)) LIKE 'allow:%' THEN 1 ELSE 0 END AS is_allow,
+         trim(CASE WHEN lower(trim(line)) LIKE 'allow:%' THEN substr(trim(line), 7)
+                   ELSE substr(trim(line), 10) END) AS prefix
   FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM robots)
-  WHERE (line LIKE 'Allow:%' OR line LIKE 'Disallow:%')
-        AND trim(CASE WHEN line LIKE 'Allow:%' THEN substr(line, 7)
-                      ELSE substr(line, 10) END) <> ''
+  WHERE (lower(trim(line)) LIKE 'allow:%' OR lower(trim(line)) LIKE 'disallow:%')
+        AND trim(CASE WHEN lower(trim(line)) LIKE 'allow:%' THEN substr(trim(line), 7)
+                      ELSE substr(trim(line), 10) END) <> ''
 ), best AS (
   SELECT doc_id, url,
          max(struct_pack(l := length(prefix), a := is_allow, p := prefix)) AS b

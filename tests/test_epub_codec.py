@@ -90,3 +90,32 @@ def test_foreign_violations_raise():
                 methods=["stored", "deflate", "deflate"],
             )
         )
+
+
+def test_opf_manifest_attribute_order_independent():
+    """Legal XML permits any attribute order in manifest <item>
+    elements; a foreign EPUB with media-type first must resolve, not
+    die with a misleading spine error (r10 advice)."""
+    base = epub.epub_container(["chapter one text"])
+    with zipfile.ZipFile(io.BytesIO(base)) as zf:
+        members = {i.filename: zf.read(i.filename) for i in zf.infolist()}
+    opf_path = next(n for n in members if n.endswith(".opf"))
+    opf = members[opf_path].decode("utf-8")
+    import re as _re
+
+    def reorder(m):
+        attrs = dict(_re.findall(r'(\S+)="([^"]*)"', m.group(0)))
+        return (
+            f'<item media-type="{attrs["media-type"]}" '
+            f'href="{attrs["href"]}" id="{attrs["id"]}"/>'
+        )
+
+    reordered = _re.sub(r"<item\b[^>]*/?>", reorder, opf)
+    assert reordered != opf  # the rewrite actually changed the layout
+    members[opf_path] = reordered.encode("utf-8")
+    # rebuild: mimetype stored-first per OCF, rest deflated
+    ordered = [("mimetype", members.pop("mimetype"))] + sorted(members.items())
+    rebuilt = pkzip.zip_container(
+        ordered, methods=["stored"] + ["deflate"] * (len(ordered) - 1)
+    )
+    assert epub.epub_text(rebuilt) == ["chapter one text"]

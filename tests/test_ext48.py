@@ -237,3 +237,31 @@ def test_robots_longest_match_semantics(spark, sf_dir):
             assert rule == ("/d/1" if want else "/d/"), (url, rule)
         else:  # even mirrors: empty Disallow is a no-op -> no rule fires
             assert ok == 1 and rule is None, (url, ok, rule)
+
+
+def test_robots_parser_subset_guards(spark):
+    """The subset parser is LOUD at its seams (r10 advice): directive
+    names match case-insensitively per RFC 9309 §2.1, while a
+    non-`*` User-agent group and `*`/`$` wildcard metacharacters raise
+    descriptive errors instead of producing silently-wrong verdicts."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import robots as R
+
+    def rules_of(txt):
+        df = spark.createDataFrame([("h", txt)], "host string, txt string")
+        return {(r["is_allow"], r["prefix"]) for r in R.parse_robots(df).collect()}
+
+    # lowercase / mixed-case directives parse identically to canonical
+    assert rules_of("user-agent: *\ndisallow: /d/\nALLOW: /d/1") == {
+        (0, "/d/"),
+        (1, "/d/1"),
+    }
+    # leading whitespace before a directive is tolerated (trim-first)
+    assert rules_of("User-agent: *\n  Disallow: /x/") == {(0, "/x/")}
+    # non-`*` agent group: loud, names the offending line
+    with pytest.raises(Exception, match="multi-group robots.txt"):
+        rules_of("User-agent: GoogleBot\nDisallow: /private/")
+    # RFC 9309 wildcards in a rule path: loud, not literal-prefix-matched
+    with pytest.raises(Exception, match="wildcard metacharacters"):
+        rules_of("User-agent: *\nDisallow: /*.pdf")
+    with pytest.raises(Exception, match="wildcard metacharacters"):
+        rules_of("User-agent: *\nDisallow: /d/$")

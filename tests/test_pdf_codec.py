@@ -140,3 +140,12 @@ def test_sentinel_words_inside_streams_do_not_truncate():
             "the word endobj appears here and endstream too",
             "stream endobj endstream xref trailer",
         ]
+
+
+def test_non_latin1_text_raises_descriptive_valueerror():
+    """The subset codec has no /Encoding machinery beyond Latin-1; a
+    multilingual corpus row must hit the documented seam message (and
+    remain a ValueError for the fail-soft callers), not a raw
+    UnicodeEncodeError traceback (r10 advice)."""
+    with pytest.raises(ValueError, match="non-Latin-1 text unsupported"):
+        pdf.pdf_container([["naïve ok latin-1", "но не кириллица"]])

@@ -115,3 +115,21 @@ def test_foreign_zip_and_junk_accounted(spark):
     )
     kinds = {r["doc_id"]: r["kind"] for r in extract_documents(media).collect()}
     assert kinds == {1: "zip", 2: "unknown", 3: "corrupt"}
+
+
+def test_html_sniff_case_and_whitespace_tolerant(spark):
+    """Real-world `<!doctype html>` (lowercase) and leading-whitespace
+    pages must classify as html, not drop into 'unknown' (r10 advice);
+    Markdown keeps the documented synth-only `# ` convention."""
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"<!doctype html><html><body>lower ok</body></html>")),
+            (2, bytearray(b"\n  <HTML><body>indented upper</body></HTML>")),
+            (3, bytearray(b"plain text, no magic")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: (r["kind"], r["text"]) for r in extract_documents(media).collect()}
+    assert out[1][0] == "html" and "lower ok" in out[1][1]
+    assert out[2][0] == "html" and "indented upper" in out[2][1]
+    assert out[3][0] == "unknown"
