@@ -329,6 +329,8 @@ HEADLINE = [
     "q_jsonlgz_source",
     # round-10: SemDeDup scale path (IVF-probed rep assignment)
     "q_semdedup_ivf",
+    # round-11: REP politeness (Crawl-delay per-host pacing plan)
+    "q_crawl_schedule",
 ]
 
 # recent-window anchor (r9 verdict item 4): the all-time anchor is a

@@ -317,6 +317,35 @@ def run_ingest(
             "n_already_fetched": n_links - n_blocked - n_front,
             "n_frontier": n_front,
         }
+        if robots_path:
+            # REP politeness plan for the next wave: per-host fetch
+            # pacing from Crawl-delay (default 1 s) — |hosts|-bounded
+            pace = F.coalesce("crawl_delay_s", F.lit(1))
+            schedule = (
+                spark.read.parquet(f"{output}/frontier")
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_fetches"))
+                .join(
+                    R.parse_crawl_delay(spark.read.parquet(robots_path)),
+                    "host",
+                    "left",
+                )
+                .select(
+                    "host",
+                    pace.alias("crawl_delay_s"),
+                    "n_fetches",
+                    (F.greatest(F.col("n_fetches") - 1, F.lit(0)) * pace)
+                    .cast("bigint")
+                    .alias("makespan_s"),
+                )
+            )
+            schedule.write.mode("overwrite").parquet(f"{output}/schedule")
+            drain = (
+                spark.read.parquet(f"{output}/schedule")
+                .agg(F.max("makespan_s"))
+                .collect()[0][0]
+            )  # bounded: one scalar
+            frontier_card["crawl_makespan_s"] = int(drain or 0)
 
     card = {
         "n_docs_in": n_in,

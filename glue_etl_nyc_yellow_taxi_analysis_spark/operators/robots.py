@@ -83,6 +83,39 @@ def parse_robots(robots: DataFrame) -> DataFrame:
     )
 
 
+def parse_crawl_delay(robots: DataFrame) -> DataFrame:
+    """(host, txt) → (host, crawl_delay_s): the REP politeness
+    directive, matched case-insensitively.  Multiple groups/lines take
+    the MAX (the conservative pace).  Subset seam, loud like the rule
+    parser: non-integer delays (some dialects allow fractions) raise a
+    descriptive error inside the kept expression.  Hosts with no
+    Crawl-delay line are absent from the result — callers choose the
+    default pace."""
+    lines = robots.select("host", F.explode(F.split("txt", "\n")).alias("line"))
+    low = F.lower(F.trim("line"))
+    raw = F.trim(F.substring(F.trim("line"), 13, 10000))
+    delay = F.when(
+        raw.rlike("^[0-9]+$"),
+        raw.cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "non-integer Crawl-delay unsupported by the subset "
+                    "parser: "
+                ),
+                F.col("line"),
+            )
+        ).cast("int")
+    )
+    return (
+        lines.filter(low.startswith("crawl-delay:"))
+        .select("host", delay.alias("d"))
+        .groupBy("host")
+        .agg(F.max("d").alias("crawl_delay_s"))
+    )
+
+
 def url_path(url: Column) -> Column:
     return F.regexp_extract(url, "^https?://[^/]+(/.*)$", 1)
 

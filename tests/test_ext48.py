@@ -265,3 +265,45 @@ def test_robots_parser_subset_guards(spark):
         rules_of("User-agent: *\nDisallow: /*.pdf")
     with pytest.raises(Exception, match="wildcard metacharacters"):
         rules_of("User-agent: *\nDisallow: /d/$")
+
+
+def test_crawl_schedule_pacing_semantics(spark, sf_dir):
+    """Per-host pacing pins: odd mirrors publish Crawl-delay 2, even
+    mirrors 3, the hub none (default 1 s); makespan is exactly
+    (n_allowed-1)*delay; only odd mirrors block anything (/d/* minus
+    the /d/1 carve-out)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext48 import (
+        q_crawl_schedule,
+    )
+
+    rows = {r["host"]: r for r in q_crawl_schedule(spark, sf_dir).collect()}
+    assert rows
+    for host, r in rows.items():
+        if host == "hub.example.net":
+            want_delay = 1
+        elif host[1] in "13":
+            want_delay = 2
+        else:
+            want_delay = 3
+        assert r["crawl_delay_s"] == want_delay, (host, r)
+        assert r["makespan_s"] == max(r["n_allowed"] - 1, 0) * want_delay, r
+        if host.startswith("m") and host[1] in "13":
+            assert r["n_blocked"] > 0, r  # /d/* minus the /d/1 carve-out
+        elif host.startswith("m"):
+            assert r["n_blocked"] == 0, r  # empty Disallow = allow-all
+
+
+def test_parse_crawl_delay_guards(spark):
+    """Crawl-delay parses case-insensitively, takes the conservative
+    max across lines, and raises descriptively on the non-integer
+    dialect (fractional seconds) instead of mis-pacing silently."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import robots as R
+
+    def delays_of(txt):
+        df = spark.createDataFrame([("h", txt)], "host string, txt string")
+        return {r["host"]: r["crawl_delay_s"] for r in R.parse_crawl_delay(df).collect()}
+
+    assert delays_of("User-agent: *\nCRAWL-DELAY: 5\ncrawl-delay: 2") == {"h": 5}
+    assert delays_of("User-agent: *\nDisallow: /x/") == {}  # no directive
+    with pytest.raises(Exception, match="non-integer Crawl-delay"):
+        delays_of("User-agent: *\nCrawl-delay: 0.5")

@@ -183,7 +183,7 @@ def test_web_ingest_from_warc(spark, sf_dir, tmp_path):
     # robots bodies gating the emitted frontier: hub blocks /s/src1
     robots_path = f"{tmp_path}/robots"
     spark.createDataFrame(
-        [("hub.example.net", "User-agent: *\nDisallow: /s/src1\n# note")],
+        [("hub.example.net", "User-agent: *\nDisallow: /s/src1\nCrawl-delay: 4\n# note")],
         "host string, txt string",
     ).write.parquet(robots_path)
 
@@ -241,3 +241,22 @@ def test_web_ingest_from_warc(spark, sf_dir, tmp_path):
     assert frontier.filter(F.col("host") == "crawl.example.org").count() == 0
     assert frontier.filter(F.col("url").contains("/s/src1")).count() == 0
     assert frontier.filter(F.col("url").contains("/s/src0")).count() > 0
+
+    # the REP pacing plan: hub publishes Crawl-delay 4, every other
+    # frontier host defaults to 1 s; the card carries the drain wall
+    schedule = {
+        r["host"]: r for r in spark.read.parquet(f"{out}/schedule").collect()
+    }
+    per_host = {
+        r["host"]: r["n"]
+        for r in frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(schedule) == set(per_host)
+    for host, r in schedule.items():
+        want_delay = 4 if host == "hub.example.net" else 1
+        assert r["crawl_delay_s"] == want_delay, r
+        assert r["n_fetches"] == per_host[host], r
+        assert r["makespan_s"] == max(per_host[host] - 1, 0) * want_delay, r
+    assert card["crawl_makespan_s"] == max(
+        r["makespan_s"] for r in schedule.values()
+    )
