@@ -54,9 +54,13 @@ ORACLE_EXT50 = {}
 def q_zip_shard_roundtrip(spark, sf_dir):
     """ZIP shard round trip: docs → 8 central-directory archives
     (stored for even shards, deflate for odd — the walk must be
-    method-blind) → CRC-verified walk → per-member rows.  Shares the
-    tar lane's oracle verbatim.  Scale shape: one keyed shuffle to form
-    shards, then linear walks; payloads never shuffle again."""
+    method-blind; ZIP64 records FORCED on the upper shard half, the
+    framing a 100 TB ingest meets on >4 GiB archives, exercised here
+    via the forced switch instead of 4 GiB fixtures) → CRC-verified
+    walk → per-member rows.  Shares the tar lane's oracle verbatim —
+    method AND framing must both be invisible to the content.  Scale
+    shape: one keyed shuffle to form shards, then linear walks;
+    payloads never shuffle again."""
     import hashlib
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -70,9 +74,11 @@ def q_zip_shard_roundtrip(spark, sf_dir):
             (f"{int(d)}.txt", ("" if t is None else t).encode("utf-8"))
             for d, t in zip(pdf["doc_id"], pdf["text"])
         ]
-        method = "stored" if int(key[0]) % 2 == 0 else "deflate"
+        sid = int(key[0])
+        method = "stored" if sid % 2 == 0 else "deflate"
+        # shard_id % 4 covers all four method × framing combos
         return pd.DataFrame(
-            [(int(key[0]), container(members, method=method))],
+            [(sid, container(members, method=method, zip64=sid % 4 >= 2))],
             columns=["shard_id", "payload"],
         )
 

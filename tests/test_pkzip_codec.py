@@ -103,3 +103,53 @@ def test_foreign_features_raise_descriptively():
         pkzip.parse_zip(bytes(data))
     with pytest.raises(ValueError, match="method"):
         pkzip.zip_container([("f.txt", b"AB")], method="bzip2")
+
+
+_MEMBERS = [(f"{i}.txt", f"payload {i} ".encode() * (i + 1)) for i in range(5)]
+
+
+@pytest.mark.parametrize("method", ["stored", "deflate"])
+def test_zip64_forced_roundtrip_and_stdlib_cross_read(method):
+    """ZIP64 framing (APPNOTE 4.5): forced via zip64=True so the
+    records are exercised without 4 GiB fixtures — marker fields,
+    0x0001 extras, ZIP64 EOCD + locator all walk back, and stdlib
+    zipfile cross-reads the archive byte-for-byte."""
+    data = pkzip.zip_container(_MEMBERS, method=method, zip64=True)
+    assert b"PK\x06\x06" in data and b"PK\x06\x07" in data
+    assert pkzip.parse_zip(data) == _MEMBERS
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        assert zf.testzip() is None
+        assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] == _MEMBERS
+
+
+def test_zip64_stdlib_forced_parses():
+    """The other direction: stdlib force_zip64 archives (marker local
+    sizes resolved through the local 0x0001 extra, classic central
+    fields) must walk through parse_zip."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, p in _MEMBERS:
+            with zf.open(zipfile.ZipInfo(n), "w", force_zip64=True) as f:
+                f.write(p)
+    assert pkzip.parse_zip(buf.getvalue()) == _MEMBERS
+
+
+def test_zip64_markers_without_locator_raise():
+    """A classic EOCD carrying ZIP64 marker counts but no locator is a
+    corrupt (or unsupported multi-part) archive — loud, not a silent
+    65535-member truncation."""
+    import struct
+
+    data = bytearray(pkzip.zip_container(_MEMBERS))
+    eocd = data.rfind(b"PK\x05\x06")
+    data[eocd + 8 : eocd + 12] = struct.pack("<HH", 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="no ZIP64 EOCD locator"):
+        pkzip.parse_zip(bytes(data))
+
+
+def test_zip64_classic_archives_stay_classic():
+    """Small archives keep the 20-byte-version classic layout — the
+    automatic switch only fires past the 4 GiB / 65535 limits."""
+    data = pkzip.zip_container(_MEMBERS)
+    assert b"PK\x06\x06" not in data and b"PK\x06\x07" not in data
+    assert pkzip.parse_zip(data) == _MEMBERS
