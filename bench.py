@@ -331,6 +331,8 @@ HEADLINE = [
     "q_semdedup_ivf",
     # round-11: REP politeness (Crawl-delay per-host pacing plan)
     "q_crawl_schedule",
+    # round-11: SemDeDup multi-rep regime forced at shipped SFs
+    "q_semdedup_multirep",
 ]
 
 # recent-window anchor (r9 verdict item 4): the all-time anchor is a

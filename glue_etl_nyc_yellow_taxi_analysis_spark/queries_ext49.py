@@ -50,16 +50,20 @@ ORACLE_EXT49 = {}
 _NPROBE = 3
 
 
-def _assign_ivf(emb):
+def _assign_ivf(emb, target=_SD_TARGET):
     """The probe+assign stages (pre-materialization) — separated so the
     plan-contract test can pin THIS plan broadcast-only; the lane's
-    ``localCheckpoint`` would otherwise swallow it from explain()."""
+    ``localCheckpoint`` would otherwise swallow it from explain().
+    ``target`` dials rep density: reps per cell = max(1, cnt//target),
+    so a SMALL target forces the multi-rep regime at shipped SFs (the
+    q_semdedup_multirep lane) while the production default keeps
+    ~n/_SD_TARGET reps."""
     wlab = Window.partitionBy("label")
     reps = (
         emb.withColumn("cnt", F.count(F.lit(1)).over(wlab))
         .withColumn("rep_rn", F.row_number().over(wlab.orderBy("vec_id")))
         .filter(
-            F.col("rep_rn") <= F.greatest(F.lit(1), F.expr(f"cnt div {_SD_TARGET}"))
+            F.col("rep_rn") <= F.greatest(F.lit(1), F.expr(f"cnt div {target}"))
         )
         .select(
             F.col("label").alias("cluster"),
@@ -116,14 +120,12 @@ def _assign_ivf(emb):
     )
 
 
-def q_semdedup_ivf(spark, sf_dir):
-    """SemDeDup with IVF-probed rep assignment — the 100 TB shape.
-    See module docstring; output schema identical to ``q_semdedup``."""
+def _semdedup_ivf_lane(spark, sf_dir, target):
     emb = _t(spark, sf_dir, "embeddings")
     # the assignment feeds both self-join sides + the verdict
     # projection (the q_semdedup materialization finding: 18 exchanges
     # → 6 without) — materialize once
-    assigned = _assign_ivf(emb).localCheckpoint()
+    assigned = _assign_ivf(emb, target).localCheckpoint()
 
     # stage 4: prune within the assigned sub-cluster (q_semdedup rule)
     a = assigned.alias("a")
@@ -153,14 +155,15 @@ def q_semdedup_ivf(spark, sf_dir):
     )
 
 
-SQL_SEMDEDUP_IVF = f"""
+def _sql_semdedup_ivf(target):
+    return f"""
 WITH reps AS (
   SELECT label AS cluster, vec_id AS rep_id, embedding AS centroid, rn AS rep_rn
   FROM (
     SELECT label, vec_id, embedding,
            row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
            COUNT(*) OVER (PARTITION BY label) AS cnt
-    FROM embeddings) WHERE rn <= greatest(1, cnt // {_SD_TARGET})
+    FROM embeddings) WHERE rn <= greatest(1, cnt // {target})
 ), routers AS (
   SELECT cluster, centroid FROM reps WHERE rep_rn = 1
 ), probed AS (
@@ -202,5 +205,35 @@ SELECT s.vec_id, s.cluster,
 FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
 """
 
+
+def q_semdedup_ivf(spark, sf_dir):
+    """SemDeDup with IVF-probed rep assignment — the 100 TB shape.
+    See module docstring; output schema identical to ``q_semdedup``."""
+    return _semdedup_ivf_lane(spark, sf_dir, _SD_TARGET)
+
+
+# multi-rep regime at shipped SFs (r10 verdict item 4): with the
+# production target the driver corpus gives every cell ONE rep, so
+# probe order equals rep order and the lane coincides with q_semdedup
+# bit-for-bit — the multi-rep gate lived only in pytest + the CTE
+# replay.  A target of 16 forces cnt//target in [2, 13] reps per cell
+# at EVERY shipped SF (labels carry 42-218 members), so the probed
+# multi-rep assignment path earns its own driver CORRECTNESS row.
+_SD_MULTI_TARGET = 16
+
+
+def q_semdedup_multirep(spark, sf_dir):
+    """q_semdedup_ivf's multi-rep regime forced at shipped SFs: same
+    pipeline, rep density dialed to cnt//16 per cell, so assignment
+    picks among MULTIPLE in-cell reps (and across probed cells) —
+    the regime a 100 TB corpus puts the probe in.  Oracle: the same
+    chained-CTE replay with the dialed target."""
+    return _semdedup_ivf_lane(spark, sf_dir, _SD_MULTI_TARGET)
+
+
+SQL_SEMDEDUP_IVF = _sql_semdedup_ivf(_SD_TARGET)
+
 QUERIES_EXT49["q_semdedup_ivf"] = q_semdedup_ivf
 ORACLE_EXT49["q_semdedup_ivf"] = SQL_SEMDEDUP_IVF
+QUERIES_EXT49["q_semdedup_multirep"] = q_semdedup_multirep
+ORACLE_EXT49["q_semdedup_multirep"] = _sql_semdedup_ivf(_SD_MULTI_TARGET)

@@ -102,3 +102,33 @@ def test_probed_cells_cap(spark, sf_dir):
     assert out.count() == emb.count()
     # every vec assigned exactly once
     assert out.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_multirep_lane_engages_multi_rep_at_shipped_sf(spark, sf_dir):
+    """q_semdedup_multirep (r10 verdict item 4): the dialed target must
+    put EVERY cell in the multi-rep regime on the driver corpus itself,
+    and assignment must actually spread across in-cell reps — the path
+    the production-target lane can't reach at shipped SFs."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext49 import (
+        _SD_MULTI_TARGET,
+        _assign_ivf,
+        q_semdedup_multirep,
+    )
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # every label's count // 16 must be >= 2 (multi-rep everywhere)
+    counts = [r["c"] for r in emb.groupBy("label").agg(F.count("*").alias("c")).collect()]
+    assert min(counts) // _SD_MULTI_TARGET >= 2, counts
+
+    assigned = _assign_ivf(emb, _SD_MULTI_TARGET)
+    per_cell = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster")
+        .agg(F.countDistinct("rep_id").alias("n"))
+        .collect()
+    }
+    assert per_cell and any(n > 1 for n in per_cell.values()), per_cell
+
+    out = q_semdedup_multirep(spark, sf_dir)
+    assert out.count() == emb.count()  # every vector gets a verdict
