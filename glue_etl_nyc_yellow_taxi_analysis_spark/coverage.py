@@ -31,16 +31,20 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.
-# Round 10: the PPJoin candidate stages moved to xxhash64 keys
-# (operators/dedup.py, r9 verdict item 5) — output proven bit-identical
-# locally (oracle family re-checked + prefix-vs-allpairs equivalence
-# suite), but the three lanes whose PLAN changed re-earn their driver
-# rows anyway, per protocol.  All other r10-touched lanes are new this
-# round (never checked → already front-of-window).
+# Round 11: q_robots_filter's parser AND oracle moved to
+# case-insensitive directives with loud wildcard/multi-group guards;
+# q_zip_shard_roundtrip forces ZIP64 framing on the upper shard half;
+# q_epub_extract's OPF manifest scan went attribute-order-independent;
+# q_pdf_extract's builder gained the non-Latin-1 ValueError seam.  All
+# four proven bit-identical locally on the driver corpus (check_oracle
+# at sf0.001 + sf0.01), but changed-plan lanes re-earn their driver
+# rows anyway, per protocol.  q_crawl_schedule / q_semdedup_multirep
+# are new this round (never checked → already front-of-window).
 PINNED: tuple[str, ...] = (
-    "q_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_dedup_savings",
+    "q_robots_filter",
+    "q_zip_shard_roundtrip",
+    "q_epub_extract",
+    "q_pdf_extract",
 )
 
 # Rounds 1-2 predate the r3 bit-exact hash canonicalization, so a lane

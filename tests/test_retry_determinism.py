@@ -47,6 +47,10 @@ LANES = [
     # the PDF round trip must also be retry-stable
     "q_warcgz_ingest",
     "q_pdf_extract",
+    # r11: the ZIP64 framing (marker fields + 0x0001 extras resolved on
+    # walk) and the triple-composition EPUB spine resolution
+    "q_zip_shard_roundtrip",
+    "q_epub_extract",
 ]
 
 
