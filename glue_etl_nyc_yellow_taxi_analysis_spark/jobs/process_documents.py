@@ -89,8 +89,14 @@ def synth_mixed_documents(docs):
                     for i in range(0, len(words), wpu)
                 ] or [""]
                 if d % 4 == 0:
+                    # (d//4) % 3 routes the container flavor: plain
+                    # 1.4 / FlateDecode 1.4 / xref-stream 1.5 (d % 2
+                    # was a dead dial here — d % 4 == 0 is always even)
+                    flavor = (d // 4) % 3
                     payload = build_pdf(
-                        [split(u) for u in units], compress=bool(d % 2)
+                        [split(u) for u in units],
+                        compress=flavor >= 1,
+                        xref_stream=flavor == 2,
                     )
                 elif d % 4 == 1:
                     payload = build_docx(units)

@@ -6,25 +6,35 @@ pipeline meets is "resolve the page tree, decode content streams, pull
 the text operators" — the codec discipline (JPEG/FLAC/tar precedent)
 applied to the document layer.  The deliberately small surface:
 
-- ``pdf_container(pages, compress=False)`` — build a real PDF: header,
-  catalog → page tree → one page object + one content stream per page
-  (``BT /F1 12 Tf ... (line) Tj T* ... ET``, PDF-escaped string
-  literals, optional ``/Filter /FlateDecode``), a Type1 font object,
-  a correct xref table (byte-exact offsets) and trailer.  Builds open
+- ``pdf_container(pages, compress=False, xref_stream=False)`` — build
+  a real PDF: header, catalog → page tree → one page object + one
+  content stream per page (``BT /F1 12 Tf ... (line) Tj T* ... ET``,
+  PDF-escaped string literals, optional ``/Filter /FlateDecode``), a
+  Type1 font object, and either a classic xref table + trailer
+  (PDF 1.4) or — ``xref_stream=True`` — the MODERN layout every
+  PDF 1.5+ writer emits: the non-stream objects packed into one
+  ``/Type /ObjStm`` object stream and a ``/Type /XRef``
+  cross-reference STREAM (binary ``/W [1 4 2]`` rows, big-endian,
+  FlateDecode with the PNG Up predictor ``/Predictor 12`` real
+  writers use, trailer keys carried in the stream dict).  Builds open
   in real viewers; offsets are verified on the way back in.
 - ``parse_pdf(data)`` — walk a PDF → ordered [page text].  Verifies
-  the header, startxref/xref bookkeeping (every in-use offset must
-  point at its ``N 0 obj``), /Length vs actual stream extent, page
-  /Count vs kids, inflates FlateDecode streams, tokenizes BT..ET text
-  blocks and unescapes ``Tj`` string literals.  Raises ValueError on
-  truncation/corruption — never a silent partial read.
+  the header, startxref bookkeeping through EITHER flavor (classic
+  table, or xref stream: ``/W`` field walk over ``/Index`` ranges,
+  PNG row un-predictor for ``/Predictor >= 10``, type-2 entries
+  resolved through their object stream's ``/N``/``/First`` pair
+  header), every in-use offset must point at its ``N 0 obj``,
+  /Length vs actual stream extent, page /Count vs kids, inflates
+  FlateDecode streams, tokenizes BT..ET text blocks and unescapes
+  ``Tj`` string literals.  Raises ValueError on truncation/
+  corruption — never a silent partial read.
 
 Intentionally NOT implemented (the pdfminer/poppler swap seam, each a
-descriptive ValueError at the hand-off): cross-reference STREAMS (PDF
-1.5+), incremental updates (multiple xref sections), encryption,
-object streams, fonts with custom encodings/CMaps (text extraction
-assumes the built-in StandardEncoding our builder emits), TJ array
-kerning, and inherited page attributes.
+descriptive ValueError at the hand-off): incremental updates
+(``/Prev`` chains of xref sections), encryption, fonts with custom
+encodings/CMaps (text extraction assumes the built-in
+StandardEncoding our builder emits), TJ array kerning, and inherited
+page attributes.
 """
 
 from __future__ import annotations
@@ -73,8 +83,25 @@ def split_lines(text: str, width: int = 60) -> list[str]:
     return lines
 
 
-def pdf_container(pages: list[list[str]], compress: bool = False) -> bytes:
-    """Build a PDF; ``pages`` is a list of line-lists (one per page)."""
+_XREF_W = (1, 4, 2)  # type / offset-or-objstm / gen-or-index field widths
+
+
+def _png_up_predict(rows: list[bytes]) -> bytes:
+    """Apply the PNG Up filter (tag 2) row-wise — the /Predictor 12
+    form real xref-stream writers emit."""
+    out, prior = bytearray(), bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out += b"\x02" + bytes((b - p) & 0xFF for b, p in zip(row, prior))
+        prior = row
+    return bytes(out)
+
+
+def pdf_container(
+    pages: list[list[str]], compress: bool = False, xref_stream: bool = False
+) -> bytes:
+    """Build a PDF; ``pages`` is a list of line-lists (one per page).
+    ``xref_stream=True`` emits the PDF 1.5 layout (object stream +
+    cross-reference stream) instead of the classic table."""
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
     objs: dict[int, bytes] = {
@@ -86,8 +113,10 @@ def pdf_container(pages: list[list[str]], compress: bool = False) -> bytes:
         ).encode(),
         font_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
+    stream_nums = []
     for i, lines in enumerate(pages):
         page_num, stream_num = 3 + 2 * i, 4 + 2 * i
+        stream_nums.append(stream_num)
         objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {stream_num} 0 R "
@@ -101,21 +130,78 @@ def pdf_container(pages: list[list[str]], compress: bool = False) -> bytes:
             head = f"<< /Length {len(data)} >>"
         objs[stream_num] = head.encode() + b"\nstream\n" + data + b"\nendstream"
 
-    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")  # binary-sniff comment
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")  # binary-sniff comment
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_at = len(out)
+        n_objs = max(objs) + 1
+        out += f"xref\n0 {n_objs}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_objs):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # PDF 1.5 layout: content streams stay top-level (streams may not
+    # live inside an ObjStm, ISO 32000-1 §7.5.7); every dict object
+    # packs into ONE object stream; bookkeeping goes in an xref STREAM
+    objstm_num, xref_num = font_num + 1, font_num + 2
+    packed = sorted(n for n in objs if n not in stream_nums)
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+    offsets = {}
+    for num in sorted(stream_nums):
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
-    xref_at = len(out)
-    n_objs = max(objs) + 1
-    out += f"xref\n0 {n_objs}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n_objs):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    # object stream: "num offset" pair header, then the bodies
+    body, pair_parts, at = bytearray(), [], 0
+    for num in packed:
+        pair_parts.append(f"{num} {at}")
+        body += objs[num] + b"\n"
+        at = len(body)
+    header = (" ".join(pair_parts) + "\n").encode()
+    stm_payload = zlib.compress(header + bytes(body), 6)
+    offsets[objstm_num] = len(out)
     out += (
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+        f"/First {len(header)} /Length {len(stm_payload)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + stm_payload
+        + b"\nendstream\nendobj\n"
+    )
+    # xref stream: one /W [1 4 2] row per object, big-endian; the
+    # trailer dict lives in the stream dict itself
+    xref_at = len(out)
+    n_objs = xref_num + 1
+    rows = []
+    for num in range(n_objs):
+        if num == 0:
+            t, f2, f3 = 0, 0, 0xFFFF
+        elif num in offsets or num == xref_num:
+            t, f2, f3 = 1, offsets.get(num, xref_at), 0
+        else:
+            t, f2, f3 = 2, objstm_num, packed.index(num)
+        rows.append(
+            t.to_bytes(_XREF_W[0], "big")
+            + f2.to_bytes(_XREF_W[1], "big")
+            + f3.to_bytes(_XREF_W[2], "big")
+        )
+    xdata = zlib.compress(_png_up_predict(rows), 6)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {n_objs} "
+        f"/W [{_XREF_W[0]} {_XREF_W[1]} {_XREF_W[2]}] /Index [0 {n_objs}] "
+        f"/Root 1 0 R /Length {len(xdata)} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {sum(_XREF_W)} >> "
+        f">>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -204,6 +290,104 @@ def _page_text(stream: bytes) -> str:
     return " ".join(texts)
 
 
+def _png_unpredict(raw: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors (tags 0-4, bpp=1) over ``columns``-wide
+    rows — the /Predictor >= 10 form of xref-stream data."""
+    stride = columns + 1
+    if len(raw) % stride:
+        raise ValueError("xref stream data is not a whole number of rows")
+    out, prior = bytearray(), bytes(columns)
+    for r in range(0, len(raw), stride):
+        tag, row = raw[r], bytearray(raw[r + 1 : r + stride])
+        for i in range(columns):
+            a = row[i - 1] if i else 0
+            b = prior[i]
+            if tag == 0:
+                pred = 0
+            elif tag == 1:
+                pred = a
+            elif tag == 2:
+                pred = b
+            elif tag == 3:
+                pred = (a + b) // 2
+            elif tag == 4:
+                c = prior[i - 1] if i else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"unknown PNG predictor row tag {tag}")
+            row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prior = bytes(row)
+    return bytes(out)
+
+
+def _xref_stream_entries(data: bytes, xref_at: int, num: int):
+    """Parse a /Type /XRef cross-reference stream → (offsets, instream,
+    xref dict bytes): type-1 entries land in ``offsets``, type-2 in
+    ``instream`` as (objstm_num, index)."""
+    obj_dict, raw = _stream_at(data, xref_at, num)
+    if not re.search(rb"/Type\s*/XRef", obj_dict):
+        raise ValueError("startxref points at a non-XRef stream object")
+    if re.search(rb"/Prev\b", obj_dict):
+        raise ValueError("incremental updates (/Prev xref chains) not supported")
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", obj_dict)
+    sm = re.search(rb"/Size\s+(\d+)", obj_dict)
+    if not wm or not sm:
+        raise ValueError("xref stream missing /W or /Size")
+    w = tuple(int(x) for x in wm.groups())
+    size = int(sm.group(1))
+    if re.search(rb"/Filter\s*/FlateDecode", obj_dict):
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"bad FlateDecode xref stream: {e}") from None
+    elif re.search(rb"/Filter", obj_dict):
+        raise ValueError("only FlateDecode xref streams are supported")
+    pm = re.search(rb"/Predictor\s+(\d+)", obj_dict)
+    if pm:
+        pred = int(pm.group(1))
+        if pred >= 10:
+            cm = re.search(rb"/Columns\s+(\d+)", obj_dict)
+            columns = int(cm.group(1)) if cm else 1
+            if columns != sum(w):
+                raise ValueError("/Columns disagrees with /W row width")
+            raw = _png_unpredict(raw, columns)
+        elif pred != 1:
+            raise ValueError(f"unsupported xref predictor {pred}")
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", obj_dict)
+    idx = (
+        [int(x) for x in re.findall(rb"\d+", im.group(1))]
+        if im
+        else [0, size]
+    )
+    if len(idx) % 2:
+        raise ValueError("odd /Index array in xref stream")
+    stride = sum(w)
+    n_entries = sum(idx[i + 1] for i in range(0, len(idx), 2))
+    if len(raw) < n_entries * stride:
+        raise ValueError("xref stream shorter than its /Index claims")
+    offsets: dict[int, int] = {}
+    instream: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for i in range(0, len(idx), 2):
+        for num_i in range(idx[i], idx[i] + idx[i + 1]):
+            fields = []
+            for width in w:
+                fields.append(
+                    int.from_bytes(raw[pos : pos + width], "big") if width else 0
+                )
+                pos += width
+            t = fields[0] if w[0] else 1  # absent type field defaults to 1
+            if t == 1:
+                offsets[num_i] = fields[1]
+            elif t == 2:
+                instream[num_i] = (fields[1], fields[2])
+            elif t != 0:
+                raise ValueError(f"unknown xref entry type {t}")
+    return offsets, instream, obj_dict
+
+
 def parse_pdf(data: bytes) -> list[str]:
     """Walk a PDF → ordered list of page texts (see module docstring
     for the verified subset)."""
@@ -214,37 +398,87 @@ def parse_pdf(data: bytes) -> list[str]:
     if not m:
         raise ValueError("missing startxref/%%EOF trailer")
     xref_at = int(m.group(1))
-    if data[xref_at : xref_at + 4] != b"xref":
-        if re.match(rb"\d+ \d+ obj", data[xref_at : xref_at + 20] or b""):
-            raise ValueError("cross-reference streams (PDF 1.5+) not supported")
-        raise ValueError("startxref does not point at an xref table")
+    instream: dict[int, tuple[int, int]] = {}
+    if data[xref_at : xref_at + 4] == b"xref":
+        # classic single xref section: "xref\n0 N\n" + N 20-byte entries
+        sec = re.match(rb"xref\s+0 (\d+)\s*\n", data[xref_at:])
+        if not sec:
+            raise ValueError("unsupported xref sectioning (incremental update?)")
+        n_objs = int(sec.group(1))
+        pos = xref_at + sec.end()
+        offsets: dict[int, int] = {}
+        for num in range(n_objs):
+            entry = data[pos : pos + 20]
+            em = _XREF_ENTRY.match(entry.rstrip(b"\r\n"))
+            if not em:
+                raise ValueError(f"malformed xref entry for object {num}")
+            if em.group(3) == b"n":
+                offsets[num] = int(em.group(1))
+            pos += 20
+        trailer = data[pos : pos + 256]
+    else:
+        xm = re.match(rb"(\d+) \d+ obj", data[xref_at : xref_at + 20] or b"")
+        if not xm:
+            raise ValueError("startxref points at neither an xref table nor an object")
+        offsets, instream, trailer = _xref_stream_entries(
+            data, xref_at, int(xm.group(1))
+        )
 
-    # single xref section: "xref\n0 N\n" + N 20-byte entries
-    sec = re.match(rb"xref\s+0 (\d+)\s*\n", data[xref_at:])
-    if not sec:
-        raise ValueError("unsupported xref sectioning (incremental update?)")
-    n_objs = int(sec.group(1))
-    pos = xref_at + sec.end()
-    offsets: dict[int, int] = {}
-    for num in range(n_objs):
-        entry = data[pos : pos + 20]
-        em = _XREF_ENTRY.match(entry.rstrip(b"\r\n"))
-        if not em:
-            raise ValueError(f"malformed xref entry for object {num}")
-        if em.group(3) == b"n":
-            offsets[num] = int(em.group(1))
-        pos += 20
-
-    trailer = data[pos : pos + 256]
     tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
     if not tm:
         raise ValueError("trailer missing /Root")
     if re.search(rb"/Encrypt", trailer):
         raise ValueError("encrypted PDFs not supported")
 
-    catalog = _obj_at(data, offsets[int(tm.group(1))], int(tm.group(1)))
+    objstm_cache: dict[int, tuple[dict[int, bytes], None]] = {}
+
+    def load_objstm(sn: int) -> dict[int, bytes]:
+        if sn not in objstm_cache:
+            if sn not in offsets:
+                raise ValueError(f"object stream {sn} not in xref")
+            od, raw = _stream_at(data, offsets[sn], sn)
+            if not re.search(rb"/Type\s*/ObjStm", od):
+                raise ValueError(f"type-2 entry points into non-ObjStm object {sn}")
+            if re.search(rb"/Filter\s*/FlateDecode", od):
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise ValueError(f"bad FlateDecode object stream: {e}") from None
+            elif re.search(rb"/Filter", od):
+                raise ValueError("only FlateDecode object streams are supported")
+            nm = re.search(rb"/N\s+(\d+)", od)
+            fm = re.search(rb"/First\s+(\d+)", od)
+            if not nm or not fm:
+                raise ValueError(f"object stream {sn} missing /N or /First")
+            n, first = int(nm.group(1)), int(fm.group(1))
+            pairs = [int(x) for x in re.findall(rb"\d+", raw[:first])]
+            if len(pairs) < 2 * n:
+                raise ValueError(f"object stream {sn} pair header too short")
+            bodies: dict[int, bytes] = {}
+            for i in range(n):
+                onum, ooff = pairs[2 * i], pairs[2 * i + 1]
+                oend = pairs[2 * i + 3] if i + 1 < n else len(raw) - first
+                bodies[onum] = raw[first + ooff : first + oend]
+            objstm_cache[sn] = (bodies, None)
+        return objstm_cache[sn][0]
+
+    def get_obj(num: int) -> bytes:
+        if num in instream:
+            sn, _idx = instream[num]
+            bodies = load_objstm(sn)
+            if num not in bodies:
+                raise ValueError(
+                    f"object {num} missing from its object stream {sn}"
+                )
+            return bodies[num]
+        if num not in offsets:
+            raise ValueError(f"object {num} not in xref")
+        return _obj_at(data, offsets[num], num)
+
+    root_num = int(tm.group(1))
+    catalog = get_obj(root_num)
     pages_num = _dict_ref(catalog, rb"/Pages")
-    pages_obj = _obj_at(data, offsets[pages_num], pages_num)
+    pages_obj = get_obj(pages_num)
     kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
     cm = re.search(rb"/Count\s+(\d+)", pages_obj)
     if not kids or not cm:
@@ -255,10 +489,12 @@ def parse_pdf(data: bytes) -> list[str]:
 
     texts: list[str] = []
     for kn in kid_nums:
-        if kn not in offsets:
-            raise ValueError(f"page object {kn} not in xref")
-        page = _obj_at(data, offsets[kn], kn)
+        page = get_obj(kn)
         sn = _dict_ref(page, rb"/Contents")
+        if sn in instream:
+            # ISO 32000-1 §7.5.7: stream objects may not live in an
+            # object stream — a type-2 content entry is corruption
+            raise ValueError(f"content stream {sn} illegally inside an ObjStm")
         if sn not in offsets:
             raise ValueError(f"content stream {sn} not in xref")
         obj_dict, raw = _stream_at(data, offsets[sn], sn)

@@ -257,9 +257,11 @@ def q_pdf_extract(spark, sf_dir):
     """Document-format round trip through the subset-PDF codec
     (operators/pdf.py): each doc becomes a REAL multi-page PDF
     (40 words per page, 60-char text lines, xref/trailer bookkeeping;
-    odd doc_ids FlateDecode their content streams — extraction must be
-    filter-blind), then the parser resolves catalog → page tree →
-    content streams → Tj literals and reassembles the text.  The
+    doc_id % 3 routes the CONTAINER flavor — plain 1.4, FlateDecode
+    1.4, or the modern PDF 1.5 layout with ObjStm-packed dicts and a
+    /Predictor 12 cross-reference stream — extraction must be blind to
+    filter AND xref flavor), then the parser resolves catalog → page
+    tree → content streams → Tj literals and reassembles the text.  The
     oracle replays page count and the md5 of the recovered text from
     the documents table: a dropped page, mis-ordered kid, or broken
     escape fails the hash.
@@ -292,8 +294,14 @@ def q_pdf_extract(spark, sf_dir):
                     split(" ".join(words[i : i + wpp]))
                     for i in range(0, len(words), wpp)
                 ] or [[""]]
+                flavor = int(d) % 3  # plain 1.4 / flate 1.4 / xref-stream 1.5
                 rows.append(
-                    (int(d), build_pdf(pages, compress=bool(int(d) % 2)))
+                    (
+                        int(d),
+                        build_pdf(
+                            pages, compress=flavor >= 1, xref_stream=flavor == 2
+                        ),
+                    )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
