@@ -333,6 +333,8 @@ HEADLINE = [
     "q_crawl_schedule",
     # round-11: SemDeDup multi-rep regime forced at shipped SFs
     "q_semdedup_multirep",
+    # round-11: MP3 demux accounting (header-math frame walk)
+    "q_mp3_framewalk",
 ]
 
 # recent-window anchor (r9 verdict item 4): the all-time anchor is a

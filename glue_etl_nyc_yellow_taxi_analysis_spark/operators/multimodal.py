@@ -23,7 +23,10 @@ Decode support is two-tier:
   Huffman+IDCT, so no DuckDB oracle lane).
 * the remaining compressed codecs (MP3/H.264; arithmetic-coded or
   12-bit JPEG) need libs absent from this container; those payloads
-  still raise ``NotImplementedError`` where ffmpeg would go.
+  still raise ``NotImplementedError`` where ffmpeg would go.  MP3
+  DEMUX-level accounting (frame walk, duration, bitrate profile) IS
+  implemented — ``operators/mp3.py`` / ``q_mp3_framewalk`` — only the
+  Huffman/IMDCT decode stage remains behind this seam.
   ``fake_decode=True`` keeps the deterministic byte-slicer for
   plumbing tests.
 """

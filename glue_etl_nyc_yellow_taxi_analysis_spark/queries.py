@@ -2332,3 +2332,8 @@ from .queries_ext50 import ORACLE_EXT50, QUERIES_EXT50  # noqa: E402
 
 QUERIES.update(QUERIES_EXT50)
 ORACLE.update(ORACLE_EXT50)
+
+from .queries_ext51 import ORACLE_EXT51, QUERIES_EXT51  # noqa: E402
+
+QUERIES.update(QUERIES_EXT51)
+ORACLE.update(ORACLE_EXT51)

@@ -1,0 +1,134 @@
+"""Extended inventory LI — MP3 demux accounting (round 11).
+
+``q_mp3_framewalk`` closes the media matrix's most common wire format
+at the DEMUX level (the ``q_avi_framesample`` discipline: walk the
+container math, decode nothing): each doc becomes a real MPEG-1
+Layer III stream (operators/mp3.py — optional ID3v2.4 syncsafe tag,
+per-frame 4-byte headers, header-mandated payload extents), then the
+walker re-derives frame count, byte total, exact integer duration and
+centi-kbps bitrate profile purely from the header math.  A determinis-
+tic subset of docs is truncated mid-frame — the fail-soft path
+accounts them as NULL marker rows, and the oracle pins those too.
+
+Scale shape: one stateless Arrow map pass — build + walk never leave
+the input partition, no shuffle at all.  Audio DECODE stays a
+documented seam (Huffman/IMDCT belong to a codec library); everything
+a corpus-stats or sharding pass needs (duration, bitrate, frame
+boundaries) is exact here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from .operators import mp3
+from .queries import _t
+
+QUERIES_EXT51 = {}
+ORACLE_EXT51 = {}
+
+_MAX_FRAMES = 25  # n_frames = 1 + len(text) % 24  ∈  [1, 25)
+
+
+def q_mp3_framewalk(spark, sf_dir):
+    """MP3 demux round trip: docs → real MPEG-1 Layer III streams →
+    header-math walk → per-doc accounting (see module docstring).
+
+    Frame spec per doc (replayed verbatim by the oracle):
+    samplerate index doc_id % 3, n_frames 1 + len(text) % 24, frame i
+    bitrate index 1 + (doc_id + i) % 14 with padding (doc_id + i) % 2,
+    ID3v2 payload of doc_id % 64 bytes (0 → no tag); docs with
+    doc_id % 50 == 7 lose their final byte (truncated last frame)."""
+    import hashlib  # noqa: F401  (parity with sibling lanes)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    build, walk = mp3.mp3_container, mp3.walk_mp3
+    spf = mp3.SAMPLES_PER_FRAME
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("sr", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("total_bytes", T.LongType(), True),
+            T.StructField("duration_us", T.LongType(), True),
+            T.StructField("avg_centikbps", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, t in zip(b["doc_id"], b["text"]):
+                d = int(d)
+                n = 1 + (len("" if t is None else t) % 24)
+                frames = [(1 + (d + i) % 14, (d + i) % 2) for i in range(n)]
+                data = build(frames, d % 3, id3_payload=bytes(d % 64))
+                if d % 50 == 7:
+                    data = data[:-1]  # hostile: truncated final frame
+                try:
+                    sr, walked = walk(data)
+                except ValueError:
+                    rows.append((d, None, None, None, None, None))
+                    continue
+                rows.append(
+                    (
+                        d,
+                        sr,
+                        len(walked),
+                        len(data),
+                        len(walked) * spf * 1_000_000 // sr,
+                        sum(k for k, _ in walked) * 100 // len(walked),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sr", "n_frames", "total_bytes",
+                    "duration_us", "avg_centikbps",
+                ],
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+SQL_MP3_FRAMEWALK = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr,
+         1 + (length(coalesce(text, '')) % 24) AS n_frames
+  FROM documents
+), per_frame AS (
+  -- outer index named k, not i (the DUCK_HASH32 lambda-shadow rule)
+  SELECT f.doc_id, f.sr, f.n_frames,
+         list_extract(
+           LIST_VALUE(32,40,48,56,64,80,96,112,128,160,192,224,256,320),
+           CAST(1 + (f.doc_id + t.k) % 14 AS INTEGER)) AS kbps,
+         CAST((f.doc_id + t.k) % 2 AS BIGINT) AS pad
+  FROM f, range(0, {_MAX_FRAMES}) t(k) WHERE t.k < f.n_frames
+), agg AS (
+  SELECT doc_id, sr, n_frames,
+         CAST(SUM(144 * kbps * 1000 // sr + pad) AS BIGINT) AS frame_bytes,
+         CAST(SUM(kbps) AS BIGINT) AS sum_kbps
+  FROM per_frame GROUP BY doc_id, sr, n_frames
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 50 = 7 THEN NULL ELSE sr END AS sr,
+       CASE WHEN doc_id % 50 = 7 THEN NULL ELSE n_frames END AS n_frames,
+       CASE WHEN doc_id % 50 = 7 THEN NULL ELSE frame_bytes
+            + CASE WHEN doc_id % 64 = 0 THEN 0 ELSE 10 + doc_id % 64 END
+       END AS total_bytes,
+       CASE WHEN doc_id % 50 = 7 THEN NULL
+            ELSE CAST(n_frames AS BIGINT) * 1152 * 1000000 // sr
+       END AS duration_us,
+       CASE WHEN doc_id % 50 = 7 THEN NULL
+            ELSE sum_kbps * 100 // n_frames END AS avg_centikbps
+FROM agg
+"""
+
+QUERIES_EXT51["q_mp3_framewalk"] = q_mp3_framewalk
+ORACLE_EXT51["q_mp3_framewalk"] = SQL_MP3_FRAMEWALK
