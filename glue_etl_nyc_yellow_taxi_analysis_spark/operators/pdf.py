@@ -18,23 +18,29 @@ applied to the document layer.  The deliberately small surface:
   FlateDecode with the PNG Up predictor ``/Predictor 12`` real
   writers use, trailer keys carried in the stream dict).  Builds open
   in real viewers; offsets are verified on the way back in.
+- ``pdf_incremental_append(base, pages)`` — the append-only save
+  format (ISO 32000-1 §7.5.6) every editor/signer uses: base bytes
+  stay untouched, the page tree is re-written at a new offset, and a
+  changed-objects-only xref section chains back via ``/Prev``.
 - ``parse_pdf(data)`` — walk a PDF → ordered [page text].  Verifies
   the header, startxref bookkeeping through EITHER flavor (classic
-  table, or xref stream: ``/W`` field walk over ``/Index`` ranges,
-  PNG row un-predictor for ``/Predictor >= 10``, type-2 entries
-  resolved through their object stream's ``/N``/``/First`` pair
-  header), every in-use offset must point at its ``N 0 obj``,
-  /Length vs actual stream extent, page /Count vs kids, inflates
-  FlateDecode streams, tokenizes BT..ET text blocks and unescapes
-  ``Tj`` string literals.  Raises ValueError on truncation/
-  corruption — never a silent partial read.
+  table with arbitrary subsections, or xref stream: ``/W`` field walk
+  over ``/Index`` ranges, PNG row un-predictor for ``/Predictor >=
+  10``, type-2 entries resolved through their object stream's
+  ``/N``/``/First`` pair header) and through ``/Prev`` incremental
+  chains (newest section wins per object; free entries delete;
+  circular/implausible chains raise), every in-use offset must point
+  at its ``N 0 obj``, /Length vs actual stream extent, page /Count vs
+  kids, inflates FlateDecode streams, tokenizes BT..ET text blocks
+  and unescapes ``Tj`` string literals.  Raises ValueError on
+  truncation/corruption — never a silent partial read.
 
 Intentionally NOT implemented (the pdfminer/poppler swap seam, each a
-descriptive ValueError at the hand-off): incremental updates
-(``/Prev`` chains of xref sections), encryption, fonts with custom
-encodings/CMaps (text extraction assumes the built-in
-StandardEncoding our builder emits), TJ array kerning, and inherited
-page attributes.
+descriptive ValueError at the hand-off): encryption, fonts with
+custom encodings/CMaps (text extraction assumes the built-in
+StandardEncoding our builder emits), TJ array kerning, inherited page
+attributes, and incremental appends ONTO xref-stream bases (parsing
+foreign ones works; producing them would need ObjStm rewriting).
 """
 
 from __future__ import annotations
@@ -205,6 +211,88 @@ def pdf_container(
     return bytes(out)
 
 
+def pdf_incremental_append(
+    base: bytes, new_pages: list[list[str]], compress: bool = False
+) -> bytes:
+    """Append pages as an INCREMENTAL UPDATE (ISO 32000-1 §7.5.6 — the
+    append-only save every editor/signer uses): the original bytes stay
+    byte-identical, new page + content-stream objects follow, the page
+    tree object is re-written at a new offset, and a new xref section
+    (changed objects only, two subsections) chains to the old one via
+    ``/Prev``.  Supports classic-table bases from ``pdf_container``;
+    updating an ObjStm-packed base would need ObjStm rewriting, so
+    xref-stream bases raise descriptively."""
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF\s*$", base)
+    if not m:
+        raise ValueError("base is not a parseable PDF (missing trailer)")
+    old_xref = int(m.group(1))
+    if base[old_xref : old_xref + 4] != b"xref":
+        raise ValueError(
+            "incremental append supports classic-table bases only "
+            "(xref-stream bases would need ObjStm rewriting)"
+        )
+    sm = re.search(rb"/Size\s+(\d+)", base[old_xref:])
+    if not sm:
+        raise ValueError("base trailer missing /Size")
+    n0 = int(sm.group(1))
+    # the LAST 2 0 obj wins: a previously-updated base carries stale
+    # page-tree generations earlier in the file (append-only format)
+    pm = None
+    for pm in re.finditer(rb"\n2 0 obj\n(.*?)\nendobj", base, re.S):
+        pass
+    if not pm:
+        raise ValueError("base page tree (2 0 obj) not found")
+    km = re.search(rb"/Kids\s*\[([^\]]*)\]", pm.group(1))
+    cm = re.search(rb"/Count\s+(\d+)", pm.group(1))
+    fm = re.search(rb"/Font << /F1 (\d+) 0 R >>", base)
+    if not km or not cm or not fm:
+        raise ValueError("base page tree missing /Kids, /Count, or a font")
+    font_num = int(fm.group(1))
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offsets: dict[int, int] = {}
+    kid_refs = re.findall(rb"\d+ 0 R", km.group(1))
+    for j, lines in enumerate(new_pages):
+        page_num, stream_num = n0 + 2 * j, n0 + 2 * j + 1
+        data = _content_stream(lines)
+        if compress:
+            data = zlib.compress(data, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(data)} >>"
+        offsets[stream_num] = len(out)
+        out += (
+            f"{stream_num} 0 obj\n{head}\nstream\n".encode()
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+        offsets[page_num] = len(out)
+        out += (
+            f"{page_num} 0 obj\n<< /Type /Page /Parent 2 0 R "
+            f"/MediaBox [0 0 612 792] /Contents {stream_num} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>\nendobj\n"
+        ).encode()
+        kid_refs.append(f"{page_num} 0 R".encode())
+    offsets[2] = len(out)
+    out += (
+        b"2 0 obj\n<< /Type /Pages /Kids ["
+        + b" ".join(kid_refs)
+        + f"] /Count {int(cm.group(1)) + len(new_pages)} >>\nendobj\n".encode()
+    )
+    xref_at = len(out)
+    n_new = 2 * len(new_pages)
+    out += b"xref\n2 1\n" + f"{offsets[2]:010d} 00000 n \n".encode()
+    out += f"{n0} {n_new}\n".encode()
+    for num in range(n0, n0 + n_new):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n0 + n_new} /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 _XREF_ENTRY = re.compile(rb"^(\d{10}) (\d{5}) ([nf]) ?$")
 
 
@@ -324,13 +412,11 @@ def _png_unpredict(raw: bytes, columns: int) -> bytes:
 
 def _xref_stream_entries(data: bytes, xref_at: int, num: int):
     """Parse a /Type /XRef cross-reference stream → (offsets, instream,
-    xref dict bytes): type-1 entries land in ``offsets``, type-2 in
-    ``instream`` as (objstm_num, index)."""
+    freed, xref dict bytes): type-1 entries land in ``offsets``, type-2
+    in ``instream`` as (objstm_num, index), type-0 in ``freed``."""
     obj_dict, raw = _stream_at(data, xref_at, num)
     if not re.search(rb"/Type\s*/XRef", obj_dict):
         raise ValueError("startxref points at a non-XRef stream object")
-    if re.search(rb"/Prev\b", obj_dict):
-        raise ValueError("incremental updates (/Prev xref chains) not supported")
     wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", obj_dict)
     sm = re.search(rb"/Size\s+(\d+)", obj_dict)
     if not wm or not sm:
@@ -369,6 +455,7 @@ def _xref_stream_entries(data: bytes, xref_at: int, num: int):
         raise ValueError("xref stream shorter than its /Index claims")
     offsets: dict[int, int] = {}
     instream: dict[int, tuple[int, int]] = {}
+    freed: set[int] = set()
     pos = 0
     for i in range(0, len(idx), 2):
         for num_i in range(idx[i], idx[i] + idx[i + 1]):
@@ -383,9 +470,53 @@ def _xref_stream_entries(data: bytes, xref_at: int, num: int):
                 offsets[num_i] = fields[1]
             elif t == 2:
                 instream[num_i] = (fields[1], fields[2])
-            elif t != 0:
+            elif t == 0:
+                if num_i:  # object 0 is the permanent free-list head
+                    freed.add(num_i)
+            else:
                 raise ValueError(f"unknown xref entry type {t}")
-    return offsets, instream, obj_dict
+    return offsets, instream, freed, obj_dict
+
+
+def _classic_section(data: bytes, xref_at: int):
+    """Parse one classic xref section (arbitrary subsections, the
+    incremental-update form) → (offsets, freed, trailer bytes)."""
+    sec = re.match(rb"xref\s*\n", data[xref_at : xref_at + 16])
+    if not sec:
+        raise ValueError("malformed xref section header")
+    pos = xref_at + sec.end()
+    offsets: dict[int, int] = {}
+    freed: set[int] = set()
+    saw_subsection = False
+    while True:
+        sub = re.match(rb"(\d+) (\d+)\s*\n", data[pos : pos + 32])
+        if not sub:
+            break
+        saw_subsection = True
+        start, count = int(sub.group(1)), int(sub.group(2))
+        pos += sub.end()
+        for num in range(start, start + count):
+            entry = data[pos : pos + 20]
+            em = _XREF_ENTRY.match(entry.rstrip(b"\r\n"))
+            if not em:
+                raise ValueError(f"malformed xref entry for object {num}")
+            if em.group(3) == b"n":
+                offsets[num] = int(em.group(1))
+            elif num:  # object 0 is the permanent free-list head
+                freed.add(num)
+            pos += 20
+    if not saw_subsection:
+        raise ValueError("xref section has no subsections")
+    tm = re.match(rb"\s*trailer\s*", data[pos : pos + 32])
+    if not tm:
+        raise ValueError("xref section not followed by a trailer")
+    # the trailer dict ends at this section's own startxref keyword —
+    # slicing past it would read a LATER update's /Prev into this
+    # section's trailer (incremental files stack sections)
+    end = data.find(b"startxref", pos)
+    if end < 0 or end - pos > 512:
+        end = pos + 512
+    return offsets, freed, data[pos:end]
 
 
 def parse_pdf(data: bytes) -> list[str]:
@@ -397,32 +528,49 @@ def parse_pdf(data: bytes) -> list[str]:
     m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
     if not m:
         raise ValueError("missing startxref/%%EOF trailer")
-    xref_at = int(m.group(1))
+    # walk the /Prev chain newest-first (incremental updates,
+    # ISO 32000-1 §7.5.6); either section flavor may appear at any link
+    sections = []
+    trailer = b""
+    at = int(m.group(1))
+    seen_at: set[int] = set()
+    while True:
+        if at in seen_at:
+            raise ValueError("circular /Prev xref chain")
+        if len(seen_at) > 64:
+            raise ValueError("xref /Prev chain implausibly long")
+        seen_at.add(at)
+        if data[at : at + 4] == b"xref":
+            offs, freed, trail = _classic_section(data, at)
+            ins: dict[int, tuple[int, int]] = {}
+        else:
+            xm = re.match(rb"(\d+) \d+ obj", data[at : at + 20] or b"")
+            if not xm:
+                raise ValueError(
+                    "startxref/Prev points at neither an xref table nor an object"
+                )
+            offs, ins, freed, trail = _xref_stream_entries(data, at, int(xm.group(1)))
+        sections.append((offs, ins, freed))
+        if not trailer:
+            trailer = trail  # the NEWEST trailer carries /Root
+        pm = re.search(rb"/Prev\s+(\d+)", trail)
+        if not pm:
+            break
+        at = int(pm.group(1))
+    # merge oldest→newest: a newer section's entries (and frees)
+    # override older ones
+    offsets: dict[int, int] = {}
     instream: dict[int, tuple[int, int]] = {}
-    if data[xref_at : xref_at + 4] == b"xref":
-        # classic single xref section: "xref\n0 N\n" + N 20-byte entries
-        sec = re.match(rb"xref\s+0 (\d+)\s*\n", data[xref_at:])
-        if not sec:
-            raise ValueError("unsupported xref sectioning (incremental update?)")
-        n_objs = int(sec.group(1))
-        pos = xref_at + sec.end()
-        offsets: dict[int, int] = {}
-        for num in range(n_objs):
-            entry = data[pos : pos + 20]
-            em = _XREF_ENTRY.match(entry.rstrip(b"\r\n"))
-            if not em:
-                raise ValueError(f"malformed xref entry for object {num}")
-            if em.group(3) == b"n":
-                offsets[num] = int(em.group(1))
-            pos += 20
-        trailer = data[pos : pos + 256]
-    else:
-        xm = re.match(rb"(\d+) \d+ obj", data[xref_at : xref_at + 20] or b"")
-        if not xm:
-            raise ValueError("startxref points at neither an xref table nor an object")
-        offsets, instream, trailer = _xref_stream_entries(
-            data, xref_at, int(xm.group(1))
-        )
+    for offs, ins, freed in reversed(sections):
+        for n in freed:
+            offsets.pop(n, None)
+            instream.pop(n, None)
+        for n, v in offs.items():
+            offsets[n] = v
+            instream.pop(n, None)
+        for n, v2 in ins.items():
+            instream[n] = v2
+            offsets.pop(n, None)
 
     tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
     if not tm:

@@ -257,11 +257,13 @@ def q_pdf_extract(spark, sf_dir):
     """Document-format round trip through the subset-PDF codec
     (operators/pdf.py): each doc becomes a REAL multi-page PDF
     (40 words per page, 60-char text lines, xref/trailer bookkeeping;
-    doc_id % 3 routes the CONTAINER flavor — plain 1.4, FlateDecode
-    1.4, or the modern PDF 1.5 layout with ObjStm-packed dicts and a
-    /Predictor 12 cross-reference stream — extraction must be blind to
-    filter AND xref flavor), then the parser resolves catalog → page
-    tree → content streams → Tj literals and reassembles the text.  The
+    doc_id % 4 routes the CONTAINER flavor — plain 1.4, FlateDecode
+    1.4, the modern PDF 1.5 layout with ObjStm-packed dicts and a
+    /Predictor 12 cross-reference stream, or an INCREMENTALLY UPDATED
+    file whose pages past the first arrive as an appended /Prev
+    section — extraction must be blind to filter, xref flavor, and
+    update history), then the parser resolves catalog → page tree →
+    content streams → Tj literals and reassembles the text.  The
     oracle replays page count and the md5 of the recovered text from
     the documents table: a dropped page, mis-ordered kid, or broken
     escape fails the hash.
@@ -274,6 +276,7 @@ def q_pdf_extract(spark, sf_dir):
     from .operators import pdf
 
     build_pdf, parse_pdf, split = pdf.pdf_container, pdf.parse_pdf, pdf.split_lines
+    append_pdf = pdf.pdf_incremental_append
     wpp = _PDF_WORDS_PER_PAGE
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -294,15 +297,17 @@ def q_pdf_extract(spark, sf_dir):
                     split(" ".join(words[i : i + wpp]))
                     for i in range(0, len(words), wpp)
                 ] or [[""]]
-                flavor = int(d) % 3  # plain 1.4 / flate 1.4 / xref-stream 1.5
-                rows.append(
-                    (
-                        int(d),
-                        build_pdf(
-                            pages, compress=flavor >= 1, xref_stream=flavor == 2
-                        ),
+                # plain 1.4 / flate 1.4 / xref-stream 1.5 / incremental
+                flavor = int(d) % 4
+                if flavor == 3:
+                    payload = append_pdf(
+                        build_pdf(pages[:1], compress=True), pages[1:]
                     )
-                )
+                else:
+                    payload = build_pdf(
+                        pages, compress=flavor >= 1, xref_stream=flavor == 2
+                    )
+                rows.append((int(d), payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     out_schema = T.StructType(

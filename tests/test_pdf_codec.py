@@ -252,3 +252,60 @@ def test_png_unpredict_all_row_tags():
     assert pdf._png_unpredict(predict(rows, tags), cols) == b"".join(rows)
     with pytest.raises(ValueError, match="row tag"):
         pdf._png_unpredict(predict(rows[:1], [7]), cols)
+
+
+def test_incremental_append_chain():
+    """ISO 32000-1 §7.5.6 incremental updates (r11): the base bytes
+    stay byte-identical, appended pages extend the tree, a second
+    update chains through TWO /Prev links, and every generation still
+    parses standalone."""
+    base = pdf.pdf_container([["first page"], ["second page"]], compress=True)
+    up1 = pdf.pdf_incremental_append(base, [["third page"], ["fourth page"]])
+    assert up1[: len(base)] == base  # append-only
+    assert pdf.parse_pdf(up1) == [
+        "first page", "second page", "third page", "fourth page",
+    ]
+    up2 = pdf.pdf_incremental_append(up1, [["fifth page"]], compress=True)
+    assert pdf.parse_pdf(up2) == [
+        "first page", "second page", "third page", "fourth page", "fifth page",
+    ]
+    assert pdf.parse_pdf(base) == ["first page", "second page"]
+    with pytest.raises(ValueError, match="classic-table bases"):
+        pdf.pdf_incremental_append(
+            pdf.pdf_container([["x"]], xref_stream=True), [["y"]]
+        )
+
+
+def test_incremental_free_entry_deletes_page():
+    """A newer section's 'f' entry must DELETE the object: hand-build
+    an update that frees page two's objects and shrinks the tree —
+    the merged xref must drop it, not resurrect the older entry."""
+    base = pdf.pdf_container([["keep me"], ["delete me"]])
+    m = __import__("re").search(rb"startxref\s+(\d+)\s+%%EOF\s*$", base)
+    old_xref = int(m.group(1))
+    out = bytearray(base)
+    new2_at = len(out)
+    out += (
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    )
+    xref_at = len(out)
+    out += b"xref\n2 1\n" + f"{new2_at:010d} 00000 n \n".encode()
+    # free page 5 (page object) and 6 (its content stream)
+    out += b"5 2\n0000000000 65535 f \n0000000000 65535 f \n"
+    out += (
+        f"trailer\n<< /Size 8 /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    assert pdf.parse_pdf(bytes(out)) == ["keep me"]
+
+
+def test_circular_prev_chain_raises():
+    base = pdf.pdf_container(_pages())
+    m = __import__("re").search(rb"startxref\s+(\d+)\s+%%EOF\s*$", base)
+    old_xref = int(m.group(1))
+    # self-referential /Prev: the chain guard must fire, not loop
+    loop = base.replace(
+        b"/Root 1 0 R >>", f"/Root 1 0 R /Prev {old_xref} >>".encode(), 1
+    )
+    with pytest.raises(ValueError, match="circular"):
+        pdf.parse_pdf(loop)
