@@ -335,6 +335,9 @@ HEADLINE = [
     "q_semdedup_multirep",
     # round-11: MP3 demux accounting (header-math frame walk)
     "q_mp3_framewalk",
+    # round-11: per-URL politeness slots + the stateful streaming twin
+    "q_crawl_slots",
+    "q_stream_crawl_pacing",
 ]
 
 # recent-window anchor (r9 verdict item 4): the all-time anchor is a

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators import mp3
@@ -132,3 +133,171 @@ FROM agg
 
 QUERIES_EXT51["q_mp3_framewalk"] = q_mp3_framewalk
 ORACLE_EXT51["q_mp3_framewalk"] = SQL_MP3_FRAMEWALK
+
+
+# --------------------------------------------------------------------------
+# REP politeness, per-URL: batch slots + the stateful streaming twin
+# --------------------------------------------------------------------------
+
+def q_crawl_slots(spark, sf_dir):
+    """Per-URL fetch slots under REP politeness: the gated frontier's
+    allowed URLs get a per-host slot (0-based, url order) and a
+    scheduled_s = slot * Crawl-delay — the row-level expansion of
+    q_crawl_schedule's per-host plan (a real fetcher consumes exactly
+    this table).  One keyed window over the host partition — the
+    per-key two-phase rule applies only to GLOBAL orderings; a host's
+    queue is the natural partition here."""
+    from pyspark.sql import Window
+
+    from .operators import robots as R
+    from .queries_ext48 import _robots_frontier
+
+    frontier, robots = _robots_frontier(spark, sf_dir)
+    rules = R.parse_robots(robots)
+    verdicts = R.gate_frontier(frontier, rules, ["doc_id", "url"])
+    allowed = (
+        verdicts.filter(F.col("is_allowed") == 1).select("host", "url").distinct()
+    )
+    pace = F.coalesce("crawl_delay_s", F.lit(1))
+    slot = F.row_number().over(Window.partitionBy("host").orderBy("url")) - 1
+    return (
+        allowed.join(R.parse_crawl_delay(robots), "host", "left")
+        .select(
+            "host",
+            "url",
+            slot.cast("int").alias("slot"),
+            (slot * pace).cast("bigint").alias("scheduled_s"),
+        )
+    )
+
+
+def _sql_crawl_slots(order_expr: str) -> str:
+    from .queries_ext48 import _SQL_REP_CTES
+
+    return f"""{_SQL_REP_CTES}, per_url AS (
+  SELECT DISTINCT f.host, f.url, COALESCE(b.b.a, 1) AS is_allowed
+  FROM frontier f LEFT JOIN best b ON f.doc_id = b.doc_id AND f.url = b.url
+), delays AS (
+  SELECT host,
+         max(CAST(trim(substr(trim(line), 13)) AS INTEGER)) AS crawl_delay_s
+  FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM robots)
+  WHERE lower(trim(line)) LIKE 'crawl-delay:%'
+  GROUP BY host
+)
+SELECT p.host, p.url,
+       CAST(row_number() OVER (PARTITION BY p.host ORDER BY {order_expr}) - 1
+            AS INTEGER) AS slot,
+       CAST((row_number() OVER (PARTITION BY p.host ORDER BY {order_expr}) - 1)
+            * COALESCE(d.crawl_delay_s, 1) AS BIGINT) AS scheduled_s
+FROM per_url p LEFT JOIN delays d ON p.host = d.host
+WHERE p.is_allowed = 1
+"""
+
+
+QUERIES_EXT51["q_crawl_slots"] = q_crawl_slots
+ORACLE_EXT51["q_crawl_slots"] = _sql_crawl_slots("p.url")
+
+
+def q_stream_crawl_pacing(spark, sf_dir):
+    """The politeness scheduler IN-STREAM: frontier URLs arrive over
+    three micro-batches (one file per trigger, mtime-ordered), and a
+    per-host applyInPandasWithState token counter hands out fetch
+    slots that CONTINUE across batches — the state machine a real
+    crawl coordinator runs.  Slot order is (arrival batch, url); the
+    drained sink must equal the batch computation row for row, which
+    the shared slots oracle replays with the same ordering.
+
+    Scale shape: state is one integer per host (|hosts|-bounded store);
+    each micro-batch shuffles only its own arrivals by host."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import types as T2
+
+    from .operators import robots as R
+    from .queries_ext48 import _robots_frontier
+
+    frontier, robots = _robots_frontier(spark, sf_dir)
+    rules = R.parse_robots(robots)
+    verdicts = R.gate_frontier(frontier, rules, ["doc_id", "url"])
+    pace = F.coalesce("crawl_delay_s", F.lit(1))
+    allowed = (
+        verdicts.filter(F.col("is_allowed") == 1)
+        .select("host", "url")
+        .distinct()
+        .join(R.parse_crawl_delay(robots), "host", "left")
+        .select("host", "url", pace.alias("crawl_delay_s"))
+    )
+    # three deterministic arrival waves by length(url) % 3, one FILE
+    # each with strictly increasing mtimes (FileStreamSource orders by
+    # mtime) so batch order — and therefore slot order — is replayable
+    src_dir = tempfile.mkdtemp(prefix="sg_pacing_src_")
+    for b in range(3):
+        part = allowed.filter(F.length("url") % 3 == b).coalesce(1)
+        pdir = tempfile.mkdtemp(prefix="sg_pacing_part_")
+        part.write.mode("overwrite").parquet(pdir)
+        src = next(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        dst = f"{src_dir}/wave{b}.parquet"
+        os.rename(f"{pdir}/{src}", dst)
+        ts = time.time() + b * 2
+        os.utime(dst, (ts, ts))
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("host", T2.StringType(), True),
+            T2.StructField("url", T2.StringType(), True),
+            T2.StructField("slot", T2.IntegerType(), True),
+            T2.StructField("scheduled_s", T2.LongType(), True),
+        ]
+    )
+    state_schema = T2.StructType([T2.StructField("next_slot", T2.IntegerType(), True)])
+
+    def grant(key, pdfs, state):
+        import pandas as pd2
+
+        base = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url")
+            n = len(pdf)
+            slots = list(range(base, base + n))
+            delay = [1 if pd2.isna(d) else int(d) for d in pdf["crawl_delay_s"]]
+            yield pd2.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "url": pdf["url"],
+                    "slot": slots,
+                    "scheduled_s": [s * d for s, d in zip(slots, delay)],
+                }
+            )
+            base += n
+        state.update((base,))
+
+    stream = (
+        spark.readStream.schema(allowed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    paced = stream.groupBy("host").applyInPandasWithState(
+        grant, out_schema, state_schema, "append", "NoTimeout"
+    )
+    sink = "crawl_pacing_" + os.path.basename(src_dir).split("_")[-1]
+    ckpt = tempfile.mkdtemp(prefix="sg_pacing_ckpt_")
+    q = (
+        paced.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+QUERIES_EXT51["q_stream_crawl_pacing"] = q_stream_crawl_pacing
+ORACLE_EXT51["q_stream_crawl_pacing"] = _sql_crawl_slots(
+    "length(p.url) % 3, p.url"
+)

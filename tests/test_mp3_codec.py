@@ -120,3 +120,35 @@ def test_lane_accounting_matches_hand_math(spark, sf_dir):
         assert r["duration_us"] == n * 1152 * 1_000_000 // sr
         assert r["avg_centikbps"] == sum(kbps) * 100 // n
     assert seen_ok and seen_trunc
+
+
+def test_stream_pacing_state_continues_across_batches(spark, sf_dir):
+    """q_stream_crawl_pacing: slots must CONTINUE across the three
+    arrival waves (the state store doing real work), stay contiguous
+    per host, and follow the (wave, url) arrival order exactly; the
+    batch q_crawl_slots lane must agree on the allowed URL set."""
+    from collections import defaultdict
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext51 import (
+        q_crawl_slots,
+        q_stream_crawl_pacing,
+    )
+
+    rows = q_stream_crawl_pacing(spark, sf_dir).collect()
+    per_host = defaultdict(list)
+    for r in rows:
+        per_host[r["host"]].append(r)
+    assert per_host
+    multi_wave_hosts = 0
+    for host, rs in per_host.items():
+        slots = sorted(r["slot"] for r in rs)
+        assert slots == list(range(len(rs))), host  # contiguous, 0-based
+        want_order = sorted(rs, key=lambda r: (len(r["url"]) % 3, r["url"]))
+        assert [r["slot"] for r in want_order] == list(range(len(rs))), host
+        if len({len(r["url"]) % 3 for r in rs}) > 1:
+            multi_wave_hosts += 1
+    # the continuation path genuinely ran: hosts spanned >1 micro-batch
+    assert multi_wave_hosts > 0
+
+    batch = {(r["host"], r["url"]) for r in q_crawl_slots(spark, sf_dir).collect()}
+    assert batch == {(r["host"], r["url"]) for r in rows}
