@@ -326,7 +326,9 @@ def run_ingest(
                 .groupBy("host")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_fetches"))
                 .join(
-                    R.parse_crawl_delay(spark.read.parquet(robots_path)),
+                    F.broadcast(
+                        R.parse_crawl_delay(spark.read.parquet(robots_path))
+                    ),
                     "host",
                     "left",
                 )

@@ -496,7 +496,7 @@ def q_crawl_schedule(spark, sf_dir):
         F.sum(1 - F.col("is_allowed")).cast("bigint").alias("n_blocked"),
     )
     pace = F.coalesce("crawl_delay_s", F.lit(1))
-    return counts.join(R.parse_crawl_delay(robots), "host", "left").select(
+    return counts.join(F.broadcast(R.parse_crawl_delay(robots)), "host", "left").select(
         "host",
         pace.alias("crawl_delay_s"),
         "n_allowed",

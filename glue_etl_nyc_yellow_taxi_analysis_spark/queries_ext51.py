@@ -161,7 +161,7 @@ def q_crawl_slots(spark, sf_dir):
     pace = F.coalesce("crawl_delay_s", F.lit(1))
     slot = F.row_number().over(Window.partitionBy("host").orderBy("url")) - 1
     return (
-        allowed.join(R.parse_crawl_delay(robots), "host", "left")
+        allowed.join(F.broadcast(R.parse_crawl_delay(robots)), "host", "left")
         .select(
             "host",
             "url",
@@ -226,7 +226,7 @@ def q_stream_crawl_pacing(spark, sf_dir):
         verdicts.filter(F.col("is_allowed") == 1)
         .select("host", "url")
         .distinct()
-        .join(R.parse_crawl_delay(robots), "host", "left")
+        .join(F.broadcast(R.parse_crawl_delay(robots)), "host", "left")
         .select("host", "url", pace.alias("crawl_delay_s"))
     )
     # three deterministic arrival waves by length(url) % 3, one FILE
