@@ -219,16 +219,35 @@ def q_semdedup_ivf(spark, sf_dir):
 # replay.  A target of 16 forces cnt//target in [2, 13] reps per cell
 # at EVERY shipped SF (labels carry 42-218 members), so the probed
 # multi-rep assignment path earns its own driver CORRECTNESS row.
-_SD_MULTI_TARGET = 16
+# target = max(16, n//80): the 16 floor forces 2+ reps per cell at
+# every shipped SF (labels carry 42-218 members), while the n//80 term
+# keeps reps-per-cell BOUNDED (~8) as the corpus grows — with a FIXED
+# target, rep count per cell is cnt//target ∝ n and the assign join is
+# O(n²/target) (the r11 sf1 probe measured 10.4× wall at 10× rows).
+# Honest residual: with |cells| fixed (labels are the coarse cells
+# here), multi-rep SemDeDup carries an O(n²/cells) term in EITHER the
+# assign join (fixed target) or the prune self-join (scaled target —
+# group size ∝ target); this rule picks the smaller constant (probe:
+# 5.8× vs 10.4× at 10× rows).  At real scale the term disappears by
+# growing |cells| with a trained coarse quantizer (~√k cells, the
+# q_semdedup_ivf docstring's documented swap) — this lane exists as
+# the multi-rep CORRECTNESS gate, not the scale path.  One bounded
+# COUNT action derives the target.
+_SD_MULTI_MIN_TARGET = 16
+_SD_MULTI_DIVISOR = 80
 
 
 def q_semdedup_multirep(spark, sf_dir):
     """q_semdedup_ivf's multi-rep regime forced at shipped SFs: same
-    pipeline, rep density dialed to cnt//16 per cell, so assignment
-    picks among MULTIPLE in-cell reps (and across probed cells) —
-    the regime a 100 TB corpus puts the probe in.  Oracle: the same
-    chained-CTE replay with the dialed target."""
-    return _semdedup_ivf_lane(spark, sf_dir, _SD_MULTI_TARGET)
+    pipeline, rep density dialed to cnt//max(16, n/80) per cell, so
+    assignment picks among MULTIPLE in-cell reps (and across probed
+    cells) — the regime a 100 TB corpus puts the probe in — while the
+    corpus-derived target keeps reps-per-cell bounded (the fixed-cell
+    quadratic trap, see the target comment).  Oracle: the same
+    chained-CTE replay with the dialed target as a scalar subquery."""
+    emb = _t(spark, sf_dir, "embeddings")
+    target = max(_SD_MULTI_MIN_TARGET, emb.count() // _SD_MULTI_DIVISOR)
+    return _semdedup_ivf_lane(spark, sf_dir, target)
 
 
 SQL_SEMDEDUP_IVF = _sql_semdedup_ivf(_SD_TARGET)
@@ -236,4 +255,7 @@ SQL_SEMDEDUP_IVF = _sql_semdedup_ivf(_SD_TARGET)
 QUERIES_EXT49["q_semdedup_ivf"] = q_semdedup_ivf
 ORACLE_EXT49["q_semdedup_ivf"] = SQL_SEMDEDUP_IVF
 QUERIES_EXT49["q_semdedup_multirep"] = q_semdedup_multirep
-ORACLE_EXT49["q_semdedup_multirep"] = _sql_semdedup_ivf(_SD_MULTI_TARGET)
+ORACLE_EXT49["q_semdedup_multirep"] = _sql_semdedup_ivf(
+    f"(greatest({_SD_MULTI_MIN_TARGET}, "
+    f"(SELECT COUNT(*) FROM embeddings) // {_SD_MULTI_DIVISOR}))"
+)

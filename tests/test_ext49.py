@@ -110,18 +110,20 @@ def test_multirep_lane_engages_multi_rep_at_shipped_sf(spark, sf_dir):
     and assignment must actually spread across in-cell reps — the path
     the production-target lane can't reach at shipped SFs."""
     from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext49 import (
-        _SD_MULTI_TARGET,
+        _SD_MULTI_DIVISOR,
+        _SD_MULTI_MIN_TARGET,
         _assign_ivf,
         q_semdedup_multirep,
     )
     from glue_etl_nyc_yellow_taxi_analysis_spark.queries import _t
 
     emb = _t(spark, sf_dir, "embeddings")
-    # every label's count // 16 must be >= 2 (multi-rep everywhere)
+    target = max(_SD_MULTI_MIN_TARGET, emb.count() // _SD_MULTI_DIVISOR)
+    # every label's count // target must be >= 2 (multi-rep everywhere)
     counts = [r["c"] for r in emb.groupBy("label").agg(F.count("*").alias("c")).collect()]
-    assert min(counts) // _SD_MULTI_TARGET >= 2, counts
+    assert min(counts) // target >= 2, (counts, target)
 
-    assigned = _assign_ivf(emb, _SD_MULTI_TARGET)
+    assigned = _assign_ivf(emb, target)
     per_cell = {
         r["cluster"]: r["n"]
         for r in assigned.groupBy("cluster")
