@@ -338,6 +338,8 @@ HEADLINE = [
     # round-11: per-URL politeness slots + the stateful streaming twin
     "q_crawl_slots",
     "q_stream_crawl_pacing",
+    # round-11: ID3v2.4 metadata layer
+    "q_mp3_metadata",
 ]
 
 # recent-window anchor (r9 verdict item 4): the all-time anchor is a

@@ -22,10 +22,17 @@ stays a documented seam for a real codec library.
   padding) plus the samplerate.  1152 samples per MPEG-1 Layer III
   frame gives exact integer durations.
 
+- ``id3_frames(fields)`` / ``parse_id3(data)`` — ID3v2.4 TEXT frames
+  (the metadata layer curation reads: TIT2/TPE1/TALB…): 10-byte frame
+  headers with syncsafe sizes, encoding byte 0 (Latin-1) or 3
+  (UTF-8), padding tolerated; unknown frame ids are skipped by size
+  (the spec's forward-compat rule), non-text frames ignored.
+
 Intentionally NOT implemented (descriptive ValueError seams): audio
 DECODE (side info, Huffman spectra, IMDCT), MPEG-2/2.5 low-sample-rate
 extensions, Layer I/II, free-format bitrate streams, CRC-protected
-frames (protection bit 0), ID3v1 trailing tags.
+frames (protection bit 0), ID3v1 trailing tags, ID3v2.2/2.3 tag
+versions, compressed/encrypted/unsynchronised ID3 frames.
 """
 
 from __future__ import annotations
@@ -75,6 +82,76 @@ def mp3_container(
         out += _header(bidx, sr_idx, pad)
         out += bytes((i * 7 + bidx) & 0xFF for i in range(n - 4))
     return bytes(out)
+
+
+def _syncsafe(n: int) -> bytes:
+    if n >= 1 << 28:
+        raise ValueError("value exceeds the syncsafe size field")
+    return bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F))
+
+
+def _unsyncsafe(b: bytes, what: str) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError(f"{what} size bytes are not syncsafe")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def id3_frames(fields: dict[str, str], utf8: bool = False) -> bytes:
+    """Serialize ID3v2.4 text frames (id → value) into a tag PAYLOAD
+    (pass to ``mp3_container(..., id3_payload=...)``).  Encoding byte
+    0 (Latin-1) by default, 3 (UTF-8) with ``utf8``."""
+    out = bytearray()
+    for fid, val in fields.items():
+        if len(fid) != 4 or not fid.startswith("T"):
+            raise ValueError(f"only 4-char T*** text frame ids supported: {fid!r}")
+        body = (b"\x03" + val.encode("utf-8")) if utf8 else (
+            b"\x00" + val.encode("latin-1")
+        )
+        out += fid.encode("ascii") + _syncsafe(len(body)) + b"\x00\x00" + body
+    return bytes(out)
+
+
+def parse_id3(data: bytes) -> dict[str, str]:
+    """Parse an ID3v2.4 tag (the full 'ID3...' block) → {frame id:
+    text} for T*** frames; other frames skipped by size, zero padding
+    tolerated.  Raises ValueError on framing violations."""
+    if data[:3] != b"ID3":
+        raise ValueError("not an ID3v2 tag")
+    if data[3] != 4:
+        raise ValueError("only ID3v2.4 tags supported")
+    if data[5] & 0x80:
+        raise ValueError("unsynchronised ID3 tags not supported")
+    size = _unsyncsafe(data[6:10], "ID3v2 tag")
+    if 10 + size > len(data):
+        raise ValueError("ID3v2 tag overruns the stream")
+    out: dict[str, str] = {}
+    pos, end = 10, 10 + size
+    while pos < end:
+        if data[pos] == 0:  # padding — zero bytes to the end of the tag
+            break
+        fid = data[pos : pos + 4]
+        if len(fid) < 4 or not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(f"malformed ID3 frame id at byte {pos}")
+        fsize = _unsyncsafe(data[pos + 4 : pos + 8], "ID3 frame")
+        flags = data[pos + 8 : pos + 10]
+        body_at = pos + 10
+        if body_at + fsize > end:
+            raise ValueError(f"ID3 frame {fid.decode()} overruns the tag")
+        if flags[1] & 0x0C:
+            raise ValueError("compressed/encrypted ID3 frames not supported")
+        if fid.startswith(b"T") and fsize >= 1:
+            body = data[body_at : body_at + fsize]
+            enc, text = body[0], body[1:].split(b"\x00")[0]
+            if enc == 0:
+                out[fid.decode()] = text.decode("latin-1")
+            elif enc == 3:
+                out[fid.decode()] = text.decode("utf-8")
+            else:
+                raise ValueError(
+                    "only Latin-1 (0) and UTF-8 (3) ID3 text encodings supported"
+                )
+        pos = body_at + fsize
+    return out
 
 
 def walk_mp3(data: bytes) -> tuple[int, list[tuple[int, int]]]:

@@ -301,3 +301,94 @@ QUERIES_EXT51["q_stream_crawl_pacing"] = q_stream_crawl_pacing
 ORACLE_EXT51["q_stream_crawl_pacing"] = _sql_crawl_slots(
     "length(p.url) % 3, p.url"
 )
+
+
+def q_mp3_metadata(spark, sf_dir):
+    """ID3v2.4 metadata round trip — the tag layer an audio-curation
+    pass reads before any signal work: each doc's MP3 carries real
+    TIT2/TPE1/TCON text frames (UTF-8 encoding byte for odd docs,
+    Latin-1 for even — the parser must be encoding-blind), plus one
+    frame of a FOREIGN id (WXXX-shaped, skipped by size per the spec's
+    forward-compat rule); the walk recovers the text fields and the
+    tag/audio byte split.  Oracle replays every field from documents.
+
+    Scale shape: one stateless Arrow map pass, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    build, walk = mp3.mp3_container, mp3.walk_mp3
+    frames_of, parse_tag = mp3.id3_frames, mp3.parse_id3
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("artist", T.StringType(), True),
+            T.StructField("genre", T.StringType(), True),
+            T.StructField("n_text_frames", T.IntegerType(), True),
+            T.StructField("tag_bytes", T.LongType(), True),
+            T.StructField("audio_bytes", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, lang, src in zip(b["doc_id"], b["lang"], b["source"]):
+                d = int(d)
+                fields = {
+                    "TIT2": f"Document {d}",
+                    "TPE1": "" if src is None else str(src),
+                    "TCON": "" if lang is None else str(lang),
+                }
+                payload = frames_of(fields, utf8=bool(d % 2))
+                # a foreign (non-text) frame the walker must skip by size
+                payload += b"WXXX" + bytes((0, 0, 0, 5)) + b"\x00\x00" + b"url:x"
+                data = build([(1 + d % 14, 0)], d % 3, id3_payload=payload)
+                tag_len = 10 + len(payload)
+                got = parse_tag(data[:tag_len])
+                sr, frames = walk(data)
+                rows.append(
+                    (
+                        d,
+                        got.get("TIT2"),
+                        got.get("TPE1"),
+                        got.get("TCON"),
+                        len(got),
+                        tag_len,
+                        len(data) - tag_len,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "artist", "genre",
+                    "n_text_frames", "tag_bytes", "audio_bytes",
+                ],
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+# tag bytes: 10 (header) + per text frame (10 + 1 enc + len(value)) +
+# the 15-byte foreign frame (10 + 5); audio bytes: one frame of bitrate index
+# 1 + d % 14 at samplerate doc_id % 3, padding 0
+SQL_MP3_METADATA = """
+SELECT doc_id,
+       'Document ' || doc_id AS title,
+       coalesce(source, '') AS artist,
+       coalesce(lang, '') AS genre,
+       3 AS n_text_frames,
+       CAST(10
+            + 11 + length('Document ' || doc_id)
+            + 11 + length(coalesce(source, ''))
+            + 11 + length(coalesce(lang, ''))
+            + 15 AS BIGINT) AS tag_bytes,
+       CAST(144 * list_extract(
+              LIST_VALUE(32,40,48,56,64,80,96,112,128,160,192,224,256,320),
+              CAST(1 + doc_id % 14 AS INTEGER)) * 1000
+            // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END) AS BIGINT) AS audio_bytes
+FROM documents
+"""
+
+QUERIES_EXT51["q_mp3_metadata"] = q_mp3_metadata
+ORACLE_EXT51["q_mp3_metadata"] = SQL_MP3_METADATA

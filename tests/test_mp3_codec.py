@@ -152,3 +152,39 @@ def test_stream_pacing_state_continues_across_batches(spark, sf_dir):
 
     batch = {(r["host"], r["url"]) for r in q_crawl_slots(spark, sf_dir).collect()}
     assert batch == {(r["host"], r["url"]) for r in rows}
+
+
+def test_id3_text_frames_roundtrip_and_seams():
+    """ID3v2.4 frame layer: both text encodings round-trip, foreign
+    frame ids skip by size, padding is tolerated, and the unsupported
+    features (v2.3, unsync, compressed frames, other encodings) raise
+    descriptively."""
+    fields = {"TIT2": "A Title", "TPE1": "an artist", "TCON": "genre-x"}
+    for utf8 in (False, True):
+        payload = mp3.id3_frames(fields, utf8=utf8)
+        data = mp3.mp3_container([(9, 0)], 0, id3_payload=payload)
+        assert mp3.parse_id3(data[: 10 + len(payload)]) == fields
+    # non-Latin-1 text must use the UTF-8 encoding byte
+    assert mp3.id3_frames({"TIT2": "naïve"}, utf8=True)
+    with pytest.raises(UnicodeEncodeError):
+        mp3.id3_frames({"TIT2": "кириллица"}, utf8=False)
+    # foreign frame skipped by size; trailing zero padding tolerated
+    payload = mp3.id3_frames({"TIT2": "x"}) + b"WXXX" + bytes((0, 0, 0, 3)) + b"\x00\x00abc"
+    padded = payload + bytes(16)
+    tag = b"ID3\x04\x00\x00" + mp3._syncsafe(len(padded)) + padded
+    assert mp3.parse_id3(tag) == {"TIT2": "x"}
+    # seams
+    v23 = bytearray(tag); v23[3] = 3
+    with pytest.raises(ValueError, match="v2.4"):
+        mp3.parse_id3(bytes(v23))
+    unsync = bytearray(tag); unsync[5] |= 0x80
+    with pytest.raises(ValueError, match="unsynchronised"):
+        mp3.parse_id3(bytes(unsync))
+    comp = bytearray(tag); comp[19] |= 0x08  # frame format flags byte
+    with pytest.raises(ValueError, match="compressed/encrypted"):
+        mp3.parse_id3(bytes(comp))
+    enc2 = bytearray(tag); enc2[20] = 1  # UTF-16 encoding byte
+    with pytest.raises(ValueError, match="text encodings"):
+        mp3.parse_id3(bytes(enc2))
+    with pytest.raises(ValueError, match="text frame ids"):
+        mp3.id3_frames({"WXXX": "not text"})
