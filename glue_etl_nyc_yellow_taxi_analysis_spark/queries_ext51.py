@@ -34,18 +34,10 @@ ORACLE_EXT51 = {}
 _MAX_FRAMES = 25  # n_frames = 1 + len(text) % 24  ∈  [1, 25)
 
 
-def q_mp3_framewalk(spark, sf_dir):
-    """MP3 demux round trip: docs → real MPEG-1 Layer III streams →
-    header-math walk → per-doc accounting (see module docstring).
-
-    Frame spec per doc (replayed verbatim by the oracle):
-    samplerate index doc_id % 3, n_frames 1 + len(text) % 24, frame i
-    bitrate index 1 + (doc_id + i) % 14 with padding (doc_id + i) % 2,
-    ID3v2 payload of doc_id % 64 bytes (0 → no tag); docs with
-    doc_id % 50 == 7 lose their final byte (truncated last frame)."""
-    import hashlib  # noqa: F401  (parity with sibling lanes)
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _framewalk(docs):
+    """The build+walk demux stage over a (doc_id, text) frame — shared
+    by the batch lane and the streaming twin (both stateless Arrow
+    passes, so the same function serves either execution mode)."""
     build, walk = mp3.mp3_container, mp3.walk_mp3
     spf = mp3.SAMPLES_PER_FRAME
 
@@ -96,6 +88,54 @@ def q_mp3_framewalk(spark, sf_dir):
     return docs.mapInPandas(run, out_schema)
 
 
+def q_mp3_framewalk(spark, sf_dir):
+    """MP3 demux round trip: docs → real MPEG-1 Layer III streams →
+    header-math walk → per-doc accounting (see module docstring).
+
+    Frame spec per doc (replayed verbatim by the oracle):
+    samplerate index doc_id % 3, n_frames 1 + len(text) % 24, frame i
+    bitrate index 1 + (doc_id + i) % 14 with padding (doc_id + i) % 2,
+    ID3v2 payload of doc_id % 64 bytes (0 → no tag); docs with
+    doc_id % 50 == 7 lose their final byte (truncated last frame)."""
+    return _framewalk(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_stream_mp3_ingest(spark, sf_dir):
+    """The MP3 demux IN-STREAM: documents arrive as a file-source
+    stream (two parquet shards, maxFilesPerTrigger=1 → ≥2
+    micro-batches) and the whole build+walk accounting runs as the
+    same stateless Arrow pass — append mode, no watermark, no state
+    store; the hostile truncated-doc rows flow through the stream's
+    fail-soft path too.  The drained sink must equal q_mp3_framewalk
+    row for row, so this lane shares its oracle VERBATIM.  Scale
+    posture: per-batch linear demux work, zero shuffle; payload bytes
+    never leave the walking executor."""
+    import tempfile
+
+    from .streaming.ingest import stream_files
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="sg_mp3_src_")
+    d.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = stream_files(
+        spark, src_dir, d.schema, max_files_per_trigger=1
+    ).drop("__source_file")
+    walked = _framewalk(stream)
+    sink = "sg_stream_mp3_ingest"
+    ckpt = tempfile.mkdtemp(prefix="sg_mp3_ckpt_")
+    q = (
+        walked.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 SQL_MP3_FRAMEWALK = f"""
 WITH f AS (
   SELECT doc_id,
@@ -133,6 +173,8 @@ FROM agg
 
 QUERIES_EXT51["q_mp3_framewalk"] = q_mp3_framewalk
 ORACLE_EXT51["q_mp3_framewalk"] = SQL_MP3_FRAMEWALK
+QUERIES_EXT51["q_stream_mp3_ingest"] = q_stream_mp3_ingest
+ORACLE_EXT51["q_stream_mp3_ingest"] = SQL_MP3_FRAMEWALK
 
 
 # --------------------------------------------------------------------------

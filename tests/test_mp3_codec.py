@@ -188,3 +188,17 @@ def test_id3_text_frames_roundtrip_and_seams():
         mp3.parse_id3(bytes(enc2))
     with pytest.raises(ValueError, match="text frame ids"):
         mp3.id3_frames({"WXXX": "not text"})
+
+
+def test_stream_mp3_ingest_equals_batch(spark, sf_dir):
+    """Stream/batch equivalence through the demux pass, including the
+    truncated-doc NULL marker rows."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext51 import (
+        q_mp3_framewalk,
+        q_stream_mp3_ingest,
+    )
+
+    batch = sorted(tuple(r) for r in q_mp3_framewalk(spark, sf_dir).collect())
+    stream = sorted(tuple(r) for r in q_stream_mp3_ingest(spark, sf_dir).collect())
+    assert batch == stream
+    assert any(r[1] is None for r in stream)  # hostile rows streamed too
