@@ -116,6 +116,31 @@ def parse_crawl_delay(robots: DataFrame) -> DataFrame:
     )
 
 
+def parse_sitemap_urls(robots: DataFrame) -> DataFrame:
+    """(host, txt) → (host, sitemap_url): the ``Sitemap:`` discovery
+    directive (sitemaps.org cross-submission protocol — the URL may
+    live on ANY host, so no same-host validation).  Case-insensitive
+    directive name, multiple lines per host allowed, relative URLs
+    raise (the spec requires absolute)."""
+    lines = robots.select("host", F.explode(F.split("txt", "\n")).alias("line"))
+    low = F.lower(F.trim("line"))
+    raw = F.trim(F.substring(F.trim("line"), 9, 10000))
+    url = F.when(
+        raw.rlike("^https?://"),
+        raw,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("Sitemap directive requires an absolute URL: "),
+                F.col("line"),
+            )
+        ).cast("string")
+    )
+    return lines.filter(low.startswith("sitemap:")).select(
+        "host", url.alias("sitemap_url")
+    )
+
+
 def url_path(url: Column) -> Column:
     return F.regexp_extract(url, "^https?://[^/]+(/.*)$", 1)
 

@@ -364,9 +364,20 @@ ORACLE_EXT48["q_stream_warc_ingest"] = SQL_HTML_EXTRACT
 # Odd-mirror hosts block /d/ with a longest-match Allow carve-out for
 # /d/1*; even mirrors publish only no-op lines (empty Disallow); the
 # hub blocks one source path.
-_ROBOTS_ODD = "User-agent: *\n# mirror policy\nDisallow: /d/\nAllow: /d/1\nCrawl-delay: 2"
-_ROBOTS_EVEN = "User-agent: *\n# open mirror\nDisallow:\nCrawl-delay: 3"
-_ROBOTS_HUB = "User-agent: *\nDisallow: /s/src1\n# hub rules"
+_ROBOTS_ODD = (
+    "User-agent: *\n# mirror policy\nDisallow: /d/\nAllow: /d/1\n"
+    "Crawl-delay: 2\nSitemap: https://cdn.example.net/maps/odd.xml"
+)
+_ROBOTS_EVEN = (
+    "User-agent: *\n# open mirror\nDisallow:\nCrawl-delay: 3\n"
+    "sitemap: https://cdn.example.net/maps/even.xml"  # lowercase: REP
+    # directive names are case-insensitive
+)
+_ROBOTS_HUB = (
+    "User-agent: *\nDisallow: /s/src1\n# hub rules\n"
+    "Sitemap: https://cdn.example.net/maps/hub-a.xml\n"
+    "Sitemap: https://cdn.example.net/maps/hub-b.xml"  # multiple allowed
+)
 
 
 def _robots_frontier(spark, sf_dir):

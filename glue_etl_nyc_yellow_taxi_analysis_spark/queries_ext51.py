@@ -434,3 +434,34 @@ FROM documents
 
 QUERIES_EXT51["q_mp3_metadata"] = q_mp3_metadata
 ORACLE_EXT51["q_mp3_metadata"] = SQL_MP3_METADATA
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """robots.txt Sitemap-directive discovery (the sitemaps.org
+    cross-submission channel): per-host ``Sitemap:`` lines extracted
+    case-insensitively (the even mirrors publish the lowercase form),
+    multiple directives per host preserved (the hub lists two),
+    relative URLs raise.  Completes the crawl's discovery inputs:
+    WARC captures + page links + sitemap.xml + robots pointers.
+
+    Scale shape: |hosts|-bounded everywhere — distinct hosts, one
+    line explode per robots body, one filter."""
+    from .operators import robots as R
+    from .queries_ext48 import _robots_frontier
+
+    _, robots = _robots_frontier(spark, sf_dir)
+    return R.parse_sitemap_urls(robots)
+
+
+def _sql_robots_sitemaps():
+    from .queries_ext48 import _SQL_REP_CTES
+
+    return f"""{_SQL_REP_CTES}
+SELECT host, trim(substr(trim(line), 9)) AS sitemap_url
+FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM robots)
+WHERE lower(trim(line)) LIKE 'sitemap:%'
+"""
+
+
+QUERIES_EXT51["q_robots_sitemaps"] = q_robots_sitemaps
+ORACLE_EXT51["q_robots_sitemaps"] = _sql_robots_sitemaps()

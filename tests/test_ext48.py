@@ -307,3 +307,33 @@ def test_parse_crawl_delay_guards(spark):
     assert delays_of("User-agent: *\nDisallow: /x/") == {}  # no directive
     with pytest.raises(Exception, match="non-integer Crawl-delay"):
         delays_of("User-agent: *\nCrawl-delay: 0.5")
+
+
+def test_robots_sitemap_directive_semantics(spark, sf_dir):
+    """Sitemap discovery pins: case-insensitive directive, multiple
+    lines per host (hub lists two), cross-host URLs allowed, relative
+    URLs raise."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import robots as R
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext51 import (
+        q_robots_sitemaps,
+    )
+
+    rows = q_robots_sitemaps(spark, sf_dir).collect()
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], set()).add(r["sitemap_url"])
+    assert per_host["hub.example.net"] == {
+        "https://cdn.example.net/maps/hub-a.xml",
+        "https://cdn.example.net/maps/hub-b.xml",
+    }
+    # even mirrors publish the lowercase directive — still extracted
+    evens = [h for h in per_host if h.startswith("m") and h[1] in "024"]
+    assert evens and all(
+        per_host[h] == {"https://cdn.example.net/maps/even.xml"} for h in evens
+    )
+
+    bad = spark.createDataFrame(
+        [("h", "User-agent: *\nSitemap: /relative.xml")], "host string, txt string"
+    )
+    with pytest.raises(Exception, match="absolute URL"):
+        R.parse_sitemap_urls(bad).collect()
