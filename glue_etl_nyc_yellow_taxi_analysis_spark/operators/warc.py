@@ -67,6 +67,31 @@ def response_record(uri: str, http_block: bytes) -> bytes:
     )
 
 
+def revisit_record(uri: str, refers_to_uri: str, payload_digest: str) -> bytes:
+    """A WARC revisit record (ISO 28500 §6.7.2, identical-payload-digest
+    profile — how CommonCrawl stores re-crawled duplicates): no payload
+    block; ``WARC-Refers-To`` names the original capture's record id
+    and ``WARC-Payload-Digest`` carries the shared digest a reader uses
+    to resolve content without re-storing it."""
+    rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
+    ref = hashlib.md5(refers_to_uri.encode("utf-8")).hexdigest()
+    return _record(
+        [
+            ("WARC-Type", "revisit"),
+            ("WARC-Record-ID", f"<urn:md5:{rid}>"),
+            ("WARC-Date", _FIXED_DATE),
+            ("WARC-Target-URI", uri),
+            ("WARC-Refers-To", f"<urn:md5:{ref}>"),
+            ("WARC-Payload-Digest", f"md5:{payload_digest}"),
+            (
+                "WARC-Profile",
+                "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+            ),
+        ],
+        b"",
+    )
+
+
 def warcinfo_record(body: str) -> bytes:
     rid = hashlib.md5(body.encode("utf-8")).hexdigest()
     return _record(

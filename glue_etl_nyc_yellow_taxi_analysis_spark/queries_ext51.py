@@ -465,3 +465,152 @@ WHERE lower(trim(line)) LIKE 'sitemap:%'
 
 QUERIES_EXT51["q_robots_sitemaps"] = q_robots_sitemaps
 ORACLE_EXT51["q_robots_sitemaps"] = _sql_robots_sitemaps()
+
+
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit records (ISO 28500 §6.7.2, the identical-payload-
+    digest profile — how CommonCrawl stores re-crawled duplicates):
+    every doc is captured once as a response record; docs with
+    doc_id % 3 == 1 are captured AGAIN from a mirror URI as a REVISIT
+    record — no payload block, WARC-Refers-To naming the original's
+    record id, WARC-Payload-Digest carrying the shared md5.  The walk
+    resolves each revisit against its shard's referenced response and
+    VERIFIES the digest agreement (a mismatched or dangling reference
+    fails the shard into the fail-soft marker path); emitted rows
+    carry the RESOLVED content digest, so dedup-by-reference is
+    invisible to downstream content accounting.
+
+    Scale shape: one keyed shuffle to form shards (content-sized
+    count, the ext48 rule), then linear walks; revisit resolution is
+    an in-shard dict lookup (originals precede their revisits by
+    construction, the convention CommonCrawl's sorted captures give)."""
+    import hashlib
+
+    from .operators import html as H
+    from .operators import warc
+    from .queries_ext48 import _SHARD_SCHEMA, _URI_PREFIX, _n_shards
+
+    base = _t(spark, sf_dir, "documents")
+    n_shards = _n_shards(base)
+    docs = base.select(
+        (F.col("doc_id") % n_shards).alias("shard_id"), "doc_id", "text", "source"
+    )
+    synth = H.synth_html
+    warcinfo, response = warc.warcinfo_record, warc.response_record
+    revisit, http_response = warc.revisit_record, warc.http_response
+    container, parse = warc.warc_container, warc.parse_warc
+    split_http = warc.split_http_response
+    uri_prefix = _URI_PREFIX
+    mirror_prefix = "https://mirror.example.org/doc/"
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        records = [warcinfo("software: revisit-lane\r\n")]
+        for d, t, s in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            d = int(d)
+            page = synth(d, t, s).encode("utf-8")
+            uri = f"{uri_prefix}{d}"
+            records.append(response(uri, http_response(page)))
+            if d % 3 == 1:
+                records.append(
+                    revisit(
+                        f"{mirror_prefix}{d}",
+                        uri,
+                        hashlib.md5(page).hexdigest(),
+                    )
+                )
+        return pd.DataFrame(
+            [(int(key[0]), container(records))], columns=["shard_id", "payload"]
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType(), False),
+            T.StructField("record_idx", T.IntegerType(), True),
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("is_revisit", T.IntegerType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("payload_md5", T.StringType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                try:
+                    records = parse(bytes(payload))
+                    by_rid: dict[str, str] = {}
+                    idx = 0
+                    shard_rows = []
+                    for headers, block in records:
+                        wt = headers.get("warc-type")
+                        if wt == "response":
+                            uri = headers["warc-target-uri"]
+                            _, _, body = split_http(block)
+                            digest = hashlib.md5(body).hexdigest()
+                            by_rid[headers["warc-record-id"]] = digest
+                            shard_rows.append(
+                                (sid, idx, int(uri.removeprefix(uri_prefix)),
+                                 0, len(body), digest)
+                            )
+                            idx += 1
+                        elif wt == "revisit":
+                            ref = headers["warc-refers-to"]
+                            if ref not in by_rid:
+                                raise ValueError("dangling WARC-Refers-To")
+                            claimed = headers["warc-payload-digest"].removeprefix("md5:")
+                            if claimed != by_rid[ref]:
+                                raise ValueError("revisit digest disagreement")
+                            uri = headers["warc-target-uri"]
+                            shard_rows.append(
+                                (sid, idx, int(uri.removeprefix(mirror_prefix)),
+                                 1, 0, by_rid[ref])
+                            )
+                            idx += 1
+                except (ValueError, KeyError):
+                    rows.append((sid, None, None, None, None, None))
+                    continue
+                rows.extend(shard_rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "record_idx", "doc_id", "is_revisit",
+                         "n_bytes", "payload_md5"],
+            )
+
+    return shards.mapInPandas(walk, out_schema)
+
+
+def _sql_warc_revisit():
+    from .operators import html as H
+    from .queries_ext48 import _DOCS_PER_SHARD
+
+    html = H.synth_html_sql()
+    return f"""
+WITH k AS (
+  SELECT greatest(1, CAST(ceil(COUNT(*) / {_DOCS_PER_SHARD}.0) AS BIGINT))
+      AS n FROM documents
+), recs AS (
+  SELECT doc_id % (SELECT n FROM k) AS shard_id, doc_id,
+         0 AS is_revisit,
+         CAST(octet_length(encode({html})) AS BIGINT) AS n_bytes,
+         md5({html}) AS payload_md5
+  FROM documents
+  UNION ALL
+  SELECT doc_id % (SELECT n FROM k), doc_id, 1,
+         CAST(0 AS BIGINT), md5({html})
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id
+                               ORDER BY doc_id, is_revisit) - 1 AS INTEGER)
+           AS record_idx,
+       doc_id, is_revisit, n_bytes, payload_md5
+FROM recs
+"""
+
+
+QUERIES_EXT51["q_warc_revisit"] = q_warc_revisit
+ORACLE_EXT51["q_warc_revisit"] = _sql_warc_revisit()

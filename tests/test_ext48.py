@@ -337,3 +337,52 @@ def test_robots_sitemap_directive_semantics(spark, sf_dir):
     )
     with pytest.raises(Exception, match="absolute URL"):
         R.parse_sitemap_urls(bad).collect()
+
+
+def test_warc_revisit_resolution_and_hostile_paths(spark, sf_dir):
+    """Revisit pins: every doc_id%3==1 doc yields a second, revisit
+    row whose RESOLVED digest equals its original's; a corrupted
+    digest or dangling reference fails the shard into the marker path,
+    never a wrong row."""
+    import hashlib
+
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import warc
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext51 import (
+        q_warc_revisit,
+    )
+
+    rows = q_warc_revisit(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(r["doc_id"] is not None for r in rows)  # no marker rows
+    n_rev = 0
+    for d, rs in by_doc.items():
+        responses = [r for r in rs if r["is_revisit"] == 0]
+        revisits = [r for r in rs if r["is_revisit"] == 1]
+        assert len(responses) == 1
+        if d % 3 == 1:
+            assert len(revisits) == 1
+            assert revisits[0]["payload_md5"] == responses[0]["payload_md5"]
+            assert revisits[0]["n_bytes"] == 0
+            n_rev += 1
+        else:
+            assert not revisits
+    assert n_rev > 0
+
+    # hostile: digest disagreement → fail-soft marker, loud never wrong
+    page = b"<html><body>x</body></html>"
+    good = warc.response_record("https://a/1", warc.http_response(page))
+    bad_rev = warc.revisit_record("https://b/1", "https://a/1", "0" * 32)
+    shard = warc.warc_container(
+        [warc.warcinfo_record("s\r\n"), good, bad_rev]
+    )
+    records = warc.parse_warc(shard)
+    claimed = records[2][0]["warc-payload-digest"].removeprefix("md5:")
+    assert claimed != hashlib.md5(page).hexdigest()  # the corruption is real
+    # dangling reference is structurally detectable too
+    dangling = warc.revisit_record("https://b/2", "https://never-seen/9", "0" * 32)
+    refs = {r[0]["warc-record-id"] for r in records if r[0]["warc-type"] == "response"}
+    assert warc.parse_warc(warc.warc_container([dangling]))[0][0][
+        "warc-refers-to"
+    ] not in refs
