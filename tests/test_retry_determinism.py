@@ -51,6 +51,9 @@ LANES = [
     # walk) and the triple-composition EPUB spine resolution
     "q_zip_shard_roundtrip",
     "q_epub_extract",
+    # r11: revisit resolution holds per-shard cross-record state (the
+    # rid→digest map) — a retried walk task must rebuild it identically
+    "q_warc_revisit",
 ]
 
 
