@@ -115,11 +115,17 @@ def q_stream_mp3_ingest(spark, sf_dir):
     from .streaming.ingest import stream_files
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # content-sized source files (the ext48 shard rule: file count is
+    # the per-trigger parallelism — the fixed repartition(2)/one-file
+    # trigger variant measured 7.6× wall at 10× rows because each
+    # micro-batch ran ~1 task while per-doc demux work grew 10×);
+    # half the files per trigger keeps ≥2 micro-batches at every SF
+    n_files = max(2, -(-d.count() // 2500))
     src_dir = tempfile.mkdtemp(prefix="sg_mp3_src_")
-    d.repartition(2).write.mode("overwrite").parquet(src_dir)
+    d.repartition(n_files).write.mode("overwrite").parquet(src_dir)
 
     stream = stream_files(
-        spark, src_dir, d.schema, max_files_per_trigger=1
+        spark, src_dir, d.schema, max_files_per_trigger=max(1, n_files // 2)
     ).drop("__source_file")
     walked = _framewalk(stream)
     sink = "sg_stream_mp3_ingest"
