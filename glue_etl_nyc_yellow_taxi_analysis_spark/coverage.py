@@ -45,6 +45,13 @@ PINNED: tuple[str, ...] = (
     "q_zip_shard_roundtrip",
     "q_epub_extract",
     "q_pdf_extract",
+    # late-r11 stream-source re-plan (content-sized files — the
+    # q_stream_mp3_ingest 7.6x probe finding applied to the r10
+    # streaming twins); outputs proven identical locally, changed-plan
+    # lanes re-earn their rows per protocol
+    "q_stream_png_ingest",
+    "q_stream_audio_fingerprint",
+    "q_stream_warc_ingest",
 )
 
 # Rounds 1-2 predate the r3 bit-exact hash canonicalization, so a lane

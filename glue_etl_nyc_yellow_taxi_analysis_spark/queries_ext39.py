@@ -208,11 +208,16 @@ def q_stream_png_ingest(spark, sf_dir):
     from .streaming.ingest import stream_files
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # content-sized source files (the r11 stream-source rule: file
+    # count is the per-trigger parallelism; a fixed 2-file layout ran
+    # ~1 task per micro-batch while per-doc work grew with the corpus
+    # — q_stream_mp3_ingest measured 7.6x at 10x rows before the fix)
+    n_files = max(2, -(-d.count() // 2500))
     src_dir = tempfile.mkdtemp(prefix="sg_png_src_")
-    d.repartition(2).write.mode("overwrite").parquet(src_dir)
+    d.repartition(n_files).write.mode("overwrite").parquet(src_dir)
 
     stream = stream_files(
-        spark, src_dir, d.schema, max_files_per_trigger=1
+        spark, src_dir, d.schema, max_files_per_trigger=max(1, n_files // 2)
     ).drop("__source_file")
     decoded = multimodal.decode_png(
         multimodal.documents_as_png(stream, width=_PW, interlace_every=3)

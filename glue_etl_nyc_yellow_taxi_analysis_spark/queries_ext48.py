@@ -278,8 +278,10 @@ def q_stream_warc_ingest(spark, sf_dir):
 
     from .streaming.ingest import stream_files
 
-    docs = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 2).alias("shard_id"), "doc_id", "text", "source"
+    base = _t(spark, sf_dir, "documents")
+    n_shards = max(2, _n_shards(base))  # content-sized, floor 2
+    docs = base.select(
+        (F.col("doc_id") % n_shards).alias("shard_id"), "doc_id", "text", "source"
     )
     synth = H.synth_html
     warcinfo, response = warc.warcinfo_record, warc.response_record
@@ -298,8 +300,12 @@ def q_stream_warc_ingest(spark, sf_dir):
         )
 
     shards = docs.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+    # content-sized source files (the r11 stream-source rule): a file
+    # with k shard-rows walks k shards in ONE task, so files track the
+    # shard count; half per trigger keeps >=2 micro-batches
     src_dir = tempfile.mkdtemp(prefix="sg_warc_src_")
-    shards.repartition(2).write.mode("overwrite").parquet(src_dir)
+    n_files = max(2, n_shards)
+    shards.repartition(n_files).write.mode("overwrite").parquet(src_dir)
 
     pages_schema = T.StructType(
         [
@@ -325,7 +331,7 @@ def q_stream_warc_ingest(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "page"])
 
     stream = stream_files(
-        spark, src_dir, _SHARD_SCHEMA, max_files_per_trigger=1
+        spark, src_dir, _SHARD_SCHEMA, max_files_per_trigger=max(1, n_files // 2)
     ).drop("__source_file")
     pages = stream.mapInPandas(walk, pages_schema)
     txt = H.extract_text_col(F.col("page"))
