@@ -82,10 +82,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _unfilter_pass(raw: memoryview, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reconstruct one (sub)image's scanlines: ``raw`` holds h rows of
     (1 filter byte + stride data bytes).  Returns (h, stride) uint8.
-    Up/None rows are vectorized; Sub/Average/Paeth need the
-    reconstructed left neighbor, so they walk bytes (rows here are tiny
-    — the planted rasters are ≤192 bytes wide; a cluster deployment
-    swaps in libpng behind the same contract)."""
+    None/Sub/Up rows are vectorized (Sub is a per-lane cumsum mod 256);
+    Average/Paeth need the reconstructed left neighbor through a
+    nonlinear predictor, so they walk bytes (rows here are tiny — the
+    planted rasters are ≤192 bytes wide; a cluster deployment swaps in
+    libpng behind the same contract)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)
     pos = 0
@@ -97,16 +98,22 @@ def _unfilter_pass(raw: memoryview, h: int, stride: int, bpp: int) -> np.ndarray
             rec = row.copy()
         elif ftype == 2:
             rec = ((row.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
-        elif ftype in (1, 3, 4):
-            rec = np.empty(stride, dtype=np.uint8)
+        elif ftype == 1:
+            # Sub is a per-byte-lane running sum mod 256: stride is a
+            # multiple of bpp, so each lane cumsums independently —
+            # vectorized, exact (int64 cumsum, masked back to a byte)
+            rec = (
+                (np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype in (3, 4):
             rl = row.tolist()
             pl = prev.tolist()
             cur = [0] * stride
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + pl[i]) >> 1
                 else:
                     c = pl[i - bpp] if i >= bpp else 0
@@ -146,19 +153,25 @@ def _filter_pass(img: np.ndarray, bpp: int, mode) -> bytes:
         (wide - ((left + up) >> 1)) & 0xFF,
         (wide - paeth) & 0xFF,
     ]
-    out = bytearray()
-    for y in range(h):
-        if mode == "adaptive":
-            # signed-residual magnitude: treat filtered bytes as signed
-            costs = [
-                int(np.minimum(c[y], 256 - c[y]).sum()) for c in cand
-            ]
-            f = min(range(5), key=lambda k: costs[k])
-        else:
-            f = mode
-        out.append(f)
-        out += cand[f][y].astype(np.uint8).tobytes()
-    return bytes(out)
+    if mode == "adaptive":
+        # signed-residual magnitude: treat filtered bytes as signed.
+        # One vectorized (5, h) cost matrix instead of 5 numpy calls per
+        # row (the per-row form dominated encode wall time); argmin
+        # returns the FIRST minimal filter, matching the old
+        # min(range(5), ...) tie-break byte for byte.
+        costs = np.stack(
+            [np.minimum(c, 256 - c).sum(axis=1) for c in cand]
+        )
+        frow = np.argmin(costs, axis=0)
+    else:
+        frow = np.full(h, mode, dtype=np.intp)
+    # assemble all scanlines in one (h, 1+stride) buffer: filter byte
+    # column + the per-row chosen candidate (values already in 0..255)
+    picked = np.stack(cand)[frow, np.arange(h)]
+    full = np.empty((h, 1 + stride), dtype=np.uint8)
+    full[:, 0] = frow
+    full[:, 1:] = picked
+    return full.tobytes()
 
 
 # --------------------------------------------------------------------------

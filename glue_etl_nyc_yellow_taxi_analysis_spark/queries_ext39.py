@@ -211,8 +211,13 @@ def q_stream_png_ingest(spark, sf_dir):
     # content-sized source files (the r11 stream-source rule: file
     # count is the per-trigger parallelism; a fixed 2-file layout ran
     # ~1 task per micro-batch while per-doc work grew with the corpus
-    # — q_stream_mp3_ingest measured 7.6x at 10x rows before the fix)
-    n_files = max(2, -(-d.count() // 2500))
+    # — q_stream_mp3_ingest measured 7.6x at 10x rows before the fix).
+    # 500 docs/file, not the mp3 lane's 2500: this stream runs the
+    # encode AND decode halves of a real compressed-image codec per
+    # doc (~1 ms even after the r11 filter vectorization), so 2500-doc
+    # files made each micro-batch one ~1.5 s single-task stage — the
+    # per-file budget is per-doc codec cost, not a row-count convention
+    n_files = max(2, -(-d.count() // 500))
     src_dir = tempfile.mkdtemp(prefix="sg_png_src_")
     d.repartition(n_files).write.mode("overwrite").parquet(src_dir)
 
