@@ -202,6 +202,12 @@ def quality_auc_of(d):
         d.select("doc_id", text.tokens("text").alias("toks"))
         .select(
             "doc_id",
+            # the label rides the bigram pass: y is constant per doc, so
+            # distinct (doc_id, y, w1, w2) has exactly the cardinality of
+            # distinct (doc_id, w1, w2) — this removes the separate
+            # label scan+tokenize AND the score-label join the r11 plan
+            # audit found (3 corpus scans -> 1, one join gone)
+            F.array_contains("toks", "dup").cast("bigint").alias("y"),
             F.explode(
                 F.arrays_zip(
                     F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
@@ -209,13 +215,18 @@ def quality_auc_of(d):
                 )
             ).alias("p"),
         )
-        .select("doc_id", "p.w1", "p.w2")
+        .select("doc_id", "y", "p.w1", "p.w2")
         # score only non-marker bigrams: the label token itself is rare,
         # so bigrams containing it would leak the label INVERTED (their
         # low df drags dup docs' mean down — AUC 0.10 at sf0.1 without
         # this guard, 0.59 with it)
         .where((F.col("w1") != "dup") & (F.col("w2") != "dup"))
         .distinct()
+        # both consumers (the df count and the per-doc score join) read
+        # this table: materialize the tokenize+explode+distinct chain
+        # once (the q_semdedup finding — without it Spark re-runs the
+        # whole subtree per consumer)
+        .localCheckpoint()
     )
     dfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("df"))
     score = (
@@ -224,18 +235,13 @@ def quality_auc_of(d):
         .agg(
             F.expr("sum(df) * 10000 div count(*)").cast("bigint").alias(
                 "score_e4"
-            )
+            ),
+            # y is constant within a doc; min() is its deterministic pick
+            F.min("y").alias("y"),
         )
     )
-    lab = d.select(
-        "doc_id",
-        F.array_contains(text.tokens("text"), "dup")
-        .cast("bigint")
-        .alias("y"),
-    )
     g = (
-        score.join(lab, "doc_id")
-        .groupBy("score_e4")
+        score.groupBy("score_e4")
         .agg(
             F.sum("y").cast("bigint").alias("pos"),
             F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("neg"),

@@ -77,45 +77,93 @@ def _assign_ivf(emb, target=_SD_TARGET):
     )
     routers = reps.filter(F.col("rep_rn") == 1).select("cluster", "centroid")
 
-    # stage 2: probe — score |cells| broadcast routers per vector, keep
-    # the _NPROBE best cells (rounded cosine, ties toward lower cluster)
-    probe_cos = F.round(
-        similarity.cosine(F.col("embedding"), F.col("centroid")), 6
+    # stages 2+3 as ONE pure projection over single-row broadcasts (the
+    # guide-§8 proxy rule taken to its limit): the old shape cross-joined
+    # the corpus against the router table and ran TWO row_number windows
+    # keyed by vec_id — every window an Exchange carrying n·|cells| rows
+    # WITH the embedding payload.  Routers fold into one array row and
+    # the reps into one cluster→reps map row; both broadcast (they are
+    # the same bytes the old plan already broadcast), and the probe +
+    # assign become per-row array expressions: zero exchanges, zero
+    # windows, whole-stage codegen end to end, and the embedding never
+    # leaves its scan partition.  Ordering is bit-compatible: ascending
+    # (-cos, cluster[, rep_id]) structs == the windows' (cos DESC,
+    # cluster[, rep_id]); NULL cosine (zero-norm / ragged vectors) maps
+    # to +inf = the windows' NULLS LAST; negation preserves the engine's
+    # double total order (incl. ±0.0), and the rounded cosine itself is
+    # the exact same expression tree with the vector norm precomputed.
+    routers_arr = routers.agg(
+        F.collect_list(F.struct("cluster", "centroid")).alias("__rs")
     )
-    wprobe = Window.partitionBy("vec_id").orderBy(
-        F.desc("probe_cos"), F.col("cluster")
-    )
-    probed = (
-        emb.crossJoin(F.broadcast(routers))
-        .select("vec_id", "embedding", "cluster", probe_cos.alias("probe_cos"))
-        .withColumn("pn", F.row_number().over(wprobe))
-        .filter(F.col("pn") <= _NPROBE)
-        .select("vec_id", "embedding", "cluster")
+    reps_map = (
+        reps.groupBy("cluster")
+        .agg(F.collect_list(F.struct("rep_id", "centroid")).alias("cell"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cluster", "cell"))
+            ).alias("__rm")
+        )
     )
 
-    # stage 3: assign — score ONLY the probed cells' reps (broadcast
-    # cluster-keyed join, n·nprobe·k/|cells| dots instead of n·k)
-    rep_cos = F.round(
-        similarity.cosine(F.col("embedding"), F.col("centroid")), 6
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.desc("rep_cos"), F.col("cluster"), F.col("rep_id")
-    )
-    return (
-        probed.join(
-            F.broadcast(reps.select("cluster", "rep_id", "centroid")), "cluster"
+    def neg_cos(vec, nrm, cent):
+        c = F.round(
+            F.try_divide(
+                similarity.dot(vec, cent), nrm * similarity.l2_norm(cent)
+            ),
+            6,
         )
-        .select("vec_id", "embedding", "cluster", "rep_id", rep_cos.alias("rep_cos"))
-        .withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
+        return F.when(c.isNull(), F.lit(float("inf"))).otherwise(-c)
+
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__rs"),
+                lambda r: F.struct(
+                    neg_cos(
+                        F.col("embedding"), F.col("nrm"), r["centroid"]
+                    ).alias("nc"),
+                    r["cluster"].alias("cluster"),
+                ),
+            )
+        ),
+        1,
+        _NPROBE,
+    )
+    cands = F.flatten(
+        F.transform(
+            F.col("__top"),
+            lambda t: F.transform(
+                F.element_at(F.col("__rm"), t["cluster"]),
+                lambda rep: F.struct(
+                    neg_cos(
+                        F.col("embedding"), F.col("nrm"), rep["centroid"]
+                    ).alias("nc"),
+                    t["cluster"].alias("cluster"),
+                    rep["rep_id"].alias("rep_id"),
+                ),
+            ),
+        )
+    )
+    best = F.array_min(F.col("__cands"))
+    return (
+        emb.crossJoin(F.broadcast(routers_arr))
+        .crossJoin(F.broadcast(reps_map))
         # nrm hoisted per vector — same expression tree as the inline
-        # cosine denominator, so pair doubles stay bit-identical
+        # cosine denominator, so downstream pair doubles stay
+        # bit-identical (and the probe folds one dot per router instead
+        # of dot+2 norms); each HOF stage lands in its own projected
+        # column so lambdas fold over BOUND references (the winnowing
+        # CSE lesson), never re-deriving an upstream array per element
+        .withColumn("nrm", similarity.l2_norm(F.col("embedding")))
+        .withColumn("__top", top)
+        .withColumn("__cands", cands)
+        .withColumn("__best", best)
         .select(
             "vec_id",
             "embedding",
-            "cluster",
-            "rep_id",
-            similarity.l2_norm(F.col("embedding")).alias("nrm"),
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.rep_id").alias("rep_id"),
+            "nrm",
         )
     )
 

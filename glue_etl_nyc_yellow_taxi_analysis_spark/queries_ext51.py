@@ -279,17 +279,29 @@ def q_stream_crawl_pacing(spark, sf_dir):
     )
     # three deterministic arrival waves by length(url) % 3, one FILE
     # each with strictly increasing mtimes (FileStreamSource orders by
-    # mtime) so batch order — and therefore slot order — is replayable
+    # mtime) so batch order — and therefore slot order — is replayable.
+    # ONE partitionBy write job builds all three waves (the r11 probe
+    # measured the per-wave loop re-running the whole robots gate three
+    # times — gate + distinct + pacing join per wave); the frontier
+    # pipeline itself runs exactly once.
     src_dir = tempfile.mkdtemp(prefix="sg_pacing_src_")
+    pdir = tempfile.mkdtemp(prefix="sg_pacing_part_")
+    (
+        allowed.withColumn("wave", (F.length("url") % 3).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("wave")
+        .parquet(pdir)
+    )
     for b in range(3):
-        part = allowed.filter(F.length("url") % 3 == b).coalesce(1)
-        pdir = tempfile.mkdtemp(prefix="sg_pacing_part_")
-        part.write.mode("overwrite").parquet(pdir)
-        src = next(
-            f for f in os.listdir(pdir) if f.endswith(".parquet")
-        )
+        wdir = f"{pdir}/wave={b}"
+        if not os.path.isdir(wdir):
+            # an empty wave writes no partition dir: emit a 0-row file
+            # so the stream still sees three mtime-ordered batches
+            allowed.limit(0).coalesce(1).write.mode("overwrite").parquet(wdir)
+        src = next(f for f in os.listdir(wdir) if f.endswith(".parquet"))
         dst = f"{src_dir}/wave{b}.parquet"
-        os.rename(f"{pdir}/{src}", dst)
+        os.rename(f"{wdir}/{src}", dst)
         ts = time.time() + b * 2
         os.utime(dst, (ts, ts))
 
@@ -333,15 +345,31 @@ def q_stream_crawl_pacing(spark, sf_dir):
     )
     sink = "crawl_pacing_" + os.path.basename(src_dir).split("_")[-1]
     ckpt = tempfile.mkdtemp(prefix="sg_pacing_ckpt_")
-    q = (
-        paced.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # size the state store by KEY CARDINALITY, not the session's batch
+    # shuffle width: state is one integer per host, so a partition per
+    # ~64 hosts is plenty — with the session default every micro-batch
+    # paid (shuffle.partitions - |hosts|) empty Python state tasks
+    # (3 batches x 32 partitions for ~11 hosts at sf0.1).  Content-
+    # derived (counted from the written waves), capped at the session
+    # default so a real cluster's wider setting still wins at scale.
+    n_hosts = (
+        spark.read.parquet(src_dir).select("host").distinct().count()
     )
-    q.awaitTermination()
+    shuffle_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = max(1, min(int(shuffle_conf), -(-n_hosts // 64)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = (
+            paced.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_conf)
     return spark.table(sink)
 
 
