@@ -261,6 +261,7 @@ def pq_adc_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank — the production PQ search shape
     (IVFADC with verification): the code table nominates ``r``
@@ -285,6 +286,7 @@ def pq_adc_rerank_topk(
     cand = pq_adc_topk(
         embeddings, queries, codebook, k=r, m=m,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        codes=codes,
     ).select(query_id_col, id_col)
     qv = F.broadcast(
         queries.select(

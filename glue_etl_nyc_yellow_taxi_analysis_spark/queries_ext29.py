@@ -495,6 +495,10 @@ def q_lsa_topic(spark, sf_dir):
             a.join(F.broadcast(v), "term")
             .groupBy("doc_id")
             .agg(dec(F.col("w") * F.col("v")).alias("u"))
+            # two consumers (the norm aggregate + the normalized u):
+            # truncate lazily so the norm's job materializes the half-
+            # step once instead of re-running the join+agg per consumer
+            .localCheckpoint(eager=False)
         )
         un2 = u_raw.agg(dec(F.col("u") * F.col("u")).alias("un2"))
         # an all-zero tf-idf matrix (single doc / identical docs ⇒ every
@@ -508,6 +512,9 @@ def q_lsa_topic(spark, sf_dir):
             a.join(u, "doc_id")
             .groupBy("term")
             .agg(dec(F.col("w") * F.col("u")).alias("s"))
+            # same two-consumer shape as u_raw (norm2 + normalized v,
+            # plus the final sigma projection after the loop)
+            .localCheckpoint(eager=False)
         )
         norm2 = s.agg(dec(F.col("s") * F.col("s")).alias("norm2"))
         v = s.crossJoin(F.broadcast(norm2)).select(

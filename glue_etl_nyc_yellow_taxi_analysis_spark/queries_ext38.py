@@ -107,6 +107,12 @@ def _train(spark, d, n_merges: int | None = None):
             break
         l, r, f = best[0]["lsym"], best[0]["rsym"], best[0]["pair_freq"]
         merges.append((step, l, r, l + r, f))
+        # lineage must stay truncated per step (a lazy replace chain
+        # re-plans a growing expression tree per argmax — measured
+        # SLOWER than the materialization it saved), but the
+        # materialization job itself can ride the NEXT step's argmax:
+        # eager=False truncates the plan now and persists the step's
+        # partitions on their first use, halving the loop's job count
         w = w.withColumn(
             "seg",
             F.replace(
@@ -114,7 +120,7 @@ def _train(spark, d, n_merges: int | None = None):
                 F.lit(f"{_S1}{l}{_S2}{_S1}{r}{_S2}"),
                 F.lit(f"{_S1}{l}{r}{_S2}"),
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return w, merges
 
 

@@ -268,11 +268,15 @@ def q_pq_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
-    adc = pq.pq_adc_topk(emb, queries, cb, k=_PQ_TOPK, m=_PQ_M).select(
-        "query_id", "vec_id"
-    )
+    # encode the corpus ONCE and share the code table across the raw-ADC
+    # and rerank searches (each used to run its own pq_encode corpus
+    # pass); lazily materialized so the first search's job pays it
+    codes = pq.pq_encode(emb, cb, m=_PQ_M).localCheckpoint(eager=False)
+    adc = pq.pq_adc_topk(
+        emb, queries, cb, k=_PQ_TOPK, m=_PQ_M, codes=codes
+    ).select("query_id", "vec_id")
     rer = pq.pq_adc_rerank_topk(
-        emb, queries, cb, k=_PQ_TOPK, r=_PQ_R, m=_PQ_M
+        emb, queries, cb, k=_PQ_TOPK, r=_PQ_R, m=_PQ_M, codes=codes
     ).select("query_id", "vec_id")
 
     qv = F.broadcast(
