@@ -69,6 +69,44 @@ def _sq_dist(a: str, b: str) -> F.Column:
     )
 
 
+def _codebook_map(codebook: DataFrame) -> DataFrame:
+    """Fold the m·k-row codebook into ONE row holding a
+    sub → [(cluster, centroid)] map — the broadcast shape that lets
+    nearest-centroid assignment run as a pure array expression (no
+    join, no keyed argmin exchange).  Same bytes the per-row broadcast
+    join already shipped; `array_sort` pins the in-cell order so the
+    plan is deterministic regardless of collect order."""
+    return (
+        codebook.groupBy("sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "centroid"))
+            ).alias("cell")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sub", "cell"))
+            ).alias("__cb")
+        )
+    )
+
+
+def _nearest_code(sx_col: str) -> F.Column:
+    """argmin over the bound row's ``__cb[sub]`` cell: min struct of
+    (squared sub-distance, cluster) — identical ordering to the old
+    ``min(struct(d, c))`` aggregate (NULL distance smallest, ties to
+    the lower cluster id), evaluated per row instead of per group."""
+    return F.array_min(
+        F.transform(
+            F.element_at(F.col("__cb"), F.col("sub")),
+            lambda c: F.struct(
+                _sq_dist(sx_col, c["centroid"]).alias("d"),
+                c["cluster"].alias("c"),
+            ),
+        )
+    )
+
+
 def pq_subvectors(
     embeddings: DataFrame,
     m: int = 4,
@@ -128,18 +166,15 @@ def pq_train(
         .localCheckpoint()
     )
     for _ in range(iters):
-        scored = pts.join(F.broadcast(cents), "sub").withColumn(
-            "d", _sq_dist("sx", "centroid")
-        )
+        # nearest-centroid assignment as a pure expression over the
+        # one-row codebook map: the old broadcast-join + groupBy(id,
+        # sub) argmin shuffled every subvector once per iteration just
+        # to keep one row per point — the argmin needs no exchange at
+        # all (guide §2.4); ordering is the identical min(struct(d, c))
         assigned = (
-            scored.groupBy("id", "sub")
-            .agg(
-                F.min(
-                    F.struct(F.col("d").alias("d"), F.col("cluster").alias("c"))
-                ).alias("best"),
-                F.first("sx").alias("sx"),
-            )
-            .select("id", "sub", F.col("best.c").alias("cluster"), "sx")
+            pts.crossJoin(F.broadcast(_codebook_map(cents)))
+            .withColumn("__best", _nearest_code("sx"))
+            .select("id", "sub", F.col("__best.c").alias("cluster"), "sx")
         )
         cells = assigned.select("sub", "cluster", F.posexplode("sx").alias("dim", "v"))
         cents = (
@@ -172,21 +207,15 @@ def pq_encode(
 ) -> DataFrame:
     """(id, sub, code): nearest-centroid assignment per subspace.
 
-    One broadcast join of the corpus's subvectors against the m·k-row
-    codebook — a single linear scan, zero shuffle (the groupBy(id, sub)
-    argmin partial-aggregates map-side over the k candidate rows)."""
+    One pure-expression pass over the corpus's subvectors with the
+    m·k-row codebook folded into a single broadcast map row — a single
+    linear scan, zero shuffle and zero keyed argmin (the per-row
+    ``array_min`` replays the old min(struct) ordering exactly)."""
     pts = pq_subvectors(embeddings, m, id_col, vec_col)
-    scored = pts.join(F.broadcast(codebook), "sub").withColumn(
-        "d", _sq_dist("sx", "centroid")
-    )
     return (
-        scored.groupBy("id", "sub")
-        .agg(
-            F.min(
-                F.struct(F.col("d").alias("d"), F.col("cluster").alias("c"))
-            ).alias("best")
-        )
-        .select("id", "sub", F.col("best.c").alias("code"))
+        pts.crossJoin(F.broadcast(_codebook_map(codebook)))
+        .withColumn("__best", _nearest_code("sx"))
+        .select("id", "sub", F.col("__best.c").alias("code"))
     )
 
 
