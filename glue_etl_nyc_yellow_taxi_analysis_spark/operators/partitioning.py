@@ -23,11 +23,70 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     round-robin shuffle of the raw rows buys full-width execution.  No-op
     when the input is already wide (the 100 TB case — large inputs arrive
     with thousands of splits).
+
+    The width probe estimates scan splits from the relation's file list
+    (Spark's own packing math: files charged ``openCostInBytes``, packed
+    into ``maxPartitionBytes`` splits) — `df.rdd.getNumPartitions()` would
+    be exact but converts the plan to an RDD, ~80 ms of pure planning per
+    call that the r11 bench measured as tens of seconds across the suite.
+    Non-file relations and non-local schemes fall back to the exact probe.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    parts = _estimated_scan_partitions(df)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+    if parts < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(v: str | None, default: int) -> int:
+    """Spark size-conf string → bytes ("134217728", "128m", "1g", "4mb")."""
+    if not v:
+        return default
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimated file-scan split count, or None when the relation is not
+    a local file scan (caller falls back to the exact RDD probe)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    max_split = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", None), 128 << 20
+    )
+    open_cost = _parse_bytes(
+        conf.get("spark.sql.files.openCostInBytes", None), 4 << 20
+    )
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(u.path) + open_cost
+        except OSError:
+            return None
+    return max(1, -(-total // max_split))
 
 
 def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:

@@ -546,9 +546,10 @@ def test_pq_adc_search_is_broadcast_only(spark, sf_dir):
 
 
 def test_pq_encode_single_scan_broadcast(spark, sf_dir):
-    """Encoding is one corpus scan against the broadcast m·k codebook;
-    the argmin partial-aggregates map-side (HashAggregate pair), no
-    sort-merge, no cartesian."""
+    """Encoding is one corpus scan against the codebook folded into a
+    single broadcast map row (r11): the per-row array_min argmin needs
+    no join-by-sub, no keyed aggregate and — the r11 contract — NO
+    exchange of the corpus at all; no sort-merge, no cartesian."""
     from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext40 import (
         _PQ_ITERS,
         _PQ_K,
@@ -557,12 +558,15 @@ def test_pq_encode_single_scan_broadcast(spark, sf_dir):
     from glue_etl_nyc_yellow_taxi_analysis_spark.operators import pq
     from glue_etl_nyc_yellow_taxi_analysis_spark.queries import _t
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     plan = _plan(pq.pq_encode(emb, cb, m=_PQ_M))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row codebook map
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # struct-min argmin is not hash-aggregable — it compiles to a
-    # partial + final SortAggregate pair (map-side combine still holds)
-    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    # the corpus side never shuffles: the only shuffle Exchanges belong
+    # to the m·k-row codebook fold feeding the BroadcastExchange (a
+    # corpus exchange would add a third)
+    tree = plan.split("\n\n")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 2, tree
