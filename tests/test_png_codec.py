@@ -180,6 +180,54 @@ def test_bit_determinism():
     assert png.encode_png(a, interlace=True) == png.encode_png(a, interlace=True)
 
 
+def test_adaptive_selection_matches_per_row_reference():
+    """The r11 vectorized adaptive encoder ((5, h) cost matrix + argmin)
+    must pick the SAME filter per scanline as the spec heuristic
+    computed row-by-row — first-minimum tie-break included.  Reference
+    recomputed here from the raw image exactly as libpng documents
+    (min sum of absolute signed residuals)."""
+    rng = np.random.default_rng(23)
+    for shape, bpp in (((24, 16), 1), ((9, 5, 3), 3), ((7, 4, 2), 2)):
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        # constant rows force cost TIES between Sub/Up/Avg/Paeth —
+        # the first-minimum tie-break is what this test pins
+        a[shape[0] // 2 :] = a[shape[0] // 2]
+        data = png.encode_png(a)
+        # pull the filter byte of each scanline back out of the stream
+        _, _, px = png.decode_png(data)  # sanity: stream stays valid
+        raw = zlib.decompress(
+            b"".join(p for t, p in png._walk_chunks(data) if t == b"IDAT")
+        )
+        stride = a.shape[1] * bpp
+        got = [raw[y * (1 + stride)] for y in range(a.shape[0])]
+        img = a.reshape(a.shape[0], stride).astype(np.int16)
+        prev = np.zeros(stride, dtype=np.int16)
+        expect = []
+        for y in range(a.shape[0]):
+            row, up = img[y], prev
+            left = np.zeros(stride, dtype=np.int16)
+            left[bpp:] = row[:-bpp]
+            ul = np.zeros(stride, dtype=np.int16)
+            ul[bpp:] = up[:-bpp]
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            paeth = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            cand = [
+                row,
+                (row - left) & 0xFF,
+                (row - up) & 0xFF,
+                (row - ((left + up) >> 1)) & 0xFF,
+                (row - paeth) & 0xFF,
+            ]
+            costs = [int(np.minimum(c, 256 - c).sum()) for c in cand]
+            expect.append(min(range(5), key=lambda k: costs[k]))
+            prev = row
+        assert got == expect, (shape, got, expect)
+        assert px.shape[0] == a.shape[0]  # stream decoded above
+
+
 # --------------------------------------------------------------------------
 # hostile containers
 # --------------------------------------------------------------------------
