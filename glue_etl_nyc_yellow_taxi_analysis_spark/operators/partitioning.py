@@ -58,9 +58,43 @@ def _parse_bytes(v: str | None, default: int) -> int:
         return default
 
 
+# Analyzed-plan nodes that preserve the scan's partitioning.  Anything
+# else (Repartition, Join, Aggregate, Union, LogicalRDD from a
+# checkpoint, ...) means the DataFrame's current partitioning is NOT the
+# file-split count — inputFiles() always reflects the leaf scan, so the
+# estimate would silently re-add a repartition the exact probe skips.
+_SCAN_CHAIN_NODES = frozenset(
+    {"Project", "Filter", "Relation", "SubqueryAlias", "View"}
+)
+
+
+def _is_plain_scan_chain(df: DataFrame) -> bool:
+    import re
+
+    try:
+        txt = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in txt.splitlines():
+        node = re.sub(r"^[\s+:\-]*", "", line)
+        node = re.split(r"[\s\[(]", node, maxsplit=1)[0]
+        if node and node not in _SCAN_CHAIN_NODES:
+            return False
+    return True
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimated file-scan split count, or None when the relation is not
-    a local file scan (caller falls back to the exact RDD probe)."""
+    a plain local file scan (caller falls back to the exact RDD probe).
+
+    Replicates Spark's ``FilePartition`` packing exactly:
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / minPartitionNum))`` (the bytesPerCore clamp — without it
+    a 200 MB table estimates 2 splits where Spark actually plans ~32 and
+    spread() fires a spurious shuffle), then each file is cut into
+    maxSplitBytes chunks, chunks are packed largest-first, and each chunk
+    is charged openCostInBytes toward the bin.
+    """
     import os
     from urllib.parse import urlparse
 
@@ -70,23 +104,60 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    if not _is_plain_scan_chain(df):
+        return None
     conf = df.sparkSession.conf
-    max_split = _parse_bytes(
+    max_pb = _parse_bytes(
         conf.get("spark.sql.files.maxPartitionBytes", None), 128 << 20
     )
     open_cost = _parse_bytes(
         conf.get("spark.sql.files.openCostInBytes", None), 4 << 20
     )
-    total = 0
+    sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("", "file"):
             return None
         try:
-            total += os.path.getsize(u.path) + open_cost
+            sizes.append(os.path.getsize(u.path))
         except OSError:
             return None
-    return max(1, -(-total // max_split))
+    try:
+        mpn = conf.get("spark.sql.files.minPartitionNum", None)
+    except Exception:
+        mpn = None
+    if not mpn:
+        try:
+            mpn = conf.get("spark.sql.leafNodeDefaultParallelism", None)
+        except Exception:
+            mpn = None
+    try:
+        min_part_num = int(mpn) if mpn else 0
+    except ValueError:
+        min_part_num = 0
+    if min_part_num <= 0:
+        min_part_num = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // min_part_num))
+    if max_split <= 0:
+        return 1
+    chunks: list[int] = []
+    for s in sizes:
+        n_full, rem = divmod(s, max_split)
+        chunks.extend([max_split] * n_full)
+        if rem:
+            chunks.append(rem)
+    chunks.sort(reverse=True)
+    parts, cur, open_bin = 0, 0, False
+    for c in chunks:
+        if open_bin and cur + c > max_split:
+            parts += 1
+            cur = 0
+        cur += c + open_cost
+        open_bin = True
+    if open_bin:
+        parts += 1
+    return max(1, parts)
 
 
 def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
