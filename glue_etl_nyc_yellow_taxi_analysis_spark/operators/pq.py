@@ -95,10 +95,16 @@ def _nearest_code(sx_col: str) -> F.Column:
     """argmin over the bound row's ``__cb[sub]`` cell: min struct of
     (squared sub-distance, cluster) — identical ordering to the old
     ``min(struct(d, c))`` aggregate (NULL distance smallest, ties to
-    the lower cluster id), evaluated per row instead of per group."""
+    the lower cluster id), evaluated per row instead of per group.
+
+    ``try_element_at``: under ANSI mode (Spark 4 default) a plain
+    ``element_at`` THROWS on a sub key missing from the codebook, where
+    the old broadcast join silently dropped the row — a malformed/empty
+    codebook must degrade (NULL code, filtered by consumers) instead of
+    killing the stage."""
     return F.array_min(
         F.transform(
-            F.element_at(F.col("__cb"), F.col("sub")),
+            F.try_element_at(F.col("__cb"), F.col("sub")),
             lambda c: F.struct(
                 _sq_dist(sx_col, c["centroid"]).alias("d"),
                 c["cluster"].alias("c"),
@@ -174,6 +180,9 @@ def pq_train(
         assigned = (
             pts.crossJoin(F.broadcast(_codebook_map(cents)))
             .withColumn("__best", _nearest_code("sx"))
+            # NULL __best (sub missing from a malformed codebook) drops
+            # out exactly like the old broadcast join's non-match
+            .filter(F.col("__best").isNotNull())
             .select("id", "sub", F.col("__best.c").alias("cluster"), "sx")
         )
         cells = assigned.select("sub", "cluster", F.posexplode("sx").alias("dim", "v"))
@@ -215,6 +224,9 @@ def pq_encode(
     return (
         pts.crossJoin(F.broadcast(_codebook_map(codebook)))
         .withColumn("__best", _nearest_code("sx"))
+        # NULL __best (sub missing from a malformed codebook) drops out
+        # exactly like the old broadcast join's non-match
+        .filter(F.col("__best").isNotNull())
         .select("id", "sub", F.col("__best.c").alias("code"))
     )
 

@@ -356,7 +356,12 @@ def q_stream_crawl_pacing(spark, sf_dir):
         spark.read.parquet(src_dir).select("host").distinct().count()
     )
     shuffle_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    n_state = max(1, min(int(shuffle_conf), -(-n_hosts // 64)))
+    try:
+        shuffle_n = int(shuffle_conf)
+    except (TypeError, ValueError):
+        # some platforms report 'auto' — fall back to the core count
+        shuffle_n = spark.sparkContext.defaultParallelism
+    n_state = max(1, min(shuffle_n, -(-n_hosts // 64)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
         q = (
