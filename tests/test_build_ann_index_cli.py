@@ -1,6 +1,10 @@
 """ANN-index-builder CLI: codebook + codes + recall-audit artifacts,
 the notify seam, and bit-determinism (the train_tokenizer standard)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -10,6 +10,10 @@ a Hive-metastore Derby directory + warehouse dir — job B must see the
 tables job A registered, with partition pruning intact.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import os
 import subprocess
 import sys

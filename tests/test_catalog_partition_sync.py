@@ -18,6 +18,10 @@ Three-step probe:
      the incoming frame).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import os
 import subprocess
 import sys

@@ -3,6 +3,10 @@ DP-noised language counts, persisted content Bloom index out, with the
 terminal-state notification written.  Mirrors test_maintain_cli for the
 sketch side."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -5,6 +5,10 @@ curated/split/sharded corpus out, removal accounting exact, notification
 payload written.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -25,11 +25,25 @@ from pyspark.sql import types as T
 from glue_etl_nyc_yellow_taxi_analysis_spark.queries import ORACLE, QUERIES
 
 @pytest.fixture(scope="module")
-def schemas(spark, sf_dir):
+def built(spark, sf_dir):
+    """One registry walk shared by every hazard gate: building all 351
+    query DataFrames dominates this module's wall (many lanes run eager
+    fixture work at build time), so schema and plan are captured from
+    the SAME build instead of walking the registry once per fixture."""
     out = {}
     for name, fn in QUERIES.items():
-        out[name] = fn(spark, sf_dir).schema
+        df = fn(spark, sf_dir)
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:  # streaming/stateful lanes that refuse a plan dump
+            plan = ""
+        out[name] = (df.schema, plan)
     return out
+
+
+@pytest.fixture(scope="module")
+def schemas(built):
+    return {name: schema for name, (schema, _) in built.items()}
 
 
 def test_no_unhashable_or_decimal_output_columns(schemas):
@@ -50,17 +64,9 @@ def test_oracle_entries_cover_declared_queries_only(schemas):
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def plans(built):
     """Initial physical plan per declared query (no execution)."""
-    out = {}
-    for name, fn in QUERIES.items():
-        try:
-            out[name] = (
-                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            )
-        except Exception:  # streaming/stateful lanes that refuse a plan dump
-            out[name] = ""
-    return out
+    return {name: plan for name, (_, plan) in built.items()}
 
 
 def test_no_cartesian_product_anywhere(plans):

@@ -3,6 +3,10 @@ rank-agreement and blocklist-accounting files out, with the one-line
 card cross-checked against the registry lanes it composes.  Mirrors
 test_corpus_stats_cli for the eval side."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -13,6 +13,10 @@ corpus (amortizes the Spark jobs), few examples — the value is in the
 generator's corners, not the sample count.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import os
 import shutil
 import tempfile

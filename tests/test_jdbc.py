@@ -8,6 +8,10 @@ code path — connection handling, type mapping, pushdown, partitioned
 parallel reads — against a real SQL database.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import os
 import subprocess
 import sys

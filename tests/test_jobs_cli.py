@@ -4,6 +4,10 @@ This is the switch-over surface for a reference user — build the star from
 a monthly drop, then load it into the warehouse, both via command line.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import os
 import subprocess
 import sys

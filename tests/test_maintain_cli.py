@@ -3,6 +3,10 @@ Z-ordered + bucket-registered output, accounting card exact, notification
 payload written.  Mirrors test_curate_cli for the layout side (r5 verdict
 item 6)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

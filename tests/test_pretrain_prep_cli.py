@@ -10,6 +10,10 @@ memory pressure at 10× the bench SF and prints the wall time the
 round's SCALE notes record.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -4,6 +4,10 @@ matching codec, unified + accounted.  Pins format-invariance (the same
 text through PDF and DOCX extracts identically) and the CPython
 HTML/Markdown extractors against their Spark-expression twins."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -4,6 +4,10 @@ terminal-state notification written.  The load-bearing property is
 container invariance: the same signal must fingerprint identically
 whether it arrived as WAV or FLAC."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -25,6 +25,10 @@ retry succeeds.  One lane per claimed-deterministic family:
                        the decimal routing claims it can't)
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

@@ -1,6 +1,10 @@
 """Tokenizer-training CLI: merges + vocab + fertility artifacts, the
 notify seam, and bit-determinism (same standard as pretrain_prep)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess

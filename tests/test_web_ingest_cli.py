@@ -3,6 +3,10 @@ budget-packed partitioned corpus out, with exact accounting and the
 terminal-state notification.  Mirrors test_corpus_stats_cli for the
 web on-ramp."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-session e2e; excluded from the driver-window run
+
 import json
 import os
 import subprocess
