@@ -91,35 +91,30 @@ def q_semdedup(spark, sf_dir):
         )
     )
     cos_rep = F.round(similarity.cosine(F.col("embedding"), F.col("centroid")), 6)
-    # keyed argmax as an AGGREGATE, not a row_number window: the window
-    # form shuffled all n·k scored rows (embedding payload included)
-    # just to keep one per vector; min(struct) partial-aggregates
-    # map-side, so the exchange carries n narrow rows (guide §2.3).
-    # Ordering is identical: min over (-cos, cluster, rep_id) == first
-    # row of (cos DESC, cluster, rep_id), with NULL cosine (zero-norm /
-    # ragged vectors) mapped to +inf = the window's NULLS LAST.
-    neg_cos = F.when(cos_rep.isNull(), F.lit(float("inf"))).otherwise(-cos_rep)
+    # keyed argmax as a row_number window, RESTORED after the r11
+    # min(struct) aggregate measured slower at sf0.1 AND sf1 (interleaved
+    # A/B, tools/semdedup_ab.py: window med 3.38/11.56s vs minstruct
+    # 3.71/13.73s; driver r11 measured 0.65x).  The aggregate's premise
+    # ("the window shuffles n·k embedding-carrying rows") was wrong in
+    # Spark 3.5+/4: WindowGroupLimit prunes to top-1 per vec_id MAP-SIDE
+    # before the exchange, while min(struct)/first(array) buffers are not
+    # hash-aggregable and fall to SortAggregate (plan evidence:
+    # plans/r12/q_semdedup_assign_{window,minstruct}.txt).
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_rep"), F.col("cluster"), F.col("rep_id")
+    )
     assigned = (
         emb.crossJoin(F.broadcast(reps))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    neg_cos.alias("nc"),
-                    F.col("cluster").alias("cluster"),
-                    F.col("rep_id").alias("rep_id"),
-                )
-            ).alias("b"),
-            # constant within the group (the key IS the vector's id)
-            F.first("embedding").alias("embedding"),
+        .select(
+            "vec_id", "embedding", "cluster", "rep_id", cos_rep.alias("cos_rep")
         )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         # nrm is hoisted per VECTOR so the O(pairs) stage folds one dot
         # instead of dot+2 norms — the divisor sqrt(Σa²)·sqrt(Σb²) is the
         # exact same expression tree as the inline cosine, so the doubles
         # (and the oracle hash) are bit-identical
-        .select("vec_id", "embedding",
-                F.col("b.cluster").alias("cluster"),
-                F.col("b.rep_id").alias("rep_id"),
+        .select("vec_id", "embedding", "cluster", "rep_id",
                 similarity.l2_norm(F.col("embedding")).alias("nrm"))
         # the assignment table feeds THREE consumers (both self-join sides
         # + the verdict projection); without materialization Spark re-runs
