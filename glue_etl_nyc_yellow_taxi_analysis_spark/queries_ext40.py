@@ -28,10 +28,12 @@ distance table → ADC scoring bit-for-bit:
   the approximation is an ADJUDICATED trade, not an unmeasured one —
   the same contract q_ann_recall_oracle gives IVF.
 * ``q_pq_index_persist`` — the deployment shape: codebook + code table
-  written as catalog tables over the standing corpus (codes bucketed by
-  (sub, code)), then an incoming batch ADC-probes the read-back index
-  without touching a single base float vector — train once / encode
-  once / search many, q_dedup_index_persist's contract for vectors.
+  written as catalog tables over the standing corpus (codes as
+  content-sized plain parquet — every probe joins them against a
+  broadcast distance table, so no bucket layout pays for itself), then
+  an incoming batch ADC-probes the read-back index without touching a
+  single base float vector — train once / encode once / search many,
+  q_dedup_index_persist's contract for vectors.
 
 Scale posture: the codebook (m·k = 64 rows) and the per-query distance
 table (nq·m·k = 192 rows) are broadcast everywhere; the corpus streams
@@ -389,14 +391,18 @@ _PQI_BATCH = 24
 _PQI_QPRED_SQL = (
     f"id IN (SELECT id FROM emb WHERE id % 7 = 0 ORDER BY id LIMIT {_PQI_BATCH})"
 )
+# write-side sizing for the persisted code table (guide §6): codes rows
+# are ~20 B (id, sub, code), so ~4M rows ≈ a 64-128 MB parquet file;
+# the file count is content-derived from the indexed corpus size
+_PQI_CODES_ROWS_PER_FILE = 4_000_000
 
 
 def q_pq_index_persist(spark, sf_dir):
     """The persisted ANN index: codebook + code table trained/encoded
     over the standing corpus (vec_id % 7 != 0) and written as catalog
-    tables (codes bucketed by (sub, code) — at 100 TB the code table is
-    standing infrastructure, re-encoded only when the codebook
-    retrains), then one bounded arrival batch (the 24 lowest
+    tables (codes as content-sized plain parquet, ~64-128 MB files — at
+    100 TB the code table is standing infrastructure, re-encoded only
+    when the codebook retrains), then one bounded arrival batch (the 24 lowest
     vec_id % 7 = 0 ids — a batch is one trigger's worth; flat ADC is
     O(batch × corpus), so a corpus-proportional batch would be
     quadratic over time, the sf1-rehearsal find) searches
@@ -422,9 +428,19 @@ def q_pq_index_persist(spark, sf_dir):
     base = emb.filter(_PQI_BASE)
     cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     codes = pq.pq_encode(base, cb, m=_PQ_M)
-    catalog.save_bucketed_table(
-        codes, db, "codes", ["sub", "code"], 8, ["id"]
-    )
+    # write-side sizing (guide §6): the r11 layout bucketed by (sub,
+    # code) with a per-bucket sort, but NO consumer ever shuffle-joins
+    # the code table on (sub, code) — every ADC probe joins it against a
+    # BROADCAST distance table — so the bucketing bought nothing and the
+    # bucketed writer emitted one file per (task, bucket): 256 tiny
+    # files at sf0.1 (measured 0.9-1.7s write, 0.7-0.9s read-back probe).
+    # Content-sized plain parquet (ceil(m·|base| / 4M rows) files ≈
+    # 64-128 MB each at any scale) writes in 0.7-0.9s and probes in
+    # ~0.6s; the COUNT is the same content-derived-shards convention the
+    # WARC lanes use.
+    n_base = base.count()
+    n_files = max(1, -(-(n_base * _PQ_M) // _PQI_CODES_ROWS_PER_FILE))
+    catalog.save_table(codes.repartition(n_files), db, "codes")
     catalog.save_table(cb, db, "codebook")
 
     index_codes = catalog.read_table(spark, db, "codes")

@@ -3,7 +3,7 @@
 For each query name given on the command line:
   * run it ``--repeat`` times against $SPARK_GRAFT_SF_DIR (bench session
     settings, noop sink, per-run wall), printing per-run seconds;
-  * dump ``.explain('formatted')`` to plans/r11/<name>_<tag>.txt
+  * dump ``.explain('formatted')`` to plans/$OPT_PLANS_DIR/<name>_<tag>.txt (default r12)
     (``--tag before|after``) so the plan evidence the judge checks is
     captured at the same commit that produced the timing.
 
@@ -28,7 +28,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--repeat", type=int, default=3)
-    ap.add_argument("--tag", default=None, help="plans/r11/<name>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/$OPT_PLANS_DIR/<name>_<tag>.txt (default r12)")
     ap.add_argument("--no-explain", action="store_true")
     args = ap.parse_args()
 
@@ -43,7 +43,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("OPT_PLANS_DIR", "r12"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
