@@ -272,7 +272,11 @@ def q_pq_recall(spark, sf_dir):
     cb = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     # encode the corpus ONCE and share the code table across the raw-ADC
     # and rerank searches (each used to run its own pq_encode corpus
-    # pass); lazily materialized so the first search's job pays it
+    # pass); lazily materialized so the first search's job pays it.
+    # (A content-sized coalesce before the checkpoint — the stream
+    # lane's win — measured ~0.5s SLOWER here interleaved: the lazy
+    # checkpoint folds the encode into the first search's job, and the
+    # coalesce serializes that whole chain into one task.)
     codes = pq.pq_encode(emb, cb, m=_PQ_M).localCheckpoint(eager=False)
     adc = pq.pq_adc_topk(
         emb, queries, cb, k=_PQ_TOPK, m=_PQ_M, codes=codes
@@ -672,7 +676,15 @@ def q_stream_ann_enrich(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(_PQI_BASE)
     cb = pq.pq_train(base, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
-    codes = pq.pq_encode(base, cb, m=_PQ_M).localCheckpoint()
+    # the in-memory index is consumed once per micro-batch: materialize
+    # it at the same content-derived width the persisted table uses
+    # (~4M code rows per partition) instead of the corpus scan width —
+    # 32 near-empty partitions made every batch's probe schedule 32
+    # tasks (measured drain 2.8s -> 2.3s at sf0.1; width grows with the
+    # corpus, so a real index stays wide)
+    n_base = base.count()
+    n_parts = max(1, -(-(n_base * _PQ_M) // _PQI_CODES_ROWS_PER_FILE))
+    codes = pq.pq_encode(base, cb, m=_PQ_M).coalesce(n_parts).localCheckpoint()
 
     incoming = (
         emb.filter(_PQI_QPRED)
