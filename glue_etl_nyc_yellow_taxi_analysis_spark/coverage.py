@@ -31,28 +31,32 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.
-# Round 11: q_robots_filter's parser AND oracle moved to
-# case-insensitive directives with loud wildcard/multi-group guards;
-# q_zip_shard_roundtrip forces ZIP64 framing on the upper shard half;
-# q_epub_extract's OPF manifest scan went attribute-order-independent;
-# q_pdf_extract's builder gained the non-Latin-1 ValueError seam.  All
-# four proven bit-identical locally on the driver corpus (check_oracle
-# at sf0.001 + sf0.01), but changed-plan lanes re-earn their driver
-# rows anyway, per protocol.  q_crawl_schedule / q_semdedup_multirep
-# are new this round (never checked → already front-of-window).
+# Round 12: the r11 optimization commits re-planned the PQ family
+# (pure-expression nearest-centroid), q_quality_auc (label rides the
+# bigram pass), the SemDeDup lanes and q_lsa_topic/q_bpe_pack, but the
+# r11 driver window sampled none of them (r11 verdict item 4); the r12
+# optimization additionally restored q_semdedup's window assignment,
+# content-sized q_pq_index_persist's persisted code table and the
+# streaming ANN lane's in-memory index, and hardened the PQ codebook
+# lookup (try_element_at) used by every PQ lane.  All proven
+# bit-identical locally (check_oracle at sf0.001/0.01(/0.1 where
+# probed)); changed-plan lanes re-earn their driver rows per protocol.
 PINNED: tuple[str, ...] = (
-    "q_robots_filter",
-    "q_zip_shard_roundtrip",
-    "q_epub_extract",
-    "q_pdf_extract",
-    # late-r11 stream-source re-plan (content-sized files — the
-    # q_stream_mp3_ingest 7.6x probe finding applied to the r10
-    # streaming twins); outputs proven identical locally, changed-plan
-    # lanes re-earn their rows per protocol
-    "q_stream_png_ingest",
-    "q_stream_audio_fingerprint",
-    "q_stream_warc_ingest",
+    "q_semdedup",
+    "q_pq_index_persist",
+    "q_stream_ann_enrich",
+    "q_ann_pq_oracle",
+    "q_ann_ivfpq_oracle",
+    "q_pq_recall",
+    "q_pq_rerank",
+    "q_quality_auc",
+    "q_semdedup_ivf",
+    "q_lsa_topic",
 )
+# q_bpe_pack (r11 change was lazy-checkpoint only — identical plans) and
+# q_stream_crawl_pacing / q_semdedup_multirep (driver rows earned in r11
+# on the new plans) are deliberately NOT pinned: the window caps pins at
+# 10 so its bulk keeps consuming the stalest committed evidence.
 
 # Rounds 1-2 predate the r3 bit-exact hash canonicalization, so a lane
 # whose LATEST driver row is r1/r2 has only lax-era external evidence.
