@@ -857,6 +857,48 @@ _Y4M_DECODE_SCHEMA = T.StructType(
 )
 
 
+# decimal-string lookup for the luma md5: ",".join over a precomputed
+# table replays ",".join(str(b) for b in all_y) byte-identically at a
+# fraction of the per-byte str() cost (guide §4.2)
+_DEC_LUT = tuple(str(i) for i in range(256))
+
+
+def _y4m_stats_row(payload: bytes):
+    """(width, height, n_frames, sum_y, sum_u, sum_v, frame_diff_sum,
+    y_md5) for one Y4M payload, or None on parse failure.  The
+    reductions are vectorized (numpy frame-diff, C-speed byte sums, LUT
+    decimal join) but value-identical to the original per-byte Python
+    loops — integer sums are exact and the md5 input string is the same
+    bytes."""
+    import hashlib
+
+    import numpy as np
+
+    try:
+        w, h, frames = parse_y4m(bytes(payload))
+    except (ValueError, NotImplementedError, struct.error):
+        return None
+    all_y = b"".join(fr[0] for fr in frames)
+    y_len = len(frames[0][0]) if frames else 0
+    if len(frames) > 1 and y_len:
+        arr = np.frombuffer(all_y, np.uint8).reshape(len(frames), y_len)
+        diff = int(
+            np.abs(arr[1:].astype(np.int64) - arr[:-1].astype(np.int64)).sum()
+        )
+    else:
+        diff = 0
+    return (
+        w,
+        h,
+        len(frames),
+        sum(all_y),
+        sum(b"".join(fr[1] for fr in frames)),
+        sum(b"".join(fr[2] for fr in frames)),
+        diff,
+        hashlib.md5(",".join(map(_DEC_LUT.__getitem__, all_y)).encode()).hexdigest(),
+    )
+
+
 def decode_y4m(df: DataFrame) -> DataFrame:
     """REAL video decode lane: parse each payload as a YUV4MPEG2 stream
     (parse_y4m — header tag walk, per-frame parameter scan, 4:2:0 plane
@@ -865,40 +907,17 @@ def decode_y4m(df: DataFrame) -> DataFrame:
     q_video_scene_cut thresholds), and an md5 over the comma-joined luma
     stream.  A parser that mis-splits planes, skips a FRAME parameter
     wrong, or drops a frame fails the value hash, not just a count."""
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 # per-row fail-soft (see wav_decode_stats)
-                try:
-                    w, h, frames = parse_y4m(bytes(payload))
-                except (ValueError, NotImplementedError, struct.error):
+                stats = _y4m_stats_row(payload)
+                if stats is None:
                     rows.append((mid,) + (None,) * 8)
-                    continue
-                ys = [fr[0] for fr in frames]
-                diff = sum(
-                    abs(a - b)
-                    for prev, cur in zip(ys, ys[1:])
-                    for a, b in zip(prev, cur)
-                )
-                all_y = b"".join(ys)
-                rows.append(
-                    (
-                        mid,
-                        w,
-                        h,
-                        len(frames),
-                        sum(all_y),
-                        sum(b for fr in frames for b in fr[1]),
-                        sum(b for fr in frames for b in fr[2]),
-                        diff,
-                        hashlib.md5(
-                            ",".join(str(b) for b in all_y).encode()
-                        ).hexdigest(),
-                    )
-                )
+                else:
+                    rows.append((mid,) + stats)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -915,6 +934,67 @@ def decode_y4m(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _Y4M_DECODE_SCHEMA)
+
+
+_Y4M_ROUNDTRIP_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False),
+     T.StructField("chroma", T.StringType(), False)]
+    + _Y4M_DECODE_SCHEMA.fields[1:]
+)
+
+
+def y4m_roundtrip_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 6,
+    height: int = 4,
+    chroma: str = "420jpeg",
+    chroma_mod: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Fused documents_as_y4m → decode_y4m pass: build each document's
+    Y4M container and parse it back inside ONE Arrow batch, so the
+    container bytes never cross the JVM↔Python boundary at all
+    (guide §4 — the two-stage form shipped every payload out of Python
+    and straight back in).  ``chroma_mod`` selects the chroma tag per
+    document as ``chroma_mod[id % len(chroma_mod)]`` (the chroma-sweep
+    lane's split), replacing N filtered build→decode branches with one
+    corpus pass.  Output = decode_y4m's schema plus the ``chroma`` tag;
+    byte-stream identity with the two-stage form is pinned by
+    tests/test_multimodal_fused.py."""
+    tags = chroma_mod if chroma_mod is not None else (chroma,)
+    w, h = width, height
+    build_container, plane_lens = y4m_container, _y4m_plane_lens
+    stats_row = _y4m_stats_row
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flens = {
+            t: (lambda yl, cl: yl + 2 * cl)(*plane_lens(w, h, t))
+            for t in tags
+        }
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                tag = tags[int(mid) % len(tags)]
+                flen = flens[tag]
+                b = ("" if text is None else text).encode("utf-8")
+                n = max(1, len(b) // flen)
+                raw = b[: flen * n].ljust(flen * n, b"\x00")
+                frames = [raw[f * flen : (f + 1) * flen] for f in range(n)]
+                params = tuple((i, b" Xodd") for i in range(1, n, 2))
+                stats = stats_row(build_container(frames, w, h, params, tag))
+                if stats is None:
+                    rows.append((mid, tag) + (None,) * 8)
+                else:
+                    rows.append((mid, tag) + stats)
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in _Y4M_ROUNDTRIP_SCHEMA.fields],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(run, _Y4M_ROUNDTRIP_SCHEMA)
 
 
 def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -153,10 +153,23 @@ def q_y4m_decode(spark, sf_dir):
     parse them back with the stdlib stream walker and emit per-plane
     sums, the inter-frame luma delta (the scene-cut energy), and a luma
     md5.  Completes the real-decode trio: audio (q_wav_decode), image
-    (q_bmp_decode), video (this)."""
+    (q_bmp_decode), video (this).  Build and parse run as ONE fused
+    Arrow pass (r12 §4 fusion — the container bytes never cross the
+    Python boundary), byte-identical to the two-stage form."""
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.documents_as_y4m(docs, width=_Y4M_W, height=_Y4M_H)
-    return multimodal.decode_y4m(media)
+    return multimodal.y4m_roundtrip_stats(
+        docs, width=_Y4M_W, height=_Y4M_H
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "sum_y",
+        "sum_u",
+        "sum_v",
+        "frame_diff_sum",
+        "y_md5",
+    )
 
 
 # Frame f's byte stream is text[36f : 36f+36) zero-padded (ASCII docs:
