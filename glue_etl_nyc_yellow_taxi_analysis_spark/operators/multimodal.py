@@ -43,6 +43,50 @@ from pyspark.sql import types as T
 
 FEATURE_DIM = 8
 
+
+def _compose(runs):
+    """Chain pandas-batch-iterator kernels into one kernel.  A named
+    module-level factory (not an inline closure capturing loop state)
+    so cloudpickle ships exactly the bound list."""
+
+    def chained(batches):
+        it = batches
+        for run in runs:
+            it = run(it)
+        yield from it
+
+    return chained
+
+
+def _map_stage(df: DataFrame, cols, run, schema) -> DataFrame:
+    """``df.select(cols).mapInPandas(run, schema)`` with automatic
+    stage FUSION: when ``df`` is itself the direct output of a media
+    stage (build → transform → decode chains), the kernels compose into
+    ONE ``mapInPandas`` instead of stacking.  Each separate mapInPandas
+    stage ships its whole input out of the JVM and its whole output
+    back in — for media chains that is the payload bytes crossing the
+    Python boundary once per stage (guide §4); the fused kernel runs
+    the composition batch-by-batch inside one Python worker, so the
+    container bytes never cross at all.  Row-identical by construction
+    (same kernels, same order, same batches — downstream kernels read
+    columns by NAME, and every stage yields named frames).  Fusion
+    stops at any Spark-side boundary (select/filter/checkpoint drop the
+    stage tag), so a chain interrupted by JVM work keeps its stages.
+    """
+    chain = getattr(df, "_sg_stage", None)
+    if chain is not None:
+        parent, parent_cols, runs = chain
+        all_runs = runs + [run]
+        out = parent.select(*parent_cols).mapInPandas(
+            _compose(all_runs), schema
+        )
+        out._sg_stage = (parent, parent_cols, all_runs)
+        return out
+    out = df.select(*cols).mapInPandas(run, schema)
+    out._sg_stage = (df, tuple(cols), [run])
+    return out
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -322,9 +366,10 @@ def documents_as_wav(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 _WAV_FORMATS = ((1, 16), (1, 8), (1, 24), (3, 32))  # doc_id % 4 → encoding
@@ -377,9 +422,10 @@ def documents_as_wav_formats(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 def documents_as_bmp_pal8(
@@ -412,9 +458,10 @@ def documents_as_bmp_pal8(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 def documents_as_bmp(
@@ -443,9 +490,10 @@ def documents_as_bmp(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 _WAV_DECODE_SCHEMA = T.StructType(
@@ -524,7 +572,7 @@ def decode_wav(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _WAV_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _WAV_DECODE_SCHEMA)
 
 
 def documents_as_flac(
@@ -565,9 +613,10 @@ def documents_as_flac(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 def decode_flac(df: DataFrame) -> DataFrame:
@@ -625,7 +674,7 @@ def decode_flac(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _WAV_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _WAV_DECODE_SCHEMA)
 
 
 _BMP_DECODE_SCHEMA = T.StructType(
@@ -690,7 +739,7 @@ def decode_bmp(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _BMP_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _BMP_DECODE_SCHEMA)
 
 
 def _y4m_plane_lens(width: int, height: int, chroma: str) -> tuple[int, int]:
@@ -837,9 +886,10 @@ def documents_as_y4m(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 _Y4M_DECODE_SCHEMA = T.StructType(
@@ -933,7 +983,7 @@ def decode_y4m(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _Y4M_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _Y4M_DECODE_SCHEMA)
 
 
 _Y4M_ROUNDTRIP_SCHEMA = T.StructType(
@@ -992,9 +1042,10 @@ def y4m_roundtrip_stats(
                 columns=[f.name for f in _Y4M_ROUNDTRIP_SCHEMA.fields],
             )
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(run, _Y4M_ROUNDTRIP_SCHEMA)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        run, _Y4M_ROUNDTRIP_SCHEMA,
+    )
 
 
 def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -1089,7 +1140,7 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "payload").mapInPandas(featurize, out_schema)
+    return _map_stage(df, ("media_id", "payload"), featurize, out_schema)
 
 
 def documents_as_jpeg(
@@ -1138,9 +1189,10 @@ def documents_as_jpeg(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 _JPEG_DECODE_SCHEMA = T.StructType(
@@ -1201,7 +1253,7 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _JPEG_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _JPEG_DECODE_SCHEMA)
 
 
 def resize_images(
@@ -1266,7 +1318,7 @@ def resize_images(
                 out.append((mid, enc, width, height))
             yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
 
-    return df.select("media_id", "payload").mapInPandas(resize, out_schema)
+    return _map_stage(df, ("media_id", "payload"), resize, out_schema)
 
 
 def documents_as_png(
@@ -1311,9 +1363,10 @@ def documents_as_png(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 _PNG_DECODE_SCHEMA = T.StructType(
@@ -1376,7 +1429,7 @@ def decode_png(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _PNG_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _PNG_DECODE_SCHEMA)
 
 
 def sample_frames(
@@ -1440,7 +1493,7 @@ def sample_frames(
                     rows.append((mid, src_idx, frames[src_idx]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
-    return df.select("media_id", "payload").mapInPandas(sample, out_schema)
+    return _map_stage(df, ("media_id", "payload"), sample, out_schema)
 
 
 def frame_sample(
@@ -1491,7 +1544,7 @@ def frame_sample(
                 }
             )
 
-    return df.select("media_id", "payload").mapInPandas(sample, out_schema)
+    return _map_stage(df, ("media_id", "payload"), sample, out_schema)
 
 
 def audio_energy_windows(df: DataFrame, window_bytes: int = 64) -> DataFrame:
@@ -1557,7 +1610,7 @@ def audio_energy_windows(df: DataFrame, window_bytes: int = 64) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "payload").mapInPandas(profile, out_schema)
+    return _map_stage(df, ("media_id", "payload"), profile, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1647,7 +1700,7 @@ def audio_fingerprint(
                 columns=["media_id", "n_samples", "n_frames", "n_hashes", "fp_md5"],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _AUDIO_FP_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _AUDIO_FP_SCHEMA)
 
 
 def audio_frame_hashes(
@@ -1680,9 +1733,7 @@ def audio_frame_hashes(
                 }
             )
 
-    return df.select("media_id", "payload").mapInPandas(
-        run, _AUDIO_FRAME_HASH_SCHEMA
-    )
+    return _map_stage(df, ("media_id", "payload"), run, _AUDIO_FRAME_HASH_SCHEMA)
 
 
 def video_frame_hashes(
@@ -1719,9 +1770,7 @@ def video_frame_hashes(
                 }
             )
 
-    return df.select("media_id", "payload").mapInPandas(
-        run, _AUDIO_FRAME_HASH_SCHEMA
-    )
+    return _map_stage(df, ("media_id", "payload"), run, _AUDIO_FRAME_HASH_SCHEMA)
 
 
 def documents_as_gif(
@@ -1761,9 +1810,10 @@ def documents_as_gif(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 def decode_gif(df: DataFrame) -> DataFrame:
@@ -1810,4 +1860,4 @@ def decode_gif(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "payload").mapInPandas(run, _PNG_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _PNG_DECODE_SCHEMA)

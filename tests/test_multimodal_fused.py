@@ -73,11 +73,14 @@ def test_fused_matches_two_stage_chain(spark):
         [(i, t) for i, t in enumerate(_TEXTS)], "doc_id long, text string"
     )
     for chroma in ("420jpeg", "444"):
+        # a Spark-side select between the stages drops the stage tag, so
+        # this chain runs UNFUSED — the pre-fusion reference behavior
         two_stage = sorted(
             map(
                 tuple,
                 mm.decode_y4m(
                     mm.documents_as_y4m(docs, width=6, height=4, chroma=chroma)
+                    .select("media_id", "payload")
                 ).collect(),
             )
         )
@@ -90,6 +93,46 @@ def test_fused_matches_two_stage_chain(spark):
             )
         )
         assert fused == two_stage
+
+
+def test_auto_fusion_collapses_chain_to_one_python_stage(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS)], "doc_id long, text string"
+    )
+    chained = mm.decode_y4m(mm.documents_as_y4m(docs, width=6, height=4))
+    plan = chained._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    # ... and a JVM boundary between stages keeps them separate
+    staged = mm.decode_y4m(
+        mm.documents_as_y4m(docs, width=6, height=4).select("media_id", "payload")
+    )
+    plan2 = staged._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInPandas") == 2, plan2
+    assert sorted(map(tuple, chained.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+
+
+def test_auto_fusion_three_stage_jpeg_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS) if t], "doc_id long, text string"
+    )
+    fused3 = mm.decode_jpeg(
+        mm.resize_images(
+            mm.documents_as_jpeg(docs, width=16), 8, 8, fake_decode=False
+        )
+    )
+    plan = fused3._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    unfused = mm.decode_jpeg(
+        mm.resize_images(
+            mm.documents_as_jpeg(docs, width=16).select("media_id", "payload"),
+            8, 8, fake_decode=False,
+        ).select("media_id", "payload")
+    )
+    assert sorted(map(tuple, fused3.collect())) == sorted(
+        map(tuple, unfused.collect())
+    )
 
 
 def test_fused_chroma_mod_matches_filtered_branches(spark):
