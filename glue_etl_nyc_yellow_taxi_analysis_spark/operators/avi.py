@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .multimodal import _map_stage
+
 _AVIIF_KEYFRAME = 0x10
 
 
@@ -321,9 +323,10 @@ def documents_as_avi(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(build, schema)
+    return _map_stage(
+        df, (F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        build, schema,
+    )
 
 
 _DIB_DECODE_SCHEMA = T.StructType(
@@ -387,7 +390,7 @@ def decode_avi_dib(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _DIB_DECODE_SCHEMA])
 
-    return df.select("media_id", "payload").mapInPandas(run, _DIB_DECODE_SCHEMA)
+    return _map_stage(df, ("media_id", "payload"), run, _DIB_DECODE_SCHEMA)
 
 
 _MJPEG_DECODE_SCHEMA = T.StructType(
@@ -445,6 +448,4 @@ def decode_mjpeg(df: DataFrame, every_nth: int = 1) -> DataFrame:
                 rows, columns=[f.name for f in _MJPEG_DECODE_SCHEMA]
             )
 
-    return df.select("media_id", "payload").mapInPandas(
-        run, _MJPEG_DECODE_SCHEMA
-    )
+    return _map_stage(df, ("media_id", "payload"), run, _MJPEG_DECODE_SCHEMA)
