@@ -484,14 +484,21 @@ def q_doc_logprob(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
-    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
-    # N = Σ cc off the (vocab-sized) corpus table, broadcast back in-plan:
-    # the previous separate toks.count() ACTION was a third full
-    # tokenize+explode pass over the corpus (r6 sf1 rehearsal flagged the
-    # query at 10.7x growth for 10x rows — linear, but with the constant
-    # paid three times).  Same double, same ROUND, hash-identical.
+    # ONE scan+tokenize pass (r12): the corpus vocabulary is the integer
+    # rollup of the per-doc count table, so both derive from one
+    # checkpoint instead of re-running scan+tokenize+explode each.
+    # N = Σ cc off the (vocab-sized) corpus table, broadcast back
+    # in-plan (the r6 fix: a separate count() ACTION was a third full
+    # pass).  Same integers, same double, same ROUND, hash-identical.
+    doc_counts = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    corpus = doc_counts.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("cc")
+    )
     total = corpus.agg(F.sum("cc").cast("double").alias("n_total"))
-    doc_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     return (
         doc_counts.join(corpus, "tok")
         .crossJoin(F.broadcast(total))

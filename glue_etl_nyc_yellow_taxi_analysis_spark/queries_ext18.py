@@ -403,23 +403,40 @@ def q_doc_ppl_bigram(spark, sf_dir):
     the vocab size V is one scalar."""
     d = _t(spark, sf_dir, "documents")
     toks = text.tokens("text")
-    n = F.size(toks)
+    # tokenize ONCE: the old plan re-ran scan+tokenize per count table
+    # (c2, c1, doc_bg, vocab — 4 corpus passes) and pulled the vocab
+    # scalar to the driver with a collect() in the query path; every
+    # table now derives from the tokenized checkpoint, with the corpus
+    # counts rolled up from the materialized doc_bg (integer sums —
+    # exact) and vocab riding as a broadcast 1-row aggregate.
+    tok = d.select("doc_id", toks.alias("toks")).localCheckpoint()
+    n = F.size("toks")
     pairs = F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+        F.slice("toks", 1, n - 1).alias("w1"),
+        F.slice("toks", 2, n - 1).alias("w2"),
     )
-    bg = d.select(
+    bg = tok.select(
         "doc_id", F.explode(pairs).alias("p")
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = d.select(F.explode(toks).alias("t")).agg(
-        F.countDistinct("t")
-    ).collect()[0][0]  # one scalar: the smoothing denominator constant
-    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    lp = F.log2(F.col("c2") + 1) - F.log2(F.col("c1") + F.lit(int(vocab)))
+    doc_bg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = (
+        doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("c").cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = tok.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    lp = F.log2(F.col("c2") + 1) - F.log2(F.col("c1") + F.col("vocab"))
     return (
         doc_bg.join(c2, ["w1", "w2"])
         .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),

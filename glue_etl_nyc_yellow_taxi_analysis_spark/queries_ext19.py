@@ -379,10 +379,18 @@ def q_pmi_bigrams(spark, sf_dir):
     bg = d.select(F.explode(pairs).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    cl = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
-    cr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cr"))
-    tot = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    # ONE scan+tokenize pass: the margins and the total are integer
+    # rollups of the bigram count table, so they derive from its
+    # checkpoint instead of re-running scan+tokenize+explode each
+    # (4 corpus passes -> 1; log2 inputs stay the same exact integers)
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    cl = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("cl"))
+    cr = c2.groupBy("w2").agg(F.sum("c2").cast("bigint").alias("cr"))
+    tot = c2.agg(F.sum("c2").cast("bigint").alias("n_total"))
     pmi = (
         F.log2("c2") + F.log2("n_total") - F.log2("cl") - F.log2("cr")
     )

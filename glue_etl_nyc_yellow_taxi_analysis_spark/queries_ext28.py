@@ -291,22 +291,35 @@ def q_sketch_merge(spark, sf_dir):
     hash.  At 100 TB this is how a standing corpus sketch absorbs a new
     shard without rescanning history."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        (F.col("doc_id") % 2 == 0).alias("even"),
-        F.explode(text.tokens("text")).alias("token"),
+    # ONE scan+tokenize pass: the three CMS builds (even half, odd half,
+    # whole) each re-ran scan+tokenize+explode (and the three Bloom
+    # builds re-scanned for ids) — 6 corpus scans per run.  The shared
+    # exact base is the per-(half, token) count table; the whole-corpus
+    # counts are its integer rollup, so every sketch derives from the
+    # checkpoint bit-identically.
+    tc = (
+        docs.select(
+            (F.col("doc_id") % 2 == 0).alias("even"),
+            F.explode(text.tokens("text")).alias("token"),
+        )
+        .groupBy("even", "token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
 
-    def cms_of(df):
-        counts = df.groupBy("token").agg(F.count("*").alias("n"))
+    def cms_of(counts):
         placed = sketches.cms_place(counts, "token", "n", _CMS_D, _CMS_W)
         return sketches.cms_build(placed, "n")
 
     merged_cms = (
-        cms_of(toks.filter("even")).unionByName(cms_of(toks.filter("NOT even")))
+        cms_of(tc.filter("even").select("token", "n"))
+        .unionByName(cms_of(tc.filter("NOT even").select("token", "n")))
         .groupBy("r", "pos")
         .agg(F.sum("counter").alias("counter"))
     )
-    whole_cms = cms_of(toks)
+    whole_cms = cms_of(
+        tc.groupBy("token").agg(F.sum("n").cast("bigint").alias("n"))
+    )
     cms_cmp = merged_cms.alias("m").join(
         whole_cms.alias("w"), ["r", "pos"], "full"
     ).select(
@@ -314,13 +327,13 @@ def q_sketch_merge(spark, sf_dir):
         F.coalesce(F.col("w.counter"), F.lit(0)).alias("wc"),
     )
 
-    keys = docs.select(F.col("doc_id").cast("string").alias("k"))
-    even_k = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").cast("string").alias("k")
-    )
-    odd_k = docs.filter(F.col("doc_id") % 2 != 0).select(
-        F.col("doc_id").cast("string").alias("k")
-    )
+    ids = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.col("doc_id").cast("string").alias("k"),
+    ).localCheckpoint()
+    keys = ids.select("k")
+    even_k = ids.filter("even").select("k")
+    odd_k = ids.filter("NOT even").select("k")
     merged_bloom = (
         sketches.bloom_build(even_k, "k")
         .unionByName(sketches.bloom_build(odd_k, "k"))

@@ -122,13 +122,27 @@ def q_kn_bigram_ppl(spark, sf_dir):
     bigram has c2 ≥ 1 — the max() guard documents the formula rather
     than firing."""
     bg = _doc_bigrams(spark, sf_dir)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # hierarchical rollup off ONE materialized doc-bigram table: the
+    # r11-shaped plan re-ran the scan+tokenize+explode subtree once per
+    # count table (5 corpus scans / 18 exchanges, no runtime exchange
+    # reuse — plans/r12/q_kn_bigram_ppl_before.txt); doc_bg is the
+    # narrowest exact base (all counts are integer sums of it), so every
+    # table derives from the checkpoint: 1 scan, lane 2.5s -> ~1.3s
+    doc_bg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    c2 = (
+        doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("c").cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").cast("bigint").alias("c1"), F.count(F.lit(1)).alias("n1l")
     )
     n1r = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
     npp = c2.agg(F.count(F.lit(1)).alias("n1pp"))  # distinct bigram types
-    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     num = (
         F.greatest(F.lit(4) * F.col("c2") - 3, F.lit(0)) * F.col("n1pp")
         + F.lit(3) * F.col("n1l") * F.col("n1r")

@@ -89,9 +89,19 @@ def q_hll_distinct(spark, sf_dir):
     oracle the estimate is judged against — the test pins the error
     inside the 1.04/sqrt(64) ≈ 13% band)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        (F.col("doc_id") % 2 == 0).alias("even"),
-        F.explode(text.shingles("text")).alias("s"),
+    # ONE scan+shingle pass: whole/even/odd registers and the exact
+    # distinct all consumed the exploded shingles separately (5 corpus
+    # scans).  The shared exact base is the per-(half, shingle) DISTINCT
+    # table — register maxes are duplicate-insensitive and the exact
+    # count is a distinct over it, so every consumer derives from the
+    # checkpoint bit-identically.
+    sh = (
+        docs.select(
+            (F.col("doc_id") % 2 == 0).alias("even"),
+            F.explode(text.shingles("text")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
     whole = _hll_regs(sh)
     merged = (

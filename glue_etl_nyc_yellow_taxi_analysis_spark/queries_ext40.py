@@ -263,8 +263,14 @@ def q_pq_recall(spark, sf_dir):
     nor score as a neighbor, and the exact brute-force side would
     otherwise rank it with a NULL distance — Spark sorts NULLs FIRST
     ascending, DuckDB LAST (degenerate-corpus gate find)."""
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    # the valid-vector corpus feeds NINE subtrees (train, encode, both
+    # searches' queries, the exact brute-force side, the rerank
+    # read-back, the final left-join spine) and each re-ran the
+    # scan+spread+filter — materialize it once
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M))
+        .localCheckpoint()
     )
     queries = emb.filter(F.col("vec_id").isin(*_PQ_QIDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
