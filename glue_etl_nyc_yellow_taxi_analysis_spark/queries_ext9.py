@@ -167,8 +167,15 @@ def bm25_scores(d, terms=_BM25_TERMS):
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
     ).filter("token != ''")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # tf is the shared exact base (r12 multi-scan sweep): dl/avgdl are
+    # its integer rollups and the term filter reads it twice — the old
+    # plan re-ran scan+tokenize+explode per table (4 corpus passes)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     avgdl = dl.select(F.avg(F.col("dl").cast("double")).alias("avgdl"))
     qtf = tf.filter(F.col("token").isin(*terms))
