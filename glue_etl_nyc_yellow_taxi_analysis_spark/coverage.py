@@ -31,32 +31,43 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Must re-earn a driver row this round: only queries whose Spark or
 # oracle side changed since their latest committed driver row.
-# Round 12: the r11 optimization commits re-planned the PQ family
-# (pure-expression nearest-centroid), q_quality_auc (label rides the
-# bigram pass), the SemDeDup lanes and q_lsa_topic/q_bpe_pack, but the
-# r11 driver window sampled none of them (r11 verdict item 4); the r12
-# optimization additionally restored q_semdedup's window assignment,
-# content-sized q_pq_index_persist's persisted code table and the
-# streaming ANN lane's in-memory index, and hardened the PQ codebook
-# lookup (try_element_at) used by every PQ lane.  All proven
-# bit-identical locally (check_oracle at sf0.001/0.01(/0.1 where
-# probed)); changed-plan lanes re-earn their driver rows per protocol.
+# Round 12 replanned far more lanes than the 10-pin cap (SemDeDup's
+# applyInPandas prune kernel, the auto-fused media stages across ~15
+# codec lanes, seven multi-scan checkpoint rollups, the REP hosts
+# materialization, the graph-edge checkpoints, the PQ write sizing),
+# so the pins take ONE representative per changed MECHANISM, weighted
+# by semantic risk:
+#   * the SemDeDup Arrow kernel (bit-exact float replay — the round's
+#     riskiest change) gets all three consumers;
+#   * q_y4m_chroma_decode is the deepest media-fusion transform
+#     (3 filtered branches -> 1 Arrow pass + vectorized reductions);
+#   * q_kn_bigram_ppl is the most aggressive multi-scan rollup (5->1
+#     corpus passes);
+#   * q_pq_index_persist (content-sized write + read-back) and
+#     q_ann_pq_oracle (r11 expression rewrite + r12 try_element_at)
+#     cover the PQ family;
+#   * q_stream_ann_enrich (code-table sizing + stream machinery) and
+#     q_quality_auc (r11 rewrite, never driver-sampled) carry the r11
+#     debt (verdict item 4);
+#   * q_crawl_schedule covers the REP hosts materialization.
+# Left out deliberately: q_ann_ivfpq/q_pq_recall/q_pq_rerank (same PQ
+# machinery as the two pinned), q_lsa_topic (r11 change was a
+# value-identical localCheckpoint), the rollup/char-staging/graph
+# lanes (integer-identical derivations, collect-compared); all are
+# oracle-proven locally and q_hybrid_retrieval/q_rag_context_pack
+# land in the window's natural stale tail anyway.
 PINNED: tuple[str, ...] = (
     "q_semdedup",
-    "q_pq_index_persist",
-    "q_stream_ann_enrich",
-    "q_ann_pq_oracle",
-    "q_ann_ivfpq_oracle",
-    "q_pq_recall",
-    "q_pq_rerank",
-    "q_quality_auc",
     "q_semdedup_ivf",
-    "q_lsa_topic",
+    "q_semdedup_multirep",
+    "q_y4m_chroma_decode",
+    "q_kn_bigram_ppl",
+    "q_pq_index_persist",
+    "q_ann_pq_oracle",
+    "q_stream_ann_enrich",
+    "q_quality_auc",
+    "q_crawl_schedule",
 )
-# q_bpe_pack (r11 change was lazy-checkpoint only — identical plans) and
-# q_stream_crawl_pacing / q_semdedup_multirep (driver rows earned in r11
-# on the new plans) are deliberately NOT pinned: the window caps pins at
-# 10 so its bulk keeps consuming the stalest committed evidence.
 
 # Rounds 1-2 predate the r3 bit-exact hash canonicalization, so a lane
 # whose LATEST driver row is r1/r2 has only lax-era external evidence.

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, similarity
 from .queries import _COSINE_SQL, _t
-from .queries_ext9 import BM25_CTES, bm25_scores
+from .queries_ext9 import BM25_CTES, bm25_parts
 
 QUERIES_EXT25 = {}
 ORACLE_EXT25 = {}
@@ -25,25 +25,15 @@ _FUSE_TOPN = 20    # per-channel candidate depth
 _FINAL_K = 10
 
 
-def q_hybrid_retrieval(spark, sf_dir):
-    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion: BM25
-    top-20 (fixed 3-term query) fused with exact-cosine top-20 (query
-    vector = vec_id 0; doc_id ≡ vec_id links the two tables) by
-    rrf = Σ 1/(60 + rank), kept in an exact e8 integer lane
-    (100000000 div (60+rank) per channel — rank-only math, so the fusion
-    is bit-identical on any engine and any partitioning).
-
-    Scale shape: each channel carves its top-N with orderBy+limit
-    (TakeOrderedAndProject — per-partition top-k, no global sort), and
-    rank assignment happens AFTER the carve on ≤N rows (the unpartitioned
-    row_number window only ever sees N=20 rows).  The fusion join and
-    final top-k run on 2N rows — measurement-priced at any corpus size.
-    A missing channel contributes rank 0 (absent marker) and no score.
-    """
+def _hybrid_fused(spark, sf_dir):
+    """The RRF fusion table plus the BM25 tf base it was built from (so
+    q_rag_context_pack derives its per-doc token counts without a second
+    tokenize pass) — see q_hybrid_retrieval for semantics."""
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
 
-    lex_top = bm25_scores(d).orderBy(F.desc("bm25"), "doc_id").limit(_FUSE_TOPN)
+    scores, tf = bm25_parts(d)
+    lex_top = scores.orderBy(F.desc("bm25"), "doc_id").limit(_FUSE_TOPN)
     w_lex = Window.orderBy(F.desc("bm25"), "doc_id")  # ≤ 20 rows post-carve
     lex = lex_top.select(
         "doc_id", F.row_number().over(w_lex).cast("long").alias("rank_lex")
@@ -75,7 +65,25 @@ def q_hybrid_retrieval(spark, sf_dir):
             ).otherwise(F.lit(0).cast("long")),
         )
     )
-    return fused.orderBy(F.desc("rrf_e8"), "doc_id").limit(_FINAL_K)
+    return fused.orderBy(F.desc("rrf_e8"), "doc_id").limit(_FINAL_K), tf
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion: BM25
+    top-20 (fixed 3-term query) fused with exact-cosine top-20 (query
+    vector = vec_id 0; doc_id ≡ vec_id links the two tables) by
+    rrf = Σ 1/(60 + rank), kept in an exact e8 integer lane
+    (100000000 div (60+rank) per channel — rank-only math, so the fusion
+    is bit-identical on any engine and any partitioning).
+
+    Scale shape: each channel carves its top-N with orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, no global sort), and
+    rank assignment happens AFTER the carve on ≤N rows (the unpartitioned
+    row_number window only ever sees N=20 rows).  The fusion join and
+    final top-k run on 2N rows — measurement-priced at any corpus size.
+    A missing channel contributes rank 0 (absent marker) and no score.
+    """
+    return _hybrid_fused(spark, sf_dir)[0]
 
 
 # CTE chain shared by the hybrid-retrieval oracle and the context-pack
@@ -300,18 +308,14 @@ def q_rag_context_pack(spark, sf_dir):
     admission verdict (greedy prefix packing: a doc that overflows the
     budget stops admission even if a later shorter doc would fit —
     deterministic, order-faithful).  The running-sum window runs on ≤10
-    post-carve rows; the only corpus-sized work is the token-count
-    aggregate, one combine-heavy keyed shuffle."""
-    fused = q_hybrid_retrieval(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents")
-    dl = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
-        )
-        .filter("token != ''")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    post-carve rows; the per-doc token counts are an integer rollup of
+    the SAME checkpointed tf base the fusion's BM25 channel built
+    (Σ tf per doc ≡ the exploded token count — the r12 multi-scan rule:
+    the old plan re-ran scan+tokenize+explode for a number the tf table
+    already holds)."""
+    fused, tf = _hybrid_fused(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens")
     )
     w_order = Window.orderBy(F.desc("rrf_e8"), "doc_id")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)

@@ -386,9 +386,17 @@ _ROBOTS_HUB = (
 )
 
 
-def _robots_frontier(spark, sf_dir):
+def _robots_frontier(spark, sf_dir, materialize_hosts=False):
     """Shared synth for the REP lanes: the link frontier (doc_id, url,
-    host, path) and the per-host robots.txt bodies."""
+    host, path) and the per-host robots.txt bodies.
+
+    ``materialize_hosts`` checkpoints the |hosts|-bounded distinct-host
+    table the robots bodies hang off (r12 multi-scan rule: the base is
+    FAR narrower than its corpus-sized derivation).  Lanes that consume
+    ``robots`` twice (rule engine + Crawl-delay pacing — schedule/
+    slots/pacing) pass True and save one full HTML-synth+link-extract
+    pass; single-consumer lanes keep the lazy form, where the pass
+    count is identical either way."""
     from .operators import robots as R
 
     docs = _t(spark, sf_dir, "documents")
@@ -399,9 +407,12 @@ def _robots_frontier(spark, sf_dir):
         .filter(F.col("host") != "")
         .withColumn("path", R.url_path(F.col("url")))
     )
+    hosts = frontier.select("host").distinct()
+    if materialize_hosts:
+        hosts = hosts.localCheckpoint()
     k = F.regexp_extract("host", "^m([0-9])", 1)
     robots = (
-        frontier.select("host").distinct()
+        hosts
         .withColumn(
             "txt",
             F.when(F.col("host") == "hub.example.net", F.lit(_ROBOTS_HUB))
@@ -503,7 +514,7 @@ def q_crawl_schedule(spark, sf_dir):
     All-integer output (exact oracle)."""
     from .operators import robots as R
 
-    frontier, robots = _robots_frontier(spark, sf_dir)
+    frontier, robots = _robots_frontier(spark, sf_dir, materialize_hosts=True)
     rules = R.parse_robots(robots)
     verdicts = R.gate_frontier(frontier, rules, ["doc_id", "url"])
     # a crawler fetches each URL once however many docs cite it

@@ -200,7 +200,7 @@ def q_crawl_slots(spark, sf_dir):
     from .operators import robots as R
     from .queries_ext48 import _robots_frontier
 
-    frontier, robots = _robots_frontier(spark, sf_dir)
+    frontier, robots = _robots_frontier(spark, sf_dir, materialize_hosts=True)
     rules = R.parse_robots(robots)
     verdicts = R.gate_frontier(frontier, rules, ["doc_id", "url"])
     allowed = (
@@ -266,7 +266,7 @@ def q_stream_crawl_pacing(spark, sf_dir):
     from .operators import robots as R
     from .queries_ext48 import _robots_frontier
 
-    frontier, robots = _robots_frontier(spark, sf_dir)
+    frontier, robots = _robots_frontier(spark, sf_dir, materialize_hosts=True)
     rules = R.parse_robots(robots)
     verdicts = R.gate_frontier(frontier, rules, ["doc_id", "url"])
     pace = F.coalesce("crawl_delay_s", F.lit(1))

@@ -153,16 +153,20 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def bm25_scores(d, terms=_BM25_TERMS):
-    """BM25 per-doc scores for a fixed term set → (doc_id, bm25,
-    n_terms_hit), unranked.  Shared by q_bm25_search (top-15 carve) and
-    q_hybrid_retrieval (RRF fusion, queries_ext25).  tf/dl come from
-    one tokenize pass (two aggregations sharing the same exploded scan);
-    df and corpus stats are O(|terms|) / O(1) and broadcast; the score
-    sum is decimal-exact per the repo convention (per-term contribution
-    rounded to 8dp into DECIMAL before summing so the 3-way addition has
-    no float-order dependence).  The per-doc join graph is
-    tf(term-filtered) ⋈ dl — both keyed by doc_id, one shuffle."""
+def bm25_parts(d, terms=_BM25_TERMS):
+    """BM25 per-doc scores for a fixed term set → ((doc_id, bm25,
+    n_terms_hit) unranked, the checkpointed tf base).  Shared by
+    q_bm25_search (top-15 carve) and q_hybrid_retrieval /
+    q_rag_context_pack (RRF fusion + token-budget packing,
+    queries_ext25 — the packer derives its per-doc token counts from
+    the SAME tf base instead of re-tokenizing the corpus).  tf/dl come
+    from one tokenize pass (two aggregations sharing the same exploded
+    scan); df and corpus stats are O(|terms|) / O(1) and broadcast; the
+    score sum is decimal-exact per the repo convention (per-term
+    contribution rounded to 8dp into DECIMAL before summing so the
+    3-way addition has no float-order dependence).  The per-doc join
+    graph is tf(term-filtered) ⋈ dl — both keyed by doc_id, one
+    shuffle."""
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
@@ -197,7 +201,7 @@ def bm25_scores(d, terms=_BM25_TERMS):
         + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom
-    return (
+    scores = (
         scored.select(
             "doc_id",
             F.round(contrib, 8).cast("decimal(18,8)").alias("c"),
@@ -208,6 +212,12 @@ def bm25_scores(d, terms=_BM25_TERMS):
             F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         )
     )
+    return scores, tf
+
+
+def bm25_scores(d, terms=_BM25_TERMS):
+    """The (doc_id, bm25, n_terms_hit) table alone — see bm25_parts."""
+    return bm25_parts(d, terms)[0]
 
 
 def q_bm25_search(spark, sf_dir):
@@ -751,7 +761,13 @@ def q_triangle_count(spark, sf_dir):
     self-join, then the canonical two-step closure e(u,v)⋈e(v,w)⋈e(u,w)
     with u<v<w so each triangle counts exactly once.  The ordering
     constraint is what keeps the distributed join tree skew-bounded
-    (every wedge is generated once, at its smallest vertex)."""
+    (every wedge is generated once, at its smallest vertex).
+
+    The edge table is localCheckpoint'd (r12 multi-scan rule): it is
+    two ints per edge while its derivation is a scan + distinct +
+    within-order self-join + distinct, and SIX consumers re-ran that
+    subtree (nodes ×2, e1/e2/e3, the edge count) — runtime exchange
+    reuse never fires across them."""
     li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 20 = 0")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.alias("a")
@@ -763,6 +779,7 @@ def q_triangle_count(spark, sf_dir):
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col("u").alias("x"))
@@ -830,11 +847,15 @@ def q_graph_bfs(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 20 = 0")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
+    # half is checkpointed for the same reason as q_triangle_count's
+    # edge table: nodes + the 3 BFS rounds each re-ran the scan +
+    # self-join + distinct derivation of a two-int table
     half = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        .localCheckpoint()
     )
     edges = half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = edges.select("u").distinct()
