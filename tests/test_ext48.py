@@ -386,3 +386,33 @@ def test_warc_revisit_resolution_and_hostile_paths(spark, sf_dir):
     assert warc.parse_warc(warc.warc_container([dangling]))[0][0][
         "warc-refers-to"
     ] not in refs
+
+
+def test_robots_frontier_host_materialization_identity(spark, sf_dir):
+    """materialize_hosts=True (the r12 two-consumer REP optimization)
+    must change only the physical plan: the robots table (host, txt)
+    and the downstream gated verdicts are row-identical to the lazy
+    form, and the materialized hosts table is |hosts|-bounded (the
+    checkpoint never captures corpus-sized state)."""
+    from glue_etl_nyc_yellow_taxi_analysis_spark.operators import robots as R
+    from glue_etl_nyc_yellow_taxi_analysis_spark.queries_ext48 import (
+        _robots_frontier,
+    )
+
+    f_lazy, r_lazy = _robots_frontier(spark, sf_dir)
+    f_mat, r_mat = _robots_frontier(spark, sf_dir, materialize_hosts=True)
+
+    rows_lazy = sorted(map(tuple, r_lazy.collect()))
+    rows_mat = sorted(map(tuple, r_mat.collect()))
+    assert rows_lazy == rows_mat and rows_mat  # same hosts, same bodies
+    # bounded state: one row per distinct host, nothing corpus-sized
+    n_hosts = f_lazy.select("host").distinct().count()
+    assert len(rows_mat) == n_hosts
+
+    # the verdict path (rules broadcast built from the materialized
+    # table) is value-identical too
+    v_lazy = R.gate_frontier(f_lazy, R.parse_robots(r_lazy), ["doc_id", "url"])
+    v_mat = R.gate_frontier(f_mat, R.parse_robots(r_mat), ["doc_id", "url"])
+    assert sorted(map(tuple, v_lazy.collect())) == sorted(
+        map(tuple, v_mat.collect())
+    )
